@@ -1,0 +1,252 @@
+"""Unified point-target raw-echo engine (forward model).
+
+One vmapped, chunk-scanned generator replaces the reference's five separate
+engines (SURVEY.md §2.3): monostatic static/moving targets
+(``sar_satellite_sim.py:211-305``, ``sar_satellite_moving_sim.py:111-159``,
+``sar_vehicle_sim.py:83-126``), bistatic two-phase-center
+(``sar_ati_dcpa_sim_csa.py:106-181``) and spotlight with sinc^2 antenna gain +
+stop-and-go Rx correction (``sar_batch_sim.py:83-169``). Receive channels,
+target motion, antenna pattern and stop-and-go are options on the same kernel.
+
+TPU design
+----------
+* Geometry (positions -> delays -> carrier phase) runs in float64: at ~507 km
+  slant range the two-way phase needs sub-mm range accuracy. The carrier phase
+  is wrapped mod 2pi in f64 and *then* cast to f32, so the large
+  (pulses x targets x samples) tensor work is pure float32/complex64.
+* The pulse axis is processed by a ``lax.scan`` over fixed-size chunks with an
+  inner ``fori_loop`` over target chunks — static shapes, bounded VMEM/HBM
+  footprint, no data-dependent control flow.
+* The slow-time (pulse) axis is the natural sharding axis ("seq"); callers
+  shard by slicing trajectories per device (see parallel/).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nis_sar_amtigmti_video_tpu.utils.cplx import expj
+
+_TWO_PI = 2.0 * math.pi
+
+
+@dataclass(frozen=True)
+class EchoOpts:
+    """Static configuration of the echo kernel (hashable; jit-static)."""
+
+    fc_hz: float
+    chirp_rate: float            # K_r [Hz/s]
+    pulse_width_s: float
+    fs_hz: float
+    num_samples: int
+    # fast-time grid flavor: True reproduces the reference's
+    # linspace(0, N/fs, N) endpoint quirk (sar_satellite_sim.py:254);
+    # False is a uniform arange(N)/fs grid (sar_batch_sim.py:90).
+    endpoint_grid: bool = True
+    # 'leading': echo occupies [tau, tau+Tp], phase pi*Kr*(t-tau-Tp/2)^2
+    #            (sar_satellite_sim.py:290-299)
+    # 'centered': echo occupies [tau-Tp/2, tau+Tp/2], phase pi*Kr*(t-tau)^2
+    #            (sar_batch_sim.py:146-148)
+    chirp_centering: str = "leading"
+    # 'sqrt_rcs' (all engines except spotlight) | 'rcs' (sar_batch_sim.py:150)
+    amplitude: str = "sqrt_rcs"
+    stop_and_go: bool = False    # advance Rx by v_sat * tau (sar_batch_sim.py:130-133)
+    antenna_length_m: float = 0.0  # >0: sinc^2 azimuth pattern (sar_batch_sim.py:135-144)
+    # chunking (elements of the f32 work tensor per step ~ pulse_chunk*target_chunk*Ns)
+    max_elements: int = 1 << 25
+    target_chunk: int = 512
+
+    @property
+    def half_width(self) -> float:
+        return self.pulse_width_s / 2.0
+
+    @property
+    def chirp_shift(self) -> float:
+        return self.half_width if self.chirp_centering == "leading" else 0.0
+
+
+def fast_time_grid(opts: EchoOpts):
+    """Fast-time sample offsets from window start, float64 (host numpy)."""
+    n, fs = opts.num_samples, opts.fs_hz
+    if opts.endpoint_grid:
+        return np.linspace(0.0, n / fs, n)
+    return np.arange(n) / fs
+
+
+def window_start_time(r0: float, opts: EchoOpts, window_length_s: float,
+                      mode: str = "reference") -> float:
+    """Receive-window opening time.
+
+    'reference': 2R0/c - Tp/2 - 1us (sar_satellite_sim.py:252)
+    'centered' : 2R0/c - win/2     (sar_batch_sim.py:89)
+    """
+    c = 299792458.0
+    if mode == "reference":
+        return 2.0 * r0 / c - opts.pulse_width_s / 2.0 - 1e-6
+    if mode == "centered":
+        return 2.0 * r0 / c - window_length_s / 2.0
+    raise ValueError(f"window mode must be 'reference' or 'centered', got {mode!r}")
+
+
+def _wrap_pi(x):
+    """Wrap to (-pi, pi] in the input dtype."""
+    return x - _TWO_PI * jnp.round(x / _TWO_PI)
+
+
+def _pad_axis0(x, n_to, edge=False):
+    pad = n_to - x.shape[0]
+    if pad == 0:
+        return x
+    cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, cfg, mode="edge" if edge else "constant")
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
+                   rx_offset, t_start, opts: EchoOpts):
+    """Core kernel. All array args float64; returns (P, Ns) complex64."""
+    c = 299792458.0
+    num_p = t_slow.shape[0]
+    num_b = tgt_pos.shape[0]
+    ns = opts.num_samples
+    if num_b == 0:  # empty scene: pure zeros
+        return jnp.zeros((num_p, ns), jnp.complex64)
+
+    # --- static chunk plan ---
+    tb = min(opts.target_chunk, num_b)
+    pc = max(1, min(num_p, opts.max_elements // max(1, tb * ns)))
+    b_pad = -(-num_b // tb) * tb
+    p_pad = -(-num_p // pc) * pc
+    n_chunks = p_pad // pc
+    n_tchunks = b_pad // tb
+
+    # --- padded inputs (target pad: rcs=0 kills contribution; pulse pad: edge
+    # replicate keeps geometry finite, rows discarded after the scan) ---
+    tgt_pos_p = _pad_axis0(tgt_pos, b_pad)
+    tgt_rcs_p = _pad_axis0(tgt_rcs, b_pad)
+    t_slow_p = _pad_axis0(t_slow, p_pad, edge=True).reshape(n_chunks, pc)
+    sat_pos_p = _pad_axis0(sat_pos, p_pad, edge=True).reshape(n_chunks, pc, 3)
+    sat_vel_p = _pad_axis0(sat_vel, p_pad, edge=True).reshape(n_chunks, pc, 3)
+
+    if opts.amplitude == "sqrt_rcs":
+        amp_b = jnp.sqrt(tgt_rcs_p)
+    else:
+        amp_b = tgt_rcs_p
+
+    t_fast_rel = jnp.asarray(fast_time_grid(opts))  # f64 (Ns,)
+    t_fast_f32 = t_fast_rel.astype(jnp.float32)
+    k_pi = jnp.float32(math.pi * opts.chirp_rate)
+    shift = jnp.float32(opts.chirp_shift)
+    half = jnp.float32(opts.half_width)
+
+    def target_block(j, carry, ts, ps, vs):
+        """Echo of target chunk j for one pulse chunk. ts:(pc,), ps/vs:(pc,3)."""
+        pos0 = jax.lax.dynamic_slice(tgt_pos_p, (j * tb, 0), (tb, 3))
+        amp0 = jax.lax.dynamic_slice(amp_b, (j * tb,), (tb,))
+
+        # ---------- float64 geometry ----------
+        p_t = pos0[None, :, :] + tgt_vel[None, None, :] * ts[:, None, None]
+        diff_tx = p_t - ps[:, None, :]                      # (pc, tb, 3)
+        d_tx = jnp.linalg.norm(diff_tx, axis=-1)            # (pc, tb)
+
+        v_norm = jnp.linalg.norm(vs, axis=-1, keepdims=True)
+        v_dir = vs / jnp.where(v_norm == 0.0, 1.0, v_norm)
+        p_rx = ps[:, None, :] + v_dir[:, None, :] * rx_offset
+        if opts.stop_and_go:
+            tau_a = 2.0 * d_tx / c
+            p_rx = p_rx + vs[:, None, :] * tau_a[:, :, None]
+        d_rx = jnp.linalg.norm(p_t - p_rx, axis=-1)
+        tau = (d_tx + d_rx) / c
+
+        carrier = _wrap_pi(-_TWO_PI * opts.fc_hz * tau).astype(jnp.float32)
+        tau_rel = (tau - t_start).astype(jnp.float32)       # (pc, tb), < ~50 us
+
+        amp = amp0[None, :]
+        if opts.antenna_length_m > 0.0:
+            look = -ps / jnp.linalg.norm(ps, axis=-1, keepdims=True)
+            cos_off = jnp.clip(
+                jnp.sum(look[:, None, :] * (diff_tx / d_tx[..., None]), axis=-1),
+                -1.0, 1.0)
+            lam = c / opts.fc_hz
+            x = (math.pi * opts.antenna_length_m / lam) * jnp.sin(jnp.arccos(cos_off))
+            sinc = jnp.where(jnp.abs(x) > 1e-6, jnp.sin(x) / jnp.where(x == 0, 1.0, x), 1.0)
+            amp = amp * (sinc ** 2)
+        amp = jnp.broadcast_to(amp, tau.shape).astype(jnp.float32)
+
+        # ---------- float32 echo accumulation ----------
+        t_local = t_fast_f32[None, None, :] - tau_rel[:, :, None]   # (pc, tb, Ns)
+        arg = t_local - shift
+        mask = jnp.abs(arg) <= half
+        phase = carrier[:, :, None] + k_pi * (arg * arg)
+        sig = jnp.where(mask, amp[:, :, None], jnp.float32(0.0)) * expj(phase)
+        return carry + jnp.sum(sig, axis=1)
+
+    def pulse_chunk(carry, xs):
+        ts, ps, vs = xs
+        acc = jnp.zeros((pc, ns), dtype=jnp.complex64)
+        acc = jax.lax.fori_loop(
+            0, n_tchunks, lambda j, a: target_block(j, a, ts, ps, vs), acc)
+        return carry, acc
+
+    _, out = jax.lax.scan(pulse_chunk, 0, (t_slow_p, sat_pos_p, sat_vel_p))
+    return out.reshape(p_pad, ns)[:num_p]
+
+
+def phase_history(trajectory, targets, opts: EchoOpts, *,
+                  t_start: float,
+                  target_velocity=(0.0, 0.0, 0.0),
+                  rx_offset: float = 0.0):
+    """Simulate one channel's raw phase history.
+
+    Parameters
+    ----------
+    trajectory: geometry.orbit.Trajectory (or any (times, positions,
+        velocities) triple of float64 arrays).
+    targets: scene.targets.PointTargets (positions (B,3), rcs (B,)).
+    t_start: receive-window opening time [s] (see ``window_start_time``).
+    target_velocity: rigid velocity of the whole target cluster [m/s].
+    rx_offset: along-track Rx phase-center offset from the Tx [m].
+
+    Returns (num_pulses, num_samples) complex64 on device.
+    """
+    t, p, v = trajectory.times, trajectory.positions, trajectory.velocities
+    return _phase_history(
+        jnp.asarray(t, jnp.float64),
+        jnp.asarray(p, jnp.float64),
+        jnp.asarray(v, jnp.float64),
+        jnp.asarray(targets.positions, jnp.float64),
+        jnp.asarray(targets.rcs, jnp.float64),
+        jnp.asarray(target_velocity, jnp.float64),
+        jnp.float64(rx_offset),
+        jnp.float64(t_start),
+        opts,
+    )
+
+
+def multi_channel_phase_history(trajectory, targets, opts: EchoOpts, *,
+                                t_start: float,
+                                rx_offsets,
+                                target_velocity=(0.0, 0.0, 0.0)):
+    """Simulate all receive channels: returns (num_channels, P, Ns) complex64.
+
+    The channel axis is a leading batch axis — shard it over the mesh 'chan'
+    axis for multichannel GMTI/HRWS collections.
+    """
+    t = jnp.asarray(trajectory.times, jnp.float64)
+    p = jnp.asarray(trajectory.positions, jnp.float64)
+    v = jnp.asarray(trajectory.velocities, jnp.float64)
+    f = jax.vmap(
+        lambda off: _phase_history(
+            t, p, v,
+            jnp.asarray(targets.positions, jnp.float64),
+            jnp.asarray(targets.rcs, jnp.float64),
+            jnp.asarray(target_velocity, jnp.float64),
+            off, jnp.float64(t_start), opts))
+    return f(jnp.asarray(rx_offsets, jnp.float64))
