@@ -1,0 +1,131 @@
+"""Chirp Scaling Algorithm (CSA) — the north-star image-formation path.
+
+Behavior of ``sar_focus_csa`` (sar_ati_dcpa_sim_csa.py:202-396): three
+pointwise phase multiplies interleaved with azimuth/range FFT passes,
+
+    az-FFT -> Phi1 (chirp scaling) -> rg-FFT -> Phi2 (range compression +
+    bulk RCMC) -> rg-IFFT -> Phi3 (azimuth compression + residual) -> az-IFFT
+
+TPU design
+----------
+* No fftshifts. The reference brackets every FFT with fftshift/ifftshift
+  pairs and applies phases on shifted grids; the pairs are exact inverse
+  permutations, so evaluating the phase functions on natural fftfreq ordering
+  gives bit-identical output while skipping four full-array rolls per image.
+* Phases are *static* per (geometry, shape): :func:`csa_phases` computes them
+  once in float64 (the azimuth-compression term 4*pi*R*D/lam is ~2e8 rad at
+  507 km — it must be wrapped mod 2pi in f64 before the complex64 cast), and
+  :func:`apply_csa` is the pure c64 FFT+multiply pipeline. Under ``vmap`` over
+  a frame batch the phase computation does not depend on the batch axis, so
+  XLA hoists it — per-frame cost is 4 FFT passes + 3 multiplies, all
+  HBM-bandwidth bound.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_TWO_PI = 2.0 * math.pi
+_C = 299792458.0
+
+
+@dataclass(frozen=True)
+class CsaParams:
+    """Static focusing parameters (hashable, jit-static)."""
+
+    wavelength_m: float
+    chirp_rate: float        # K_r [Hz/s]
+    fs_hz: float
+    prf_hz: float
+    velocity_mps: float      # effective platform velocity V_eff
+    range_ref_m: float       # reference (mid-swath) range R_ref
+    t_start_fast: float      # receive-window opening time [s]
+    num_pulses: int
+    num_samples: int
+
+
+class CsaPhases(NamedTuple):
+    phi1: jax.Array   # (n_az, n_rg) complex64 — chirp scaling
+    phi2: jax.Array   # (n_az, n_rg) complex64 — range comp + bulk RCMC
+    phi3: jax.Array   # (n_az, n_rg) complex64 — azimuth comp + residual
+
+
+def _wrap(x):
+    return x - _TWO_PI * jnp.round(x / _TWO_PI)
+
+
+def _expj64(phase64):
+    """exp(j*phase) with f64 wrap, complex64 result."""
+    w = _wrap(phase64).astype(jnp.float32)
+    return jax.lax.complex(jnp.cos(w), jnp.sin(w))
+
+
+@partial(jax.jit, static_argnames=("p",))
+def csa_phases(p: CsaParams) -> CsaPhases:
+    """All three CSA phase grids, computed in f64 and wrapped to complex64."""
+    n_az, n_rg = p.num_pulses, p.num_samples
+    lam, kr, vr, r_ref = p.wavelength_m, p.chirp_rate, p.velocity_mps, p.range_ref_m
+
+    tau = p.t_start_fast + jnp.arange(n_rg, dtype=jnp.float64) / p.fs_hz
+    fr = jnp.fft.fftfreq(n_rg, 1.0 / p.fs_hz).astype(jnp.float64)
+    fa = jnp.fft.fftfreq(n_az, 1.0 / p.prf_hz).astype(jnp.float64)
+
+    arg = 1.0 - (lam * fa / (2.0 * vr)) ** 2
+    d_fa = jnp.sqrt(jnp.where(arg < 0.0, 1e-9, arg))      # migration factor D(fa)
+    cs = 1.0 / d_fa - 1.0                                  # scaling factor Cs(fa)
+
+    # Phi1(tau, fa) = exp(-j*pi*Kr*Cs*(tau - 2*R_ref/(c*D))^2)
+    tau_ref = 2.0 * r_ref / (_C * d_fa)
+    phi1 = _expj64(-math.pi * kr * cs[:, None]
+                   * (tau[None, :] - tau_ref[:, None]) ** 2)
+
+    # Phi2(fr, fa) = exp(j*(pi*fr^2/(Kr*(1+Cs)) + 4*pi*R_ref*Cs*fr/c))
+    phi2 = _expj64(math.pi * fr[None, :] ** 2 / (kr * (1.0 + cs[:, None]))
+                   + (4.0 * math.pi / _C) * r_ref * cs[:, None] * fr[None, :])
+
+    # Phi3(tau, fa) = exp(j*(4*pi*R*D/lam - pi*Kr*Cs*(1+Cs)*(tau - 2R_ref/c)^2))
+    r_vec = _C * tau / 2.0
+    tau_diff = tau - 2.0 * r_ref / _C
+    phi3 = _expj64((4.0 * math.pi / lam) * r_vec[None, :] * d_fa[:, None]
+                   - math.pi * kr * (cs * (1.0 + cs))[:, None]
+                   * tau_diff[None, :] ** 2)
+    return CsaPhases(phi1, phi2, phi3)
+
+
+def apply_csa(phist, phases: CsaPhases):
+    """Pure complex64 CSA pipeline: (n_az, n_rg) raw -> (n_az, n_rg) SLC.
+
+    Azimuth rows of the output are in natural (ifft of unshifted) order —
+    identical ordering to the reference, whose shift pairs cancel.
+    """
+    s = jnp.fft.fft(phist, axis=-2)            # azimuth FFT -> range-Doppler
+    s = s * phases.phi1                         # chirp scaling
+    s = jnp.fft.fft(s, axis=-1)                 # range FFT -> 2D frequency
+    s = s * phases.phi2                         # range compression + bulk RCMC
+    s = jnp.fft.ifft(s, axis=-1)                # back to range-Doppler
+    s = s * phases.phi3                         # azimuth compression + residual
+    return jnp.fft.ifft(s, axis=-2)             # azimuth IFFT -> SLC
+
+
+def csa_axes(p: CsaParams):
+    """(range_axis_m, cross_range_m) matching the reference outputs
+    (sar_ati_dcpa_sim_csa.py:388-394)."""
+    import numpy as np
+    tau = p.t_start_fast + np.arange(p.num_samples) / p.fs_hz
+    r_vec = _C * tau / 2.0
+    t_slow = np.arange(p.num_pulses) / p.prf_hz
+    t_slow -= t_slow.mean()
+    return r_vec, t_slow * p.velocity_mps
+
+
+def focus_csa(phist, p: CsaParams):
+    """Convenience: phases + pipeline. Returns SLC as (n_az, n_rg); note the
+    reference returns the transpose (range, azimuth) — transpose at the
+    product/IO layer, not here, to keep the batched layout uniform."""
+    return apply_csa(phist, csa_phases(p))

@@ -1,0 +1,184 @@
+"""Golden tests: CSA / RDA / BP image formation vs the NumPy oracle, plus
+analytic point-target impulse-response checks."""
+
+import numpy as np
+import pytest
+
+import nis_sar_amtigmti_video_tpu as nst
+import oracle
+from nis_sar_amtigmti_video_tpu import config as cfg
+from nis_sar_amtigmti_video_tpu.geometry import orbit
+from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
+from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+from nis_sar_amtigmti_video_tpu.ops import rda as rda_ops
+from nis_sar_amtigmti_video_tpu.ops.echo import (EchoOpts, fast_time_grid,
+                                                 phase_history,
+                                                 window_start_time)
+from nis_sar_amtigmti_video_tpu.scene import targets as T
+from nis_sar_amtigmti_video_tpu.utils import cplx
+
+C = 299792458.0
+
+
+def db(x):
+    return 20.0 * np.log10(np.abs(x) + 1e-30)
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    """128-pulse, 512-sample satellite collect of 3 point targets."""
+    g = cfg.satellite_stripmap().geometry
+    prf = 6000.0
+    n_p = 128
+    traj = orbit.make_trajectory(g, orbit.slow_time_grid(n_p / prf, n_p))
+    tgts = T.PointTargets.concatenate([
+        T.point_target((0.0, 0.0, 0.0), 100.0),
+        T.point_target((40.0, 25.0, 0.0), 50.0),
+        T.point_target((-60.0, -35.0, 0.0), 80.0),
+    ])
+    opts = EchoOpts(fc_hz=9.65e9, chirp_rate=150e6 / 2e-6, pulse_width_s=2e-6,
+                    fs_hz=150e6, num_samples=512)
+    t0 = window_start_time(g.slant_range_m, opts, 512 / 150e6, "reference")
+    raw = cplx.to_host(phase_history(traj, tgts, opts, t_start=t0))
+    return g, traj, tgts, opts, t0, raw, prf
+
+
+class TestCSA:
+    def test_matches_oracle(self, small_scene):
+        g, traj, tgts, opts, t0, raw, prf = small_scene
+        p = csa_ops.CsaParams(
+            wavelength_m=C / opts.fc_hz, chirp_rate=opts.chirp_rate,
+            fs_hz=opts.fs_hz, prf_hz=prf,
+            velocity_mps=g.effective_velocity_mps,
+            range_ref_m=g.slant_range_m, t_start_fast=t0,
+            num_pulses=raw.shape[0], num_samples=raw.shape[1])
+        got = cplx.to_host(csa_ops.focus_csa(cplx.to_device(raw), p))
+        want_t, rax, cax = oracle.focus_csa(
+            raw, p.wavelength_m, p.chirp_rate, p.fs_hz, prf,
+            p.velocity_mps, p.range_ref_m, t0)
+        want = want_t.T  # oracle returns (range, azimuth)
+        peak = np.abs(want).max()
+        # intensity at the peaks within 0.1 dB; field RMS small
+        assert np.abs(np.abs(got) - np.abs(want)).max() / peak < 0.01
+        err = np.abs(got - want)
+        assert np.sqrt((err ** 2).mean()) / peak < 0.01
+        # axes
+        jrax, jcax = csa_ops.csa_axes(p)
+        np.testing.assert_allclose(jrax, rax, rtol=1e-12)
+        np.testing.assert_allclose(jcax, cax, rtol=1e-9, atol=1e-9)
+
+    def test_phase_matches_oracle(self, small_scene):
+        """Interferometric-grade: phase at strong pixels < 1e-3 rad off."""
+        g, traj, tgts, opts, t0, raw, prf = small_scene
+        p = csa_ops.CsaParams(
+            wavelength_m=C / opts.fc_hz, chirp_rate=opts.chirp_rate,
+            fs_hz=opts.fs_hz, prf_hz=prf,
+            velocity_mps=g.effective_velocity_mps,
+            range_ref_m=g.slant_range_m, t_start_fast=t0,
+            num_pulses=raw.shape[0], num_samples=raw.shape[1])
+        got = cplx.to_host(csa_ops.focus_csa(cplx.to_device(raw), p))
+        want = oracle.focus_csa(raw, p.wavelength_m, p.chirp_rate, p.fs_hz,
+                                prf, p.velocity_mps, p.range_ref_m, t0)[0].T
+        strong = np.abs(want) > 0.3 * np.abs(want).max()
+        dphi = np.angle(got[strong] * np.conj(want[strong]))
+        assert np.abs(dphi).max() < 2e-3
+
+    def test_point_target_focus(self, small_scene):
+        """A lone scene-center point target must focus at R0 + c*Tp/4 (the
+        reference's leading-edge chirp convention shifts the apparent range by
+        half the pulse length; CSA models a centered chirp) with ~c/2B range
+        resolution."""
+        g, traj, _, opts, t0, _, prf = small_scene
+        tgt = T.point_target((0.0, 0.0, 0.0), 100.0)
+        raw = cplx.to_host(phase_history(traj, tgt, opts, t_start=t0))
+        p = csa_ops.CsaParams(
+            wavelength_m=C / opts.fc_hz, chirp_rate=opts.chirp_rate,
+            fs_hz=opts.fs_hz, prf_hz=prf,
+            velocity_mps=g.effective_velocity_mps,
+            range_ref_m=g.slant_range_m, t_start_fast=t0,
+            num_pulses=raw.shape[0], num_samples=raw.shape[1])
+        img = np.abs(cplx.to_host(csa_ops.focus_csa(cplx.to_device(raw), p)))
+        rax, cax = csa_ops.csa_axes(p)
+        ia, ir = np.unravel_index(img.argmax(), img.shape)
+        assert abs(rax[ir] - (g.slant_range_m + C * opts.pulse_width_s / 4)) < 3.0
+        # azimuth rows are ifft-natural order: row 0 is t_slow center bin
+        # range resolution ~ c/2B = 1 m for 150 MHz chirp bandwidth:
+        bw = opts.chirp_rate * opts.pulse_width_s
+        cell = C / (2 * opts.fs_hz)
+        prof = img[ia]
+        half = prof > prof[ir] / np.sqrt(2)
+        width_m = half.sum() * cell
+        assert width_m < 3.0 * C / (2 * bw)
+
+
+class TestRDA:
+    @pytest.mark.parametrize("mode", ["exact", "fast"])
+    def test_matches_oracle(self, small_scene, mode):
+        g, traj, tgts, opts, t0, raw, prf = small_scene
+        p = rda_ops.RdaParams(
+            wavelength_m=C / opts.fc_hz, pulse_width_s=opts.pulse_width_s,
+            chirp_rate=opts.chirp_rate, fs_hz=opts.fs_hz, prf_hz=prf,
+            velocity_mps=g.effective_velocity_mps,
+            range_ref_m=g.slant_range_m,
+            num_pulses=raw.shape[0], num_samples=raw.shape[1],
+            rcmc_mode=mode)
+        prod = rda_ops.focus_rda(cplx.to_device(raw), p)
+        got_img = np.abs(cplx.to_host(prod.image))
+        want = oracle.focus_rda(
+            raw.T, p.wavelength_m, p.pulse_width_s, p.chirp_rate, p.fs_hz,
+            prf, p.velocity_mps, p.range_ref_m)
+        want_img = want[0].T  # oracle mag image is (az, rg) transposed... -> back
+        peak = want_img.max()
+        tol = 0.01 if mode == "exact" else 0.05
+        assert np.abs(got_img.T - want_img).max() / peak < tol
+        if mode == "exact":
+            # intermediates (compressed, rd_map, rd_rcmc) also match
+            np.testing.assert_allclose(
+                np.abs(cplx.to_host(prod.compressed)),
+                np.abs(want[3].T), atol=2e-3 * peak)
+            np.testing.assert_allclose(
+                np.abs(cplx.to_host(prod.rd_rcmc)),
+                np.abs(want[5].T), atol=5e-3 * np.abs(want[5]).max())
+
+
+class TestBP:
+    @pytest.mark.parametrize("precision", ["f64", "f32"])
+    def test_matches_oracle(self, precision):
+        sc = cfg.videosar()
+        g = sc.geometry
+        n_p = 96
+        traj = orbit.make_trajectory(g, orbit.slow_time_grid(n_p / 5000.0, n_p))
+        tgts = T.PointTargets.concatenate([
+            T.point_target((0.0, 0.0, 0.0), 30.0),
+            T.point_target((50.0, -80.0, 0.0), 20.0),
+        ])
+        vel = np.array([12.0, 5.0, 0.0])
+        lam = C / 9.65e9
+        opts = EchoOpts(fc_hz=9.65e9, chirp_rate=150e6 / 2e-6,
+                        pulse_width_s=2e-6, fs_hz=150e6, num_samples=600,
+                        endpoint_grid=False, chirp_centering="centered",
+                        amplitude="rcs", stop_and_go=True,
+                        antenna_length_m=lam * g.slant_range_m / 500.0)
+        t0 = window_start_time(g.slant_range_m, opts, 600 / opts.fs_hz,
+                               "centered")
+        raw = cplx.to_host(
+            phase_history(traj, tgts, opts, t_start=t0, target_velocity=vel))
+
+        p = bp_ops.BpParams(fc_hz=opts.fc_hz, chirp_rate=opts.chirp_rate,
+                            fs_hz=opts.fs_hz, pulse_width_s=opts.pulse_width_s,
+                            num_samples=600, nx=48, ny=48, scene_size_m=400.0,
+                            precision=precision)
+        got = cplx.to_host(bp_ops.focus_bp(
+            cplx.to_device(raw), traj.positions, traj.velocities, traj.times,
+            vel, t0, p))
+        want = oracle.focus_tdbp(raw, traj.positions, traj.velocities, t0,
+                                 traj.times, opts.fc_hz, opts.chirp_rate,
+                                 opts.fs_hz, opts.pulse_width_s, vel, 400.0,
+                                 nx=48, ny=48)
+        peak = np.abs(want).max()
+        tol = 1e-3 if precision == "f64" else 0.02
+        assert np.abs(got - want).max() / peak < tol
+        # mover focused with mBP: peak lands on the target start position grid
+        iy, ix = np.unravel_index(np.abs(got).argmax(), got.shape)
+        x = np.linspace(-200, 200, 48)
+        assert abs(x[ix] - 0.0) < 20 or abs(x[ix] - 50.0) < 20
