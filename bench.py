@@ -1,0 +1,129 @@
+"""Benchmark: VideoSAR CSA formation rate at 4096x4096 + GMTI latency per CPI.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N, ...}
+
+value        — frames/sec of 4096x4096 CSA image formation (the BASELINE.json
+               north-star metric), sustained over a pipelined frame stream on
+               the available device(s).
+vs_baseline  — speedup over the NumPy reference pipeline (oracle CSA measured
+               here on this host; BASELINE target is >=50x, and >=30 fps).
+
+Extra keys: gmti_latency_ms (two-channel 4096^2 CSA + ATI/DPCA/CFAR products,
+per-CPI, synchronized each call), numpy_fps, device, batch.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nis_sar_amtigmti_video_tpu import config as cfg
+    from nis_sar_amtigmti_video_tpu.gmti import ati, cfar, dpca
+    from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+
+    dev = jax.devices()[0]
+    size = int(os.environ.get("BENCH_SIZE", "4096"))
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+
+    sc = cfg.videosar()
+    g, r = sc.geometry, sc.radar
+    t0 = 2.0 * g.slant_range_m / 299792458.0 - sc.collect.window_length_s / 2
+    p = csa_ops.CsaParams(
+        wavelength_m=r.wavelength_m, chirp_rate=r.chirp_rate, fs_hz=r.fs_hz,
+        prf_hz=r.prf_hz, velocity_mps=g.effective_velocity_mps,
+        range_ref_m=g.slant_range_m, t_start_fast=t0,
+        num_pulses=size, num_samples=size)
+
+    phases = csa_ops.csa_phases(p)
+    jax.block_until_ready(phases.phi1)
+
+    @jax.jit
+    def make_frames(key):
+        return jax.lax.complex(
+            jax.random.normal(key, (batch, size, size), jnp.float32),
+            jax.random.normal(jax.random.fold_in(key, 1),
+                              (batch, size, size), jnp.float32))
+
+    @jax.jit
+    def form(x):
+        y = csa_ops.apply_csa(x, phases)
+        return y, jnp.sum(jnp.abs(y[:, 0, :2]))
+
+    frames = make_frames(jax.random.PRNGKey(0))
+    jax.block_until_ready(frames)
+
+    # warmup / compile
+    out, s = form(frames)
+    jax.block_until_ready(s)
+
+    t_start = time.perf_counter()
+    x = out
+    for _ in range(iters):
+        x, s = form(x)
+    jax.block_until_ready(s)
+    dt = time.perf_counter() - t_start
+    fps = batch * iters / dt
+
+    # ---- GMTI latency per CPI: 2-channel formation + products, synced ----
+    cfar_p = cfar.CfarParams(guard=2, train=8)
+
+    @jax.jit
+    def gmti_step(x2):
+        slc = csa_ops.apply_csa(x2, phases)
+        s1, s2 = slc[0], slc[1]
+        s2 = ati.apply_balance(s2, ati.channel_balance_phase(s1, s2))
+        phase = ati.masked_phase(s1, s2)
+        diff = dpca.dpca_difference(s1, s2)
+        det = cfar.ca_cfar(jnp.abs(diff) ** 2, cfar_p)
+        return jnp.sum(phase[:2, :2]) + jnp.sum(det.snr[:2, :2])
+
+    two = frames[:2]
+    jax.block_until_ready(gmti_step(two))
+    lat = []
+    for _ in range(5):
+        t1 = time.perf_counter()
+        jax.block_until_ready(gmti_step(two))
+        lat.append(time.perf_counter() - t1)
+    gmti_ms = 1000.0 * float(np.median(lat))
+
+    # ---- NumPy reference baseline (oracle CSA, same shape, 1 rep) ----
+    numpy_fps = None
+    if os.environ.get("BENCH_SKIP_NUMPY", "0") != "1":
+        import oracle
+        rng = np.random.default_rng(0)
+        nsz = min(size, 4096)
+        raw = (rng.standard_normal((nsz, nsz))
+               + 1j * rng.standard_normal((nsz, nsz)))
+        t2 = time.perf_counter()
+        oracle.focus_csa(raw, p.wavelength_m, p.chirp_rate, p.fs_hz, p.prf_hz,
+                         p.velocity_mps, p.range_ref_m, p.t_start_fast)
+        numpy_dt = time.perf_counter() - t2
+        numpy_fps = (1.0 / numpy_dt) * (size / nsz) ** 0  # same-size measure
+
+    result = {
+        "metric": f"videosar_csa_{size}x{size}_formation",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / numpy_fps, 2) if numpy_fps else None,
+        "gmti_latency_ms": round(gmti_ms, 2),
+        "numpy_fps": round(numpy_fps, 4) if numpy_fps else None,
+        "device": str(dev),
+        "batch": batch,
+        "iters": iters,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

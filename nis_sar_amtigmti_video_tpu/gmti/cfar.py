@@ -1,0 +1,90 @@
+"""2-D Cell-Averaging CFAR detection.
+
+The reference has no explicit detector (detection is visual, via the viewers)
+but the BASELINE north star names CFAR as a first-class GMTI stage. This is a
+standard CA-CFAR over the DPCA magnitude (or ATI-velocity-gated) map,
+TPU-shaped: the training-cell mean is two box sums computed with separable
+cumulative-sum filters — O(N) per pixel-independent, no gather loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class CfarParams:
+    guard: int = 2        # guard half-width (cells) per axis
+    train: int = 8        # training half-width beyond guard
+    pfa: float = 1e-6     # design false-alarm rate (sets the threshold factor)
+
+    @property
+    def num_train_cells(self) -> int:
+        outer = (2 * (self.guard + self.train) + 1) ** 2
+        inner = (2 * self.guard + 1) ** 2
+        return outer - inner
+
+    @property
+    def alpha(self) -> float:
+        """CA-CFAR scale: N*(Pfa^(-1/N) - 1) (exponential clutter)."""
+        n = self.num_train_cells
+        return n * (self.pfa ** (-1.0 / n) - 1.0)
+
+
+class CfarResult(NamedTuple):
+    detections: jax.Array   # bool map
+    snr: jax.Array          # cell power / local noise estimate
+    noise: jax.Array        # local noise-power estimate
+
+
+def _box_sum(x, half: int):
+    """Sum over a (2*half+1)^2 window with zero padding, via 2 cumsums."""
+    k = 2 * half + 1
+
+    def along(last_axis_x):
+        c = jnp.cumsum(last_axis_x, axis=-1)
+        pad = jnp.zeros_like(c[..., :1])
+        c = jnp.concatenate([pad, c], axis=-1)       # c[i] = sum of first i
+        n = last_axis_x.shape[-1]
+        idx_hi = jnp.clip(jnp.arange(n) + half + 1, 0, n)
+        idx_lo = jnp.clip(jnp.arange(n) - half, 0, n)
+        return c[..., idx_hi] - c[..., idx_lo]
+
+    return jnp.swapaxes(along(jnp.swapaxes(along(x), -1, -2)), -1, -2)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def ca_cfar(power, p: CfarParams) -> CfarResult:
+    """Detect cells whose power exceeds alpha * local-training-mean.
+
+    power: (..., H, W) real nonnegative (e.g. |dpca|^2).
+    Edge cells use the available (zero-padded) training cells with the count
+    corrected, so sensitivity degrades gracefully at borders.
+    """
+    g, t = p.guard, p.train
+    ones = jnp.ones_like(power)
+    outer = _box_sum(power, g + t)
+    inner = _box_sum(power, g)
+    n_outer = _box_sum(ones, g + t)
+    n_inner = _box_sum(ones, g)
+    n_train = jnp.maximum(n_outer - n_inner, 1.0)
+    noise = (outer - inner) / n_train
+    snr = power / jnp.maximum(noise, 1e-30)
+    return CfarResult(detections=snr > p.alpha, snr=snr, noise=noise)
+
+
+def detection_list(result: CfarResult, max_detections: int = 256):
+    """Top-k detections as (row, col, snr) arrays, fixed-size (padded with
+    -1 rows) so the output shape is static under jit."""
+    snr = jnp.where(result.detections, result.snr, 0.0)
+    flat = snr.ravel()
+    vals, idx = jax.lax.top_k(flat, max_detections)
+    rows, cols = jnp.unravel_index(idx, snr.shape)
+    valid = vals > 0
+    return (jnp.where(valid, rows, -1), jnp.where(valid, cols, -1),
+            jnp.where(valid, vals, 0.0))

@@ -1,0 +1,131 @@
+"""HRWS multichannel azimuth-ambiguity (Doppler) reconstruction.
+
+The reference encodes HRWS as a *system design space* — the butterfly-swath
+constellation designer (``HRWS constellation.html:257-350``) and the
+single-channel azimuth-ambiguity demo that shows ghost targets at low PRF
+(``doppler ambiguity.html:181-198,556-570``) motivating multichannel
+reconstruction. This module implements the actual signal processing those
+demos point at (Krieger/Gebert-style multichannel reconstruction):
+
+K along-track receive channels at offsets x_k sample the azimuth (Doppler)
+spectrum K times per PRI. A channel at offset x_k has its two-way phase
+center x_k/2 along track, so it sees the monostatic signal advanced by
+x_k/(2V): s_k(t) = s0(t + x_k/(2V)) (matching the bistatic echo engine's
+geometry), giving in Doppler
+
+    Y_k(f) = sum_m U(f + m*PRF) * exp(+j*pi*x_k*(f + m*PRF)/V)
+
+with m running over the M aliased Doppler bands. Per base Doppler bin this is
+a K x M linear system; solving it for all (bin, range) pairs is one batched
+``jnp.linalg.solve`` — MXU-shaped work, sharded over range bins on the mesh
+'seq' axis if desired. The unfolded spectrum spans M*PRF: an effective PRF
+multiplication that removes azimuth ghosts (tested in tests/test_hrws.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nis_sar_amtigmti_video_tpu.utils.cplx import expj
+
+
+@dataclass(frozen=True)
+class HrwsParams:
+    num_channels: int        # K receive channels
+    spacing_m: float         # along-track offset spacing between channels
+    prf_hz: float
+    velocity_mps: float      # platform (phase-center progression) velocity
+    num_bands: int = 0       # M aliased bands to unfold; 0 -> K
+
+    @property
+    def bands(self) -> int:
+        return self.num_bands or self.num_channels
+
+    def rx_offsets(self) -> np.ndarray:
+        """Channel offsets centered on the transmitter."""
+        k = self.num_channels
+        return (np.arange(k) - (k - 1) / 2.0) * self.spacing_m
+
+    @property
+    def effective_prf(self) -> float:
+        return self.bands * self.prf_hz
+
+
+def steering_matrix(p: HrwsParams, f_ext):
+    """A[..., k, m] = exp(+j*pi*x_k*f_ext[..., m]/V) for extended (unfolded)
+    Doppler frequencies f_ext (..., M)."""
+    offs = jnp.asarray(p.rx_offsets())                       # (K,)
+    phase = ((math.pi / p.velocity_mps)
+             * offs[:, None] * jnp.asarray(f_ext)[..., None, :])
+    return expj(phase.astype(jnp.float32))                   # (..., K, M)
+
+
+def _band_layout(p: HrwsParams, n_az: int):
+    """For each (base bin b, band m): the unfolded array position in natural
+    fft order of length M*n_az, and the *wrapped* continuous frequency it
+    represents on the extended +/- M*PRF/2 grid (which band covers a base bin
+    depends on the bin's sign — candidates are the extended-grid frequencies
+    congruent to f_base mod PRF)."""
+    m = p.bands
+    freq_num = np.fft.fftfreq(n_az, 1.0 / n_az).astype(np.int64)  # b or b-P
+    m_off = np.arange(m) - m // 2
+    idx = (freq_num[:, None] + m_off[None, :] * n_az) % (m * n_az)
+    f_ext = np.fft.fftfreq(m * n_az, 1.0 / (m * p.prf_hz))[idx]
+    return idx, f_ext  # both (n_az, M)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def reconstruct(raw_channels, p: HrwsParams):
+    """Unfold the aliased azimuth spectrum of a K-channel collection.
+
+    raw_channels: (K, P, Ns) complex64 — per-channel raw (or range-compressed)
+    data at the *system* PRF.
+    Returns (M*P, Ns) complex64 — the reconstructed single-channel-equivalent
+    slow-time signal at PRF_eff = M*PRF (uniform grid, natural fft order in
+    azimuth restored by the inverse FFT).
+    """
+    k, n_az, n_rg = raw_channels.shape
+    m = p.bands
+    if k < m:
+        raise ValueError(f"need >= {m} channels to unfold {m} bands, got {k}")
+
+    # per-channel azimuth spectra at the base PRF: (K, P, Ns)
+    spec = jnp.fft.fft(raw_channels, axis=1)
+
+    idx_np, f_ext = _band_layout(p, n_az)
+    a = steering_matrix(p, jnp.asarray(f_ext))                   # (P, K, M)
+
+    # batched per-bin solve: y (P, K, Ns) -> u (P, M, Ns)
+    y = jnp.transpose(spec, (1, 0, 2))
+    if k == m:
+        u = jnp.linalg.solve(a, y)
+    else:
+        # least squares via normal equations (K > M): (A^H A) u = A^H y
+        ah = jnp.conj(jnp.swapaxes(a, -1, -2))
+        u = jnp.linalg.solve(ah @ a, ah @ y)
+
+    # scatter bands into the extended spectrum (a pure permutation)
+    idx = jnp.asarray(idx_np)                                    # (P, M)
+    ext = jnp.zeros((m * n_az, n_rg), jnp.complex64)
+    ext = ext.at[idx.reshape(-1)].set(u.reshape(m * n_az, n_rg))
+    # factor 1/M keeps amplitude consistent with a true PRF_eff sampling
+    return jnp.fft.ifft(ext, axis=0) * m
+
+
+def ghost_free_prf(doppler_bandwidth_hz: float, num_channels: int) -> float:
+    """Minimum system PRF for K channels to cover a Doppler bandwidth."""
+    return doppler_bandwidth_hz / num_channels
+
+
+def dpca_condition_prf(v_platform: float, spacing_m: float) -> float:
+    """PRF at which the channel spacing is exactly the DPCA displacement
+    (uniform effective sampling): PRF = 2*V/spacing ... the matrix A becomes
+    best-conditioned near this PRF; far from it, reconstruction amplifies
+    noise (the classic HRWS non-uniform-sampling tradeoff)."""
+    return 2.0 * v_platform / spacing_m

@@ -1,0 +1,78 @@
+"""Corner turns and the sequence-parallel (distributed) CSA.
+
+SAR processing alternates between two natural layouts of a (pulses, samples)
+matrix: pulse-sharded (echo synthesis, range ops) and range-sharded (azimuth
+FFTs). The *corner turn* — an ``all_to_all`` over the mesh 'seq' axis — swaps
+them, exactly the Ulysses-style axis swap for sequence parallelism
+(SURVEY.md §5 long-context row). Azimuth FFTs then run locally on whole
+columns; no distributed FFT needed.
+
+Distributed CSA layout walk (3 corner turns):
+
+    pulses-sharded (P/n, Ns)
+      -> turn -> range-sharded (P, Ns/n):  az FFT, *Phi1 (cols sliced)
+      -> turn -> pulse-sharded (P/n, Ns):  rg FFT, *Phi2, rg IFFT, *Phi3 (rows sliced)
+      -> turn -> range-sharded (P, Ns/n):  az IFFT  -> SLC range-sharded
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nis_sar_amtigmti_video_tpu.ops.csa import CsaPhases
+
+
+def corner_turn_local(x, axis_name: str, *, to_range_sharded: bool):
+    """Inside shard_map: swap which of the last two dims is sharded.
+
+    to_range_sharded=True : local (P/n, Ns)  -> local (P, Ns/n)
+    to_range_sharded=False: local (P, Ns/n)  -> local (P/n, Ns)
+    Batch dims (leading) pass through.
+    """
+    nd = x.ndim
+    if to_range_sharded:
+        split, concat = nd - 1, nd - 2
+    else:
+        split, concat = nd - 2, nd - 1
+    return jax.lax.all_to_all(x, axis_name, split_axis=split,
+                              concat_axis=concat, tiled=True)
+
+
+def csa_local(phist_local, phi1_cols, phi2_rows, phi3_rows, axis_name: str):
+    """Per-device body of the distributed CSA (see module docstring).
+
+    phist_local: (..., P/n, Ns) — pulse-sharded raw data
+    phi1_cols:   (P, Ns/n)      — Phi1 sliced along range
+    phi2_rows, phi3_rows: (P/n, Ns) — Phi2/Phi3 sliced along azimuth
+    Returns (..., P, Ns/n) — range-sharded SLC.
+    """
+    s = corner_turn_local(phist_local, axis_name, to_range_sharded=True)
+    s = jnp.fft.fft(s, axis=-2) * phi1_cols
+    s = corner_turn_local(s, axis_name, to_range_sharded=False)
+    s = jnp.fft.fft(s, axis=-1) * phi2_rows
+    s = jnp.fft.ifft(s, axis=-1) * phi3_rows
+    s = corner_turn_local(s, axis_name, to_range_sharded=True)
+    return jnp.fft.ifft(s, axis=-2)
+
+
+def csa_sharded(phist, phases: CsaPhases, mesh: Mesh, axis: str = "seq"):
+    """Sequence-parallel CSA: raw (..., P, Ns) sharded on the pulse axis over
+    ``axis``; returns SLC (..., P, Ns) sharded on the range axis.
+
+    P and Ns must both divide by the axis size. Phases are sliced to each
+    device by shard_map's in_specs — no replication of the phase grids.
+    """
+    nbatch = phist.ndim - 2
+    lead = [None] * nbatch
+    body = partial(csa_local, axis_name=axis)
+    spec_pulse = P(*lead, axis, None)
+    spec_range = P(*lead, None, axis)
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_pulse, P(None, axis), P(axis, None), P(axis, None)),
+        out_specs=spec_range)
+    return f(phist, phases.phi1, phases.phi2, phases.phi3)

@@ -1,0 +1,133 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: sharded runs must
+equal single-device runs (the framework's substitute for cluster tests)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import nis_sar_amtigmti_video_tpu as nst
+from nis_sar_amtigmti_video_tpu import config as cfg
+from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+from nis_sar_amtigmti_video_tpu.parallel import corner_turn, mesh as mesh_mod
+from nis_sar_amtigmti_video_tpu.utils import cplx
+
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+class TestMeshShapes:
+    def test_pick_shape(self):
+        assert mesh_mod.pick_mesh_shape(8, 2) == (2, 2, 2)
+        assert mesh_mod.pick_mesh_shape(4, 2) == (2, 2, 1)
+        assert mesh_mod.pick_mesh_shape(2, 2) == (1, 2, 1)
+        assert mesh_mod.pick_mesh_shape(1, 2) == (1, 1, 1)
+        assert mesh_mod.pick_mesh_shape(8, 1) == (4, 1, 2)
+        for n, c in [(8, 2), (4, 2), (16, 2), (8, 4)]:
+            assert np.prod(mesh_mod.pick_mesh_shape(n, c)) == n
+
+    @needs_8
+    def test_make_mesh(self):
+        m = mesh_mod.make_mesh((2, 2, 2))
+        assert m.axis_names == ("data", "chan", "seq")
+        assert m.devices.shape == (2, 2, 2)
+
+
+@needs_8
+class TestCornerTurn:
+    def test_round_trip_identity(self):
+        m = mesh_mod.make_mesh((1, 1, 8))
+        x = jax.random.normal(jax.random.PRNGKey(0), (32, 64))
+
+        def body(xl):
+            y = corner_turn.corner_turn_local(xl, "seq", to_range_sharded=True)
+            return corner_turn.corner_turn_local(y, "seq", to_range_sharded=False)
+
+        f = jax.shard_map(body, mesh=m, in_specs=P("seq", None),
+                          out_specs=P("seq", None))
+        np.testing.assert_allclose(np.asarray(f(x)), np.asarray(x))
+
+    def test_turn_moves_shard_axis(self):
+        m = mesh_mod.make_mesh((1, 1, 8))
+        x = jnp.arange(32 * 64, dtype=jnp.float32).reshape(32, 64)
+
+        def body(xl):
+            return corner_turn.corner_turn_local(xl, "seq",
+                                                 to_range_sharded=True)
+
+        f = jax.shard_map(body, mesh=m, in_specs=P("seq", None),
+                          out_specs=P(None, "seq"))
+        np.testing.assert_allclose(np.asarray(f(x)), np.asarray(x))
+
+
+@needs_8
+class TestDistributedCsa:
+    def _phases_and_raw(self, n_az=64, n_rg=128):
+        sc = cfg.ati_dpca()
+        p = csa_ops.CsaParams(
+            wavelength_m=sc.radar.wavelength_m, chirp_rate=150e6 / 2e-6,
+            fs_hz=150e6, prf_hz=6000.0,
+            velocity_mps=sc.geometry.effective_velocity_mps,
+            range_ref_m=sc.geometry.slant_range_m,
+            t_start_fast=2 * sc.geometry.slant_range_m / 299792458.0,
+            num_pulses=n_az, num_samples=n_rg)
+        key = jax.random.PRNGKey(3)
+        raw = jax.lax.complex(
+            jax.random.normal(key, (n_az, n_rg), jnp.float32),
+            jax.random.normal(jax.random.fold_in(key, 1), (n_az, n_rg),
+                              jnp.float32))
+        return p, raw
+
+    def test_matches_single_device(self):
+        p, raw = self._phases_and_raw()
+        phases = csa_ops.csa_phases(p)
+        want = cplx.to_host(csa_ops.apply_csa(raw, phases))
+
+        m = mesh_mod.make_mesh((1, 1, 8))
+        raw_sh = jax.device_put(raw, NamedSharding(m, P(None, None)))
+        got = cplx.to_host(corner_turn.csa_sharded(raw_sh, phases, m))
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-4 * np.abs(want).max())
+
+    def test_batched_frames(self):
+        p, raw = self._phases_and_raw()
+        phases = csa_ops.csa_phases(p)
+        frames = jnp.stack([raw, raw * 2.0, raw * (0.5 + 1.0j), raw - 1.0])
+        want = cplx.to_host(csa_ops.apply_csa(frames, phases))
+
+        m = mesh_mod.make_mesh((4, 1, 2))
+        fr_sh = jax.device_put(frames, NamedSharding(m, P("data", None, None)))
+        got = cplx.to_host(corner_turn.csa_sharded(fr_sh, phases, m))
+        np.testing.assert_allclose(got, want, rtol=0,
+                                   atol=2e-4 * np.abs(want).max())
+
+
+@needs_8
+class TestDataParallelFormation:
+    def test_sharded_equals_local(self):
+        """Frame-batched CSA under jit with frames sharded over 'data' must
+        be identical to the unsharded run."""
+        sc = cfg.ati_dpca()
+        p = csa_ops.CsaParams(
+            wavelength_m=sc.radar.wavelength_m, chirp_rate=150e6 / 2e-6,
+            fs_hz=150e6, prf_hz=6000.0,
+            velocity_mps=sc.geometry.effective_velocity_mps,
+            range_ref_m=sc.geometry.slant_range_m,
+            t_start_fast=2 * sc.geometry.slant_range_m / 299792458.0,
+            num_pulses=32, num_samples=64)
+        key = jax.random.PRNGKey(5)
+        frames = jax.lax.complex(
+            jax.random.normal(key, (8, 32, 64), jnp.float32),
+            jax.random.normal(jax.random.fold_in(key, 1), (8, 32, 64),
+                              jnp.float32))
+        phases = csa_ops.csa_phases(p)
+        want = cplx.to_host(csa_ops.apply_csa(frames, phases))
+
+        m = mesh_mod.make_mesh((8, 1, 1))
+        sh = mesh_mod.frame_sharding(m)
+        f = jax.jit(lambda x: csa_ops.apply_csa(x, phases),
+                    in_shardings=sh, out_shardings=sh)
+        got = cplx.to_host(f(jax.device_put(frames, sh)))
+        np.testing.assert_allclose(got, want, rtol=0,
+                                   atol=1e-5 * np.abs(want).max())
