@@ -1,0 +1,290 @@
+"""Command-line interface: one runner for every reference script's workflow.
+
+The reference is driven by executing individual scripts (sar_satellite_sim.py,
+sar_vehicle_sim.py, sar_ati_dcpa_sim_csa.py, sar_satellite_moving_sim.py,
+sar_batch_sim.py, view_targets.py); this CLI reproduces each as a subcommand
+writing the same product files, plus the mission-analysis tools:
+
+    python -m nis_sar_amtigmti_video_tpu stripmap   [--small] [--out DIR]
+    python -m nis_sar_amtigmti_video_tpu vehicle    [--small]
+    python -m nis_sar_amtigmti_video_tpu moving     [--small]
+    python -m nis_sar_amtigmti_video_tpu ati-dpca   [--small] [--clutter N]
+    python -m nis_sar_amtigmti_video_tpu videosar   [--small] [--algo mbp|stdbp|csa]
+    python -m nis_sar_amtigmti_video_tpu targets
+    python -m nis_sar_amtigmti_video_tpu coverage   [--sats N] [--mode spotlight|hrws]
+    python -m nis_sar_amtigmti_video_tpu timing     [--prf-min ..] [--prf-max ..]
+    python -m nis_sar_amtigmti_video_tpu budget     [--preset NAME]
+
+``--small`` shrinks waveform/aperture for quick checks on any host; full-size
+runs match the reference's exact constants.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _small_radar(sc, n_pulses=256, n_samples=768):
+    return sc.replace(
+        radar=dataclasses.replace(sc.radar, bandwidth_hz=300e6,
+                                  pulse_width_s=2e-6, fs_hz=150e6),
+        collect=dataclasses.replace(sc.collect,
+                                    integration_time_s=n_pulses / sc.radar.prf_hz,
+                                    window_length_s=n_samples / 150e6))
+
+
+def cmd_stripmap(args):
+    import jax
+    from nis_sar_amtigmti_video_tpu import config as cfg
+    from nis_sar_amtigmti_video_tpu.io import products
+    from nis_sar_amtigmti_video_tpu.models import stripmap
+    from nis_sar_amtigmti_video_tpu.scene import targets as T
+    from nis_sar_amtigmti_video_tpu.viz import render
+
+    sc = cfg.satellite_stripmap()
+    if args.small:
+        sc = _small_radar(sc)
+    tgt = T.destroyer().rotate_z(90.0)
+    key = jax.random.PRNGKey(args.seed) if not args.no_noise else None
+    t0 = time.time()
+    prod = stripmap.run(sc, tgt, key=key, avg_rcs=50000.0)
+    out = os.path.join(args.out, "sar_satellite_data.npz")
+    products.write_satellite_products(out, prod, sc)
+    png = render.save_pipeline_steps(
+        os.path.join(args.out, "satellite_pipeline.png"), prod, sc)
+    print(f"stripmap: {prod.raw.shape} raw -> image in {time.time()-t0:.1f}s")
+    print(f"  wrote {out}\n  wrote {png}")
+
+
+def cmd_vehicle(args):
+    import jax
+    from nis_sar_amtigmti_video_tpu import config as cfg
+    from nis_sar_amtigmti_video_tpu.io import products
+    from nis_sar_amtigmti_video_tpu.models import stripmap
+    from nis_sar_amtigmti_video_tpu.scene import targets as T
+    from nis_sar_amtigmti_video_tpu.viz import render
+
+    sc = cfg.airborne_vehicle()
+    if args.small:
+        sc = sc.replace(collect=dataclasses.replace(
+            sc.collect, integration_time_s=2048 / sc.radar.prf_hz))
+    key = jax.random.PRNGKey(args.seed) if not args.no_noise else None
+    prod = stripmap.run(sc, T.destroyer(), key=key, avg_rcs=50000.0)
+    out = os.path.join(args.out, "sar_simulation_data.npz")
+    products.write_vehicle_products(out, prod, sc)
+    render.save_pipeline_steps(
+        os.path.join(args.out, "vehicle_pipeline.png"), prod, sc)
+    print(f"vehicle: image {prod.image.shape}; wrote {out}")
+
+
+def cmd_moving(args):
+    import jax
+    from nis_sar_amtigmti_video_tpu import config as cfg
+    from nis_sar_amtigmti_video_tpu.io import products
+    from nis_sar_amtigmti_video_tpu.models import stripmap
+    from nis_sar_amtigmti_video_tpu.scene import targets as T
+
+    sc = cfg.satellite_moving()
+    if args.small:
+        sc = _small_radar(sc)
+    base = T.destroyer()
+    speed = 15.0
+    scenarios = [("stationary", 0.0, 0.0), ("moving_0deg", 0.0, speed),
+                 ("moving_45deg", 45.0, speed), ("moving_90deg", 90.0, speed),
+                 ("moving_135deg", 135.0, speed)]
+    for name, ang, spd in scenarios:
+        tgt = base.rotate_z(ang)
+        phi = np.radians(ang)
+        vel = (spd * np.cos(phi), spd * np.sin(phi), 0.0)
+        key = jax.random.PRNGKey(args.seed) if not args.no_noise else None
+        prod = stripmap.run(sc, tgt, target_velocity=vel, key=key,
+                            avg_rcs=50000.0)
+        out = os.path.join(args.out, f"sar_satellite_moving_scen_{name}.npz")
+        products.write_moving_scenario(out, prod, sc, scen_name=name,
+                                       ship_speed=spd, ship_heading=ang,
+                                       ship_vel=vel)
+        print(f"moving[{name}]: wrote {out}")
+
+
+def cmd_ati_dpca(args):
+    from nis_sar_amtigmti_video_tpu import config as cfg
+    from nis_sar_amtigmti_video_tpu.io import products
+    from nis_sar_amtigmti_video_tpu.models import gmti as gmti_model
+    from nis_sar_amtigmti_video_tpu.scene import targets as T
+    from nis_sar_amtigmti_video_tpu.scene.clutter import ocean_clutter_field
+    from nis_sar_amtigmti_video_tpu.viz import render
+
+    sc = cfg.ati_dpca()
+    if args.small:
+        sc = _small_radar(sc)
+    rng = np.random.default_rng(args.seed)
+    ship = T.destroyer()
+    clut = (ocean_clutter_field(rng, num_points=args.clutter)
+            if args.clutter > 0 else None)
+    t0 = time.time()
+    prod = gmti_model.run(sc, ship, (15.0, 0.0, 0.0), clut)
+    out = os.path.join(args.out, "sar_ati_dpca_data_csa.npz")
+    products.write_ati_dpca_products(out, prod)
+    png = render.save_gmti_panel(os.path.join(args.out, "gmti_panel.png"),
+                                 prod)
+    from nis_sar_amtigmti_video_tpu.utils import cplx
+    ratio = float(np.asarray(cplx.to_host(prod.cancellation_ratio)))
+    print(f"ati-dpca: {time.time()-t0:.1f}s, cancellation "
+          f"{20*np.log10(ratio+1e-30):.1f} dB, v_amb {prod.v_amb:.2f} m/s")
+    print(f"  wrote {out}\n  wrote {png}")
+
+
+def cmd_videosar(args):
+    import jax
+    from nis_sar_amtigmti_video_tpu import config as cfg
+    from nis_sar_amtigmti_video_tpu.io import products
+    from nis_sar_amtigmti_video_tpu.models import videosar
+    from nis_sar_amtigmti_video_tpu.scene import targets as T
+    from nis_sar_amtigmti_video_tpu.viz import render
+
+    sc = cfg.videosar()
+    if args.small:
+        sc = sc.replace(
+            radar=dataclasses.replace(sc.radar, bandwidth_hz=300e6,
+                                      pulse_width_s=2e-6, fs_hz=150e6,
+                                      prf_hz=1000.0),
+            collect=dataclasses.replace(sc.collect,
+                                        window_length_s=512 / 150e6),
+            processing=dataclasses.replace(sc.processing, bp_grid=128,
+                                           bp_scene_size_m=500.0),
+            video=cfg.VideoConfig(duration_s=2.0, fps=5.0, cpi_s=0.4))
+    key = jax.random.PRNGKey(args.seed) if not args.no_noise else None
+    t0 = time.time()
+    out = videosar.run(sc, T.destroyer(), heading_deg=args.heading,
+                       speed_mps=args.speed, algorithm=args.algo,
+                       frames_per_batch=args.frames_per_batch, key=key,
+                       avg_rcs=5000.0, num_frames=args.frames or None)
+    n = out.images.shape[0]
+    run_id = f"Destroyer_{int(args.speed)}_{int(args.heading)}_{args.algo}"
+    frame_dir = os.path.join(args.out, f"frames_{run_id}")
+    products.write_video_frames(frame_dir, out.images)
+    gif = render.save_gif(os.path.join(args.out, f"{run_id}.gif"), out.images,
+                          fps=sc.video.fps)
+    dt = time.time() - t0
+    print(f"videosar: {n} frames in {dt:.1f}s ({n/dt:.2f} fps end-to-end)")
+    print(f"  wrote {frame_dir}/ and {gif}")
+
+
+def cmd_targets(args):
+    from nis_sar_amtigmti_video_tpu.viz import render
+    png = render.save_targets_preview(
+        os.path.join(args.out, "targets_preview.png"))
+    print(f"targets: wrote {png}")
+
+
+def cmd_coverage(args):
+    from nis_sar_amtigmti_video_tpu.mission import coverage
+    cfg_ = coverage.ConstellationConfig(num_sats=args.sats,
+                                        altitude_m=args.alt_km * 1e3)
+    stats = coverage.analyze(cfg_, duration_s=args.duration,
+                             dt_s=args.dt, mode=args.mode)
+    print(json.dumps({
+        "num_sats": args.sats, "mode": args.mode,
+        "coverage_pct": round(100 * stats.coverage_fraction, 1),
+        "mean_revisit_min": round(stats.mean_revisit_s / 60, 1),
+        "max_revisit_min": round(stats.max_revisit_s / 60, 1),
+        "mean_access_s": round(stats.mean_access_s, 1),
+        "num_accesses": stats.num_accesses}))
+
+
+def cmd_timing(args):
+    from nis_sar_amtigmti_video_tpu import config as cfg
+    from nis_sar_amtigmti_video_tpu.mission import timing
+    geom = cfg.satellite_stripmap().geometry
+    sw = timing.swath_from_geometry(geom, args.beamwidth)
+    prfs, clear = timing.valid_prfs(sw, args.pulse_us * 1e-6, args.prf_min,
+                                    args.prf_max, altitude_m=geom.altitude_m)
+    # report clear PRF bands
+    bands = []
+    in_band = None
+    for p, c in zip(prfs, clear):
+        if c and in_band is None:
+            in_band = p
+        elif not c and in_band is not None:
+            bands.append((in_band, p))
+            in_band = None
+    if in_band is not None:
+        bands.append((in_band, prfs[-1]))
+    print(json.dumps({
+        "swath_near_km": round(sw.r_near_m / 1e3, 1),
+        "swath_far_km": round(sw.r_far_m / 1e3, 1),
+        "clear_fraction": round(float(clear.mean()), 3),
+        "clear_prf_bands_hz": [[round(a), round(b)] for a, b in bands[:12]]}))
+
+
+def cmd_budget(args):
+    from nis_sar_amtigmti_video_tpu import config as cfg
+    from nis_sar_amtigmti_video_tpu.utils import metrics
+    preset = getattr(cfg, args.preset)()
+    print(json.dumps(metrics.radar_budget_report(preset), indent=2))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="nis_sar_amtigmti_video_tpu",
+                                 description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--out", default=".", help="output directory")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--small", action="store_true",
+                    help="reduced waveform/aperture for quick runs")
+    ap.add_argument("--no-noise", action="store_true")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("stripmap").set_defaults(fn=cmd_stripmap)
+    sub.add_parser("vehicle").set_defaults(fn=cmd_vehicle)
+    sub.add_parser("moving").set_defaults(fn=cmd_moving)
+
+    p = sub.add_parser("ati-dpca")
+    p.add_argument("--clutter", type=int, default=500)
+    p.set_defaults(fn=cmd_ati_dpca)
+
+    p = sub.add_parser("videosar")
+    p.add_argument("--algo", default="mbp", choices=["mbp", "stdbp", "csa"])
+    p.add_argument("--heading", type=float, default=0.0)
+    p.add_argument("--speed", type=float, default=15.0)
+    p.add_argument("--frames", type=int, default=0)
+    p.add_argument("--frames-per-batch", type=int, default=4)
+    p.set_defaults(fn=cmd_videosar)
+
+    sub.add_parser("targets").set_defaults(fn=cmd_targets)
+
+    p = sub.add_parser("coverage")
+    p.add_argument("--sats", type=int, default=24)
+    p.add_argument("--alt-km", type=float, default=500.0)
+    p.add_argument("--duration", type=float, default=6000.0)
+    p.add_argument("--dt", type=float, default=10.0)
+    p.add_argument("--mode", default="spotlight", choices=["spotlight", "hrws"])
+    p.set_defaults(fn=cmd_coverage)
+
+    p = sub.add_parser("timing")
+    p.add_argument("--beamwidth", type=float, default=2.0)
+    p.add_argument("--pulse-us", type=float, default=20.0)
+    p.add_argument("--prf-min", type=float, default=1000.0)
+    p.add_argument("--prf-max", type=float, default=8000.0)
+    p.set_defaults(fn=cmd_timing)
+
+    p = sub.add_parser("budget")
+    p.add_argument("--preset", default="satellite_stripmap",
+                   choices=["satellite_stripmap", "satellite_moving",
+                            "ati_dpca", "airborne_vehicle", "videosar"])
+    p.set_defaults(fn=cmd_budget)
+
+    args = ap.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

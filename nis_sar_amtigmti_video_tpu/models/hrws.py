@@ -101,14 +101,17 @@ def reconstruct(raw_channels, p: HrwsParams):
     idx_np, f_ext = _band_layout(p, n_az)
     a = steering_matrix(p, jnp.asarray(f_ext))                   # (P, K, M)
 
-    # batched per-bin solve: y (P, K, Ns) -> u (P, M, Ns)
+    # batched per-bin solve: y (P, K, Ns) -> u (P, M, Ns), via diagonally
+    # loaded normal equations: near the degenerate spacing (spacing*PRF/(2V)
+    # integer — channels sampling coincident effective positions) the plain
+    # solve blows up to NaN; Tikhonov loading keeps it finite (noise
+    # amplification is then the caller's diagnostic via condition_numbers).
     y = jnp.transpose(spec, (1, 0, 2))
-    if k == m:
-        u = jnp.linalg.solve(a, y)
-    else:
-        # least squares via normal equations (K > M): (A^H A) u = A^H y
-        ah = jnp.conj(jnp.swapaxes(a, -1, -2))
-        u = jnp.linalg.solve(ah @ a, ah @ y)
+    ah = jnp.conj(jnp.swapaxes(a, -1, -2))
+    gram = ah @ a
+    eps = 1e-6 * jnp.mean(jnp.abs(jnp.diagonal(gram, axis1=-2, axis2=-1)))
+    gram = gram + eps * jnp.eye(m, dtype=gram.dtype)
+    u = jnp.linalg.solve(gram, ah @ y)
 
     # scatter bands into the extended spectrum (a pure permutation)
     idx = jnp.asarray(idx_np)                                    # (P, M)
@@ -123,9 +126,33 @@ def ghost_free_prf(doppler_bandwidth_hz: float, num_channels: int) -> float:
     return doppler_bandwidth_hz / num_channels
 
 
+def uniform_sampling_prf(v_platform: float, spacing_m: float,
+                         num_channels: int) -> float:
+    """PRF at which the K channels' effective phase centers sample slow time
+    uniformly at K*PRF (best-conditioned reconstruction):
+    spacing/(2V) = 1/(K*PRF)  =>  PRF = 2V/(K*spacing)."""
+    return 2.0 * v_platform / (num_channels * spacing_m)
+
+
+def uniform_sampling_spacing(v_platform: float, prf_hz: float,
+                             num_channels: int) -> float:
+    """Channel spacing for uniform effective sampling at this PRF."""
+    return 2.0 * v_platform / (num_channels * prf_hz)
+
+
 def dpca_condition_prf(v_platform: float, spacing_m: float) -> float:
-    """PRF at which the channel spacing is exactly the DPCA displacement
-    (uniform effective sampling): PRF = 2*V/spacing ... the matrix A becomes
-    best-conditioned near this PRF; far from it, reconstruction amplifies
-    noise (the classic HRWS non-uniform-sampling tradeoff)."""
+    """PRF at which adjacent channels' effective phase centers *coincide*
+    after one PRI (spacing = 2V/PRF) — ideal for DPCA clutter cancellation
+    but DEGENERATE for HRWS reconstruction (singular steering matrix): keep
+    the operating PRF away from this point when unfolding."""
     return 2.0 * v_platform / spacing_m
+
+
+def condition_numbers(p: HrwsParams, n_az: int):
+    """Per-Doppler-bin condition number of the steering matrix — the noise
+    amplification diagnostic of the non-uniform-sampling tradeoff."""
+    import numpy as np
+    _, f_ext = _band_layout(p, n_az)
+    from nis_sar_amtigmti_video_tpu.utils import cplx
+    a = cplx.to_host(steering_matrix(p, jnp.asarray(f_ext)))
+    return np.linalg.cond(a)
