@@ -111,15 +111,34 @@ def write_moving_scenario(path: str, prod, sc: ScenarioConfig, *,
     )
 
 
-def write_video_frames(out_dir: str, frames, prefix: str = "frame"):
+def write_video_frames(out_dir: str, frames, prefix: str = "frame",
+                       async_spill: bool = False, spiller=None):
     """Per-frame .npy stack (sar_batch_sim.py:328) — the resume checkpoint:
-    a crashed/preempted run re-forms only the missing frames."""
+    a crashed/preempted run re-forms only the missing frames.
+
+    ``async_spill=True`` hands serialization to the native C++ thread pool
+    (nis_sar_amtigmti_video_tpu.native.FrameSpiller) so the device loop never
+    blocks on disk; pass an existing ``spiller`` to share one pool across
+    batches (caller waits/validates with spiller.wait()/spiller.errors).
+    """
     os.makedirs(out_dir, exist_ok=True)
     paths = []
+    own = None
+    if async_spill and spiller is None:
+        from nis_sar_amtigmti_video_tpu import native
+        own = spiller = native.FrameSpiller()
     for i in range(frames.shape[0]):
         pth = os.path.join(out_dir, f"{prefix}_{i:03d}.npy")
-        np.save(pth, frames[i])
+        if spiller is not None:
+            spiller.submit(pth, frames[i])
+        else:
+            np.save(pth, frames[i])
         paths.append(pth)
+    if own is not None:
+        own.wait()
+        if own.errors:
+            raise IOError(f"frame spiller reported {own.errors} write errors")
+        own.close()
     return paths
 
 

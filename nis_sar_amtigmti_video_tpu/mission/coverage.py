@@ -150,29 +150,22 @@ def access_matrix(cfg: ConstellationConfig, t, lat_deg: float, lon_deg: float,
 
 
 def coverage_stats(valid: np.ndarray, dt_s: float) -> CoverageStats:
-    """Revisit/access statistics from a (T, N) validity matrix."""
+    """Revisit/access statistics from a (T, N) validity matrix.
+
+    The run-length reduction runs in the native C++ tier when available
+    (distributed-spotlight analyses are thousands of sats x 1e5+ steps)."""
+    from nis_sar_amtigmti_video_tpu import native
+
     valid = np.asarray(valid)
     active = valid.sum(axis=1)
     covered = active > 0
-    frac = float(covered.mean())
-
-    # run-length encode gaps and accesses
-    gaps, accesses = [], []
-    run, state = 0, covered[0]
-    for c in covered:
-        if c == state:
-            run += 1
-        else:
-            (accesses if state else gaps).append(run * dt_s)
-            run, state = 1, c
-    (accesses if state else gaps).append(run * dt_s)
-
+    frac, mean_gap, max_gap, mean_acc, n_acc, _ = native.rle_stats(covered, dt_s)
     return CoverageStats(
-        coverage_fraction=frac,
-        mean_revisit_s=float(np.mean(gaps)) if gaps else 0.0,
-        max_revisit_s=float(np.max(gaps)) if gaps else 0.0,
-        mean_access_s=float(np.mean(accesses)) if accesses else 0.0,
-        num_accesses=len(accesses),
+        coverage_fraction=float(frac),
+        mean_revisit_s=float(mean_gap),
+        max_revisit_s=float(max_gap),
+        mean_access_s=float(mean_acc),
+        num_accesses=int(n_acc),
         active_counts=active)
 
 
