@@ -35,6 +35,7 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", "4096"))
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
+    fft_impl = os.environ.get("BENCH_FFT", "mxu")   # profiled fastest on v5e
 
     sc = cfg.videosar()
     g, r = sc.geometry, sc.radar
@@ -45,8 +46,7 @@ def main():
         range_ref_m=g.slant_range_m, t_start_fast=t0,
         num_pulses=size, num_samples=size)
 
-    phases = csa_ops.csa_phases(p)
-    jax.block_until_ready(phases.phi1)
+    phases = csa_ops.csa_factors(p)   # fused grid-free path (ops/csa.py)
 
     @jax.jit
     def make_frames(key):
@@ -60,7 +60,7 @@ def main():
     # requires a device->host copy that the axon TPU runtime cannot do.
     @jax.jit
     def form(x, ph):
-        y = csa_ops.apply_csa(x, ph)
+        y = csa_ops.apply_csa_fused(x, ph, fft_impl)
         return y, jnp.sum(jnp.abs(y[:, 0, :2]))
 
     frames = make_frames(jax.random.PRNGKey(0))
@@ -84,7 +84,7 @@ def main():
 
     @jax.jit
     def gmti_step(x2, ph):
-        slc = csa_ops.apply_csa(x2, ph)
+        slc = csa_ops.apply_csa_fused(x2, ph, fft_impl)
         s1, s2 = slc[0], slc[1]
         s2 = ati.apply_balance(s2, ati.channel_balance_phase(s1, s2))
         phase = ati.masked_phase(s1, s2)

@@ -76,11 +76,14 @@ def form_frames_bp(raw_frames, pos_frames, vel_frames, t_frames, vel_focus,
     return f(rc, pos_frames, vel_frames, t_frames)
 
 
-def form_frames_csa(raw_frames, p: csa_ops.CsaParams):
+def form_frames_csa(raw_frames, p: csa_ops.CsaParams, fused: bool = True,
+                    fft_impl: str = "xla"):
     """Vmapped CSA formation: (F, cpi, Ns) -> (F, cpi, Ns) SLC frames. The
-    phase grids do not depend on the frame axis, so XLA hoists them."""
-    phases = csa_ops.csa_phases(p)
-    return csa_ops.apply_csa(raw_frames, phases)
+    phase factors do not depend on the frame axis, so XLA hoists them."""
+    if fused:
+        return csa_ops.apply_csa_fused(raw_frames, csa_ops.csa_factors(p),
+                                       fft_impl)
+    return csa_ops.apply_csa(raw_frames, csa_ops.csa_phases(p), fft_impl)
 
 
 def simulate_cpi(sc: ScenarioConfig, targets: PointTargets, traj_slice,
@@ -162,7 +165,9 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
                 velocity_mps=g.effective_velocity_mps,
                 range_ref_m=g.slant_range_m, t_start_fast=t0,
                 num_pulses=sched.cpi_pulses, num_samples=opts.num_samples)
-            img_b = form_frames_csa(raw_b, p_csa)
+            img_b = form_frames_csa(raw_b, p_csa,
+                                    fused=sc.processing.csa_fused,
+                                    fft_impl=sc.processing.fft_impl)
         else:
             raise ValueError(f"unknown algorithm {algorithm!r}")
         images.append(cplx.to_host(img_b))

@@ -98,19 +98,104 @@ def csa_phases(p: CsaParams) -> CsaPhases:
     return CsaPhases(phi1, phi2, phi3)
 
 
-def apply_csa(phist, phases: CsaPhases):
+def apply_csa(phist, phases: CsaPhases, fft_impl: str = "xla"):
     """Pure complex64 CSA pipeline: (n_az, n_rg) raw -> (n_az, n_rg) SLC.
 
     Azimuth rows of the output are in natural (ifft of unshifted) order —
     identical ordering to the reference, whose shift pairs cancel.
+    ``fft_impl='mxu'`` uses the matmul FFT (ops/fft.py).
     """
-    s = jnp.fft.fft(phist, axis=-2)            # azimuth FFT -> range-Doppler
+    from nis_sar_amtigmti_video_tpu.ops.fft import get_impl
+    fft, ifft = get_impl(fft_impl)
+    s = fft(phist, axis=-2)                     # azimuth FFT -> range-Doppler
     s = s * phases.phi1                         # chirp scaling
-    s = jnp.fft.fft(s, axis=-1)                 # range FFT -> 2D frequency
+    s = fft(s, axis=-1)                         # range FFT -> 2D frequency
     s = s * phases.phi2                         # range compression + bulk RCMC
-    s = jnp.fft.ifft(s, axis=-1)                # back to range-Doppler
+    s = ifft(s, axis=-1)                        # back to range-Doppler
     s = s * phases.phi3                         # azimuth compression + residual
-    return jnp.fft.ifft(s, axis=-2)             # azimuth IFFT -> SLC
+    return ifft(s, axis=-2)                     # azimuth IFFT -> SLC
+
+
+class CsaFactors(NamedTuple):
+    """Decomposed 1-D phase factors for the fused (grid-free) CSA path.
+
+    Every 2-D phase is written as  phase(a, r) = row(a) + col(r) + small
+    separable terms, where 'row'/'col' are wrapped mod 2pi in f64 at setup
+    and every cross term is bounded to a few thousand rad — safely inside
+    f32. The fused pipeline then computes exp(j*phase) inline, so each phase
+    stage reads only the data array (no 2-D phase-grid traffic).
+
+    Phi1 = c1(a) * (u(r) - w(a))^2          u = tau - 2R_ref/c (small)
+         = c1*u^2 - 2*c1*w*u + c1*w^2       c1 = -pi*Kr*Cs(a), w = (2R_ref/c)*Cs(a)
+    Phi2 = alpha(a)*fr^2 + beta(a)*fr       alpha = pi/(Kr(1+Cs)), beta = 4pi*R_ref*Cs/c
+    Phi3 = rphase(a) + cphase(r) + g(a)*dr(r) - c3(a)*u^2
+           rphase = wrap(4pi*R_ref*D/lam), cphase = wrap(4pi*dr/lam),
+           g = (4pi/lam)(D-1), c3 = pi*Kr*Cs*(1+Cs), dr = c*u/2
+    """
+
+    u: jax.Array        # (n_rg,) f32 — tau - 2R_ref/c
+    fr: jax.Array       # (n_rg,) f32
+    dr: jax.Array       # (n_rg,) f32 — delta range c*u/2
+    cphase: jax.Array   # (n_rg,) f32 — wrapped 4*pi*dr/lam
+    c1: jax.Array       # (n_az,) f32
+    w: jax.Array        # (n_az,) f32
+    alpha: jax.Array    # (n_az,) f32
+    beta: jax.Array     # (n_az,) f32
+    rphase: jax.Array   # (n_az,) f32 — wrapped 4*pi*R_ref*D/lam
+    g: jax.Array        # (n_az,) f32 — (4*pi/lam)*(D-1)
+    c3: jax.Array       # (n_az,) f32
+
+
+@partial(jax.jit, static_argnames=("p",))
+def csa_factors(p: CsaParams) -> CsaFactors:
+    n_az, n_rg = p.num_pulses, p.num_samples
+    lam, kr, vr, r_ref = p.wavelength_m, p.chirp_rate, p.velocity_mps, p.range_ref_m
+
+    tau = p.t_start_fast + jnp.arange(n_rg, dtype=jnp.float64) / p.fs_hz
+    fr = jnp.fft.fftfreq(n_rg, 1.0 / p.fs_hz).astype(jnp.float64)
+    fa = jnp.fft.fftfreq(n_az, 1.0 / p.prf_hz).astype(jnp.float64)
+
+    arg = 1.0 - (lam * fa / (2.0 * vr)) ** 2
+    d_fa = jnp.sqrt(jnp.where(arg < 0.0, 1e-9, arg))
+    cs = 1.0 / d_fa - 1.0
+
+    u = tau - 2.0 * r_ref / _C
+    dr = _C * u / 2.0
+    f32 = lambda x: x.astype(jnp.float32)
+    return CsaFactors(
+        u=f32(u), fr=f32(fr), dr=f32(dr),
+        cphase=f32(_wrap((4.0 * math.pi / lam) * dr)),
+        c1=f32(-math.pi * kr * cs),
+        w=f32((2.0 * r_ref / _C) * cs),
+        alpha=f32(math.pi / (kr * (1.0 + cs))),
+        beta=f32((4.0 * math.pi / _C) * r_ref * cs),
+        rphase=f32(_wrap((4.0 * math.pi / lam) * r_ref * d_fa)),
+        g=f32((4.0 * math.pi / lam) * (d_fa - 1.0)),
+        c3=f32(math.pi * kr * cs * (1.0 + cs)),
+    )
+
+
+def _expj32(phase):
+    return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+
+def apply_csa_fused(phist, f: CsaFactors, fft_impl: str = "xla"):
+    """Grid-free CSA: identical math to apply_csa with phases generated
+    inline from the 1-D factors — XLA fuses trig+multiply into single passes
+    over the data, cutting HBM traffic by the three 2-D phase grids."""
+    from nis_sar_amtigmti_video_tpu.ops.fft import get_impl
+    fft, ifft = get_impl(fft_impl)
+    u, fr = f.u[None, :], f.fr[None, :]
+    s = fft(phist, axis=-2)
+    du = u - f.w[:, None]
+    s = s * _expj32(f.c1[:, None] * du * du)
+    s = fft(s, axis=-1)
+    s = s * _expj32((f.alpha[:, None] * fr + f.beta[:, None]) * fr)
+    s = ifft(s, axis=-1)
+    s = s * _expj32(f.rphase[:, None] + f.cphase[None, :]
+                    + f.g[:, None] * f.dr[None, :]
+                    - f.c3[:, None] * u * u)
+    return ifft(s, axis=-2)
 
 
 def csa_axes(p: CsaParams):

@@ -62,6 +62,9 @@ class EchoOpts:
     # chunking (elements of the f32 work tensor per step ~ pulse_chunk*target_chunk*Ns)
     max_elements: int = 1 << 25
     target_chunk: int = 512
+    # 'jnp' (scan + XLA fusion) | 'pallas' (VMEM-resident fused kernel,
+    # ops/pallas/echo_kernel.py) | 'pallas_interpret' (testing)
+    backend: str = "jnp"
 
     @property
     def half_width(self) -> float:
@@ -146,8 +149,9 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
     shift = jnp.float32(opts.chirp_shift)
     half = jnp.float32(opts.half_width)
 
-    def target_block(j, carry, ts, ps, vs):
-        """Echo of target chunk j for one pulse chunk. ts:(pc,), ps/vs:(pc,3)."""
+    def geometry_block(j, ts, ps, vs):
+        """f64 geometry -> f32 scalars for target chunk j of one pulse chunk:
+        (tau_rel, carrier, amp), each (pc, tb). ts:(pc,), ps/vs:(pc,3)."""
         pos0 = jax.lax.dynamic_slice(tgt_pos_p, (j * tb, 0), (tb, 3))
         amp0 = jax.lax.dynamic_slice(amp_b, (j * tb,), (tb,))
 
@@ -179,7 +183,11 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
             sinc = jnp.where(jnp.abs(x) > 1e-6, jnp.sin(x) / jnp.where(x == 0, 1.0, x), 1.0)
             amp = amp * (sinc ** 2)
         amp = jnp.broadcast_to(amp, tau.shape).astype(jnp.float32)
+        return tau_rel, carrier, amp
 
+    def target_block(j, carry, ts, ps, vs):
+        """Echo of target chunk j accumulated onto carry (pc, Ns)."""
+        tau_rel, carrier, amp = geometry_block(j, ts, ps, vs)
         # ---------- float32 echo accumulation ----------
         t_local = t_fast_f32[None, None, :] - tau_rel[:, :, None]   # (pc, tb, Ns)
         arg = t_local - shift
@@ -187,6 +195,30 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
         phase = carrier[:, :, None] + k_pi * (arg * arg)
         sig = jnp.where(mask, amp[:, :, None], jnp.float32(0.0)) * expj(phase)
         return carry + jnp.sum(sig, axis=1)
+
+    if opts.backend in ("pallas", "pallas_interpret"):
+        # two-pass: chunk-scanned f64 geometry -> (P, B) f32 scalars, then one
+        # fused VMEM kernel for the (P, B, Ns) accumulation.
+        def geom_chunk(carry, xs):
+            ts, ps, vs = xs
+            outs = [geometry_block(j, ts, ps, vs) for j in range(n_tchunks)]
+            tau_c = jnp.concatenate([o[0] for o in outs], axis=1)
+            car_c = jnp.concatenate([o[1] for o in outs], axis=1)
+            amp_c = jnp.concatenate([o[2] for o in outs], axis=1)
+            return carry, (tau_c, car_c, amp_c)
+
+        _, (tau_all, car_all, amp_all) = jax.lax.scan(
+            geom_chunk, 0, (t_slow_p, sat_pos_p, sat_vel_p))
+        tau_all = tau_all.reshape(p_pad, b_pad)[:num_p]
+        car_all = car_all.reshape(p_pad, b_pad)[:num_p]
+        amp_all = amp_all.reshape(p_pad, b_pad)[:num_p]
+        from nis_sar_amtigmti_video_tpu.ops.pallas.echo_kernel import (
+            echo_accumulate)
+        return echo_accumulate(
+            tau_all, car_all, amp_all, t_fast_f32,
+            k_pi=float(math.pi * opts.chirp_rate),
+            shift=float(opts.chirp_shift), half=float(opts.half_width),
+            interpret=(opts.backend == "pallas_interpret"))
 
     def pulse_chunk(carry, xs):
         ts, ps, vs = xs

@@ -90,5 +90,65 @@ def main():
     variant("csa via transposes", csa_transposed)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and os.environ.get("PROFILE_WAVE", "1") == "1":
     main()
+
+
+def main2():
+    """Second wave: fused factors + MXU FFT variants."""
+    import jax
+    import jax.numpy as jnp
+    import time as _t
+
+    from nis_sar_amtigmti_video_tpu import config as cfg
+    from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+    from nis_sar_amtigmti_video_tpu.ops import fft as mfft
+
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+    sc = cfg.videosar()
+    g, r = sc.geometry, sc.radar
+    t0 = 2.0 * g.slant_range_m / 299792458.0 - sc.collect.window_length_s / 2
+    p = csa_ops.CsaParams(
+        wavelength_m=r.wavelength_m, chirp_rate=r.chirp_rate, fs_hz=r.fs_hz,
+        prf_hz=r.prf_hz, velocity_mps=g.effective_velocity_mps,
+        range_ref_m=g.slant_range_m, t_start_fast=t0,
+        num_pulses=size, num_samples=size)
+    factors = csa_ops.csa_factors(p)
+
+    @jax.jit
+    def mk(key):
+        return jax.lax.complex(
+            jax.random.normal(key, (batch, size, size), jnp.float32),
+            jax.random.normal(jax.random.fold_in(key, 1),
+                              (batch, size, size), jnp.float32))
+
+    x = mk(jax.random.PRNGKey(0))
+
+    def variant(name, body, iters=8):
+        @jax.jit
+        def once(v, f):
+            y = body(v, f)
+            return y, jnp.sum(jnp.abs(y[..., :1, :1])).astype(jnp.float32)
+        try:
+            y, s = once(x, factors)
+            _ = float(s)
+            t1 = _t.perf_counter()
+            z = y
+            for _ in range(iters):
+                z, s = once(z, factors)
+            _ = float(s)
+            dt = (_t.perf_counter() - t1) / (iters * batch)
+            print(f"{name:28s}: {dt*1e3:7.3f} ms/frame", flush=True)
+        except Exception as e:
+            print(f"{name:28s}: FAILED {type(e).__name__} {str(e)[:90]}", flush=True)
+
+    variant("mxu fft last axis", lambda v, f: mfft.fft(v, axis=-1))
+    variant("mxu fft axis -2", lambda v, f: mfft.fft(v, axis=-2))
+    variant("csa fused (xla fft)", lambda v, f: csa_ops.apply_csa_fused(v, f))
+    variant("csa fused (mxu fft)", lambda v, f: csa_ops.apply_csa_fused(v, f, "mxu"))
+
+
+if __name__ == "__main__" and os.environ.get("PROFILE_WAVE") == "2":
+    main2()
