@@ -35,7 +35,7 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", "4096"))
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
-    fft_impl = os.environ.get("BENCH_FFT", "mxu")   # profiled fastest on v5e
+    fft_impl = os.environ.get("BENCH_FFT", "hybrid")  # profiled fastest on v5e
 
     sc = cfg.videosar()
     g, r = sc.geometry, sc.radar

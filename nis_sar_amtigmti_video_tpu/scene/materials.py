@@ -239,8 +239,9 @@ def features_to_point_targets(features: Sequence[SceneFeature],
         tris = f.triangles
         if tris.shape[0] == 0:
             continue
-        areas = 0.5 * np.abs(np.cross(tris[:, 1] - tris[:, 0],
-                                      tris[:, 2] - tris[:, 0]))
+        e1 = tris[:, 1] - tris[:, 0]
+        e2 = tris[:, 2] - tris[:, 0]
+        areas = 0.5 * np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
         total = float(areas.sum())
         n_pts = max(1, int(total * density_per_m2))
         t_idx = rng.choice(tris.shape[0], n_pts, p=areas / max(total, 1e-12))
