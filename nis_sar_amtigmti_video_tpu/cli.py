@@ -224,6 +224,65 @@ def cmd_timing(args):
         "clear_prf_bands_hz": [[round(a), round(b)] for a, b in bands[:12]]}))
 
 
+def cmd_view(args):
+    """Headless viewer: auto-detect a product file's schema and render it —
+    the CLI replacement for the reference's interactive matplotlib viewers."""
+    import math
+
+    from nis_sar_amtigmti_video_tpu.viz import render
+
+    src = args.file
+    stem = os.path.splitext(os.path.basename(src))[0]
+    outbase = os.path.join(args.out, stem)
+
+    if os.path.isdir(src):  # frame directory -> GIF
+        from nis_sar_amtigmti_video_tpu.io.products import read_video_frames
+        idx, frames = read_video_frames(src)
+        if frames.shape[0] == 0:
+            print(f"view: no frames in {src}")
+            return
+        gif = render.save_gif(outbase + ".gif", frames)
+        print(f"view: {frames.shape[0]} frames -> {gif}")
+        return
+
+    z = np.load(src)
+    keys = set(z.keys())
+    if {"slc1", "slc2"} <= keys:  # ATI/DPCA SLC pair (reference stores (rg, az))
+        slc1, slc2 = z["slc1"].T, z["slc2"].T
+        render.save_image(outbase + "_ch1_mag.png", np.abs(slc1),
+                          title="Channel 1 magnitude", cmap="bone")
+        phase = render.masked_phase_display(slc1, slc2)
+        render.save_image(outbase + "_ati_phase.png", phase,
+                          title="ATI phase", is_phase=True)
+        render.save_image(outbase + "_dpca.png", np.abs(slc1 - slc2),
+                          title="DPCA difference", cmap="magma")
+        stats = render.region_stats(slc1, slc1 - slc2)
+        print(f"view: ATI/DPCA pair; cancellation "
+              f"{stats['cancellation_db']:.1f} dB; wrote 3 panels to {args.out}")
+        return
+    if "final_image" in keys:
+        img = z["final_image"]
+        panels = [("final_image", img, False)]
+        for k in ("raw_phist", "range_comp", "rd_map", "rd_rcmc", "rd_az_comp"):
+            if k in keys and z[k] is not None and z[k].ndim == 2:
+                panels.append((k, z[k], True))
+        for name, data, db in panels:
+            render.save_image(f"{outbase}_{name}.png", np.abs(data),
+                              title=name, db=True)
+        print(f"view: wrote {len(panels)} panels to {args.out}")
+        return
+    print(f"view: unrecognized schema (keys: {sorted(keys)})")
+
+
+def cmd_geometry(args):
+    from nis_sar_amtigmti_video_tpu import config as cfg
+    from nis_sar_amtigmti_video_tpu.viz.geometry_view import save_geometry_view
+    sc = getattr(cfg, args.preset)()
+    png = save_geometry_view(os.path.join(args.out, f"geometry_{sc.name}.png"),
+                             sc)
+    print(f"geometry: wrote {png}")
+
+
 def cmd_budget(args):
     from nis_sar_amtigmti_video_tpu import config as cfg
     from nis_sar_amtigmti_video_tpu.utils import metrics
@@ -274,6 +333,16 @@ def main(argv=None):
     p.add_argument("--prf-min", type=float, default=1000.0)
     p.add_argument("--prf-max", type=float, default=8000.0)
     p.set_defaults(fn=cmd_timing)
+
+    p = sub.add_parser("view")
+    p.add_argument("file", help=".npz product file or frame directory")
+    p.set_defaults(fn=cmd_view)
+
+    p = sub.add_parser("geometry")
+    p.add_argument("--preset", default="satellite_stripmap",
+                   choices=["satellite_stripmap", "satellite_moving",
+                            "ati_dpca", "airborne_vehicle", "videosar"])
+    p.set_defaults(fn=cmd_geometry)
 
     p = sub.add_parser("budget")
     p.add_argument("--preset", default="satellite_stripmap",
