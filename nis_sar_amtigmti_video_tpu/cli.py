@@ -177,6 +177,62 @@ def cmd_videosar(args):
     print(f"  wrote {frame_dir}/ and {gif}")
 
 
+def cmd_videosar_batch(args):
+    """The reference's batch matrix (sar_batch_sim.py:266-295): vehicles x
+    headings x algorithms, one GIF + resumable frame stack per combination."""
+    import jax
+    from nis_sar_amtigmti_video_tpu import config as cfg
+    from nis_sar_amtigmti_video_tpu.io import products
+    from nis_sar_amtigmti_video_tpu.models import videosar
+    from nis_sar_amtigmti_video_tpu.scene import targets as T
+    from nis_sar_amtigmti_video_tpu.viz import render
+
+    sc = cfg.videosar()
+    if args.small:
+        sc = sc.replace(
+            radar=dataclasses.replace(sc.radar, bandwidth_hz=300e6,
+                                      pulse_width_s=2e-6, fs_hz=150e6,
+                                      prf_hz=1000.0),
+            collect=dataclasses.replace(sc.collect,
+                                        window_length_s=512 / 150e6),
+            processing=dataclasses.replace(sc.processing, bp_grid=96),
+            video=cfg.VideoConfig(duration_s=1.2, fps=5.0, cpi_s=0.4))
+
+    # vehicle matrix entries mirror sar_batch_sim.py:267-288 (incl. the
+    # commented-out aircraft rows, available here)
+    matrix = {
+        "Destroyer": (T.destroyer, 15.0, 500.0, 5000.0),
+        "PlaneCrus": (T.fighter_jet, 250.0, 2000.0, 5.0),
+        "Stealth": (T.f35, 515.0, 2000.0, 1.0),
+    }
+    vehicles = args.vehicles.split(",") if args.vehicles else ["Destroyer"]
+    headings = [float(h) for h in args.headings.split(",")]
+    algos = args.algos.split(",")
+
+    for vname in vehicles:
+        gen, speed, swath, rcs = matrix[vname]
+        sc_v = sc.replace(processing=dataclasses.replace(
+            sc.processing, bp_scene_size_m=swath))
+        for heading in headings:
+            for algo in algos:
+                run_id = f"{vname}_{int(speed)}_{int(heading)}_{algo}"
+                key = (None if args.no_noise
+                       else jax.random.PRNGKey(args.seed))
+                t0 = time.time()
+                out = videosar.run(sc_v, gen(), heading_deg=heading,
+                                   speed_mps=speed, algorithm=algo,
+                                   frames_per_batch=args.frames_per_batch,
+                                   key=key, avg_rcs=rcs,
+                                   num_frames=args.frames or None)
+                products.write_video_frames(
+                    os.path.join(args.out, f"frames_{run_id}"), out.images,
+                    async_spill=True)
+                render.save_gif(os.path.join(args.out, f"{run_id}.gif"),
+                                out.images, fps=sc.video.fps)
+                print(f"videosar-batch[{run_id}]: {out.images.shape[0]} "
+                      f"frames in {time.time()-t0:.1f}s")
+
+
 def cmd_targets(args):
     from nis_sar_amtigmti_video_tpu.viz import render
     png = render.save_targets_preview(
@@ -234,6 +290,15 @@ def cmd_view(args):
     src = args.file
     stem = os.path.splitext(os.path.basename(src))[0]
     outbase = os.path.join(args.out, stem)
+
+    if getattr(args, "interactive", False):
+        from nis_sar_amtigmti_video_tpu.viz import interactive
+        z = np.load(src)
+        if {"slc1", "slc2"} <= set(z.keys()):
+            interactive.AtiDpcaViewer(src).show()
+        else:
+            interactive.PipelineViewer(src).show()
+        return
 
     if os.path.isdir(src):  # frame directory -> GIF
         from nis_sar_amtigmti_video_tpu.io.products import read_video_frames
@@ -317,6 +382,15 @@ def main(argv=None):
     p.add_argument("--frames-per-batch", type=int, default=4)
     p.set_defaults(fn=cmd_videosar)
 
+    p = sub.add_parser("videosar-batch")
+    p.add_argument("--vehicles", default="Destroyer",
+                   help="comma list: Destroyer,PlaneCrus,Stealth")
+    p.add_argument("--headings", default="0,90,45,135")
+    p.add_argument("--algos", default="mbp,stdbp")
+    p.add_argument("--frames", type=int, default=0)
+    p.add_argument("--frames-per-batch", type=int, default=4)
+    p.set_defaults(fn=cmd_videosar_batch)
+
     sub.add_parser("targets").set_defaults(fn=cmd_targets)
 
     p = sub.add_parser("coverage")
@@ -336,6 +410,8 @@ def main(argv=None):
 
     p = sub.add_parser("view")
     p.add_argument("file", help=".npz product file or frame directory")
+    p.add_argument("--interactive", action="store_true",
+                   help="open the widget viewer instead of writing PNGs")
     p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("geometry")

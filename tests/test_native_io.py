@@ -77,3 +77,19 @@ class TestProductIO:
         os.remove(os.path.join(d, "frame_003.npy"))
         assert products.missing_frames(d, 4) == [1, 3]
         assert products.missing_frames(str(tmp_path / "nowhere"), 3) == [0, 1, 2]
+
+
+class TestOrbaxCheckpoint:
+    def test_roundtrip_complex(self, tmp_path):
+        from nis_sar_amtigmti_video_tpu.io.checkpoint import RunCheckpointer
+        ck = RunCheckpointer(str(tmp_path / "ckpt"), max_to_keep=2)
+        slc = (np.random.randn(2, 8, 8)
+               + 1j * np.random.randn(2, 8, 8)).astype(np.complex64)
+        ck.save(0, {"frames": slc, "meta": {"done": np.array([0, 1])}})
+        ck.save(1, {"frames": slc * 2, "meta": {"done": np.array([0, 1, 2])}})
+        assert ck.latest_step() == 1
+        back = ck.restore()
+        np.testing.assert_allclose(back["frames"], slc * 2, rtol=1e-6)
+        assert back["meta"]["done"].tolist() == [0, 1, 2]
+        np.testing.assert_allclose(ck.restore(0)["frames"], slc, rtol=1e-6)
+        ck.close()
