@@ -198,6 +198,39 @@ def apply_csa_fused(phist, f: CsaFactors, fft_impl: str = "xla"):
     return ifft(s, axis=-2)
 
 
+def apply_csa_fused_t(phist, f: CsaFactors):
+    """Fused CSA with a single transpose pair so *all four* FFTs run on the
+    layout-safe middle-axis MXU einsum (ops/fft.py::_fft_middle):
+
+        az-FFT(mid) -> x Phi1 -> T -> rg-FFT(mid) -> x Phi2' -> rg-IFFT(mid)
+        -> x Phi3' -> T -> az-IFFT(mid)
+
+    Identical math to apply_csa_fused; the transposed middle section applies
+    the phases with swapped row/col roles.
+    """
+    from nis_sar_amtigmti_video_tpu.ops.fft import _fft_middle, supported
+
+    n_az = phist.shape[-2]
+    n_rg = phist.shape[-1]
+    if not (supported(n_az) and supported(n_rg)):
+        return apply_csa_fused(phist, f, "hybrid")
+    u, fr = f.u[None, :], f.fr[None, :]
+
+    s = _fft_middle(phist, n_az, inverse=False)
+    du = u - f.w[:, None]
+    s = s * _expj32(f.c1[:, None] * du * du)
+    s = jnp.swapaxes(s, -1, -2)                   # -> (..., rg, az)
+    s = _fft_middle(s, n_rg, inverse=False)
+    s = s * _expj32((f.alpha[None, :] * f.fr[:, None] + f.beta[None, :])
+                    * f.fr[:, None])
+    s = _fft_middle(s, n_rg, inverse=True)
+    s = s * _expj32(f.rphase[None, :] + f.cphase[:, None]
+                    + f.g[None, :] * f.dr[:, None]
+                    - f.c3[None, :] * f.u[:, None] * f.u[:, None])
+    s = jnp.swapaxes(s, -1, -2)                   # -> (..., az, rg)
+    return _fft_middle(s, n_az, inverse=True)
+
+
 def csa_axes(p: CsaParams):
     """(range_axis_m, cross_range_m) matching the reference outputs
     (sar_ati_dcpa_sim_csa.py:388-394)."""

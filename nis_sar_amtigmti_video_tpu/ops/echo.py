@@ -63,8 +63,11 @@ class EchoOpts:
     max_elements: int = 1 << 25
     target_chunk: int = 512
     # 'jnp' (scan + XLA fusion) | 'pallas' (VMEM-resident fused kernel,
-    # ops/pallas/echo_kernel.py) | 'pallas_interpret' (testing)
+    # ops/pallas/echo_kernel.py) | 'pallas_interpret' (testing) | 'freq'
+    # (gridded-impulse FFT convolution, ops/echo_freq.py — fast for
+    # clutter-heavy scenes; requires endpoint_grid=False)
     backend: str = "jnp"
+    freq_oversample: int = 4   # delay-quantization oversampling for 'freq'
 
     @property
     def half_width(self) -> float:
@@ -196,7 +199,7 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
         sig = jnp.where(mask, amp[:, :, None], jnp.float32(0.0)) * expj(phase)
         return carry + jnp.sum(sig, axis=1)
 
-    if opts.backend in ("pallas", "pallas_interpret"):
+    if opts.backend in ("pallas", "pallas_interpret", "freq"):
         # two-pass: chunk-scanned f64 geometry -> (P, B) f32 scalars, then one
         # fused VMEM kernel for the (P, B, Ns) accumulation.
         def geom_chunk(carry, xs):
@@ -212,6 +215,14 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
         tau_all = tau_all.reshape(p_pad, b_pad)[:num_p]
         car_all = car_all.reshape(p_pad, b_pad)[:num_p]
         amp_all = amp_all.reshape(p_pad, b_pad)[:num_p]
+        if opts.backend == "freq":
+            if opts.endpoint_grid:
+                raise ValueError(
+                    "backend='freq' needs a uniform fast-time grid "
+                    "(endpoint_grid=False)")
+            from nis_sar_amtigmti_video_tpu.ops.echo_freq import synthesize
+            return synthesize(tau_all, car_all, amp_all, opts,
+                              oversample=opts.freq_oversample)
         from nis_sar_amtigmti_video_tpu.ops.pallas.echo_kernel import (
             echo_accumulate)
         return echo_accumulate(

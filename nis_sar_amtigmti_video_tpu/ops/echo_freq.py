@@ -1,0 +1,171 @@
+"""Frequency-domain echo synthesis — the fast backend for large scenes.
+
+The direct engine evaluates a gated chirp per (pulse, target, sample):
+O(P*B*Ns) transcendentals (~50 TFLOP for the reference's 5k-scatterer ATI
+scene). But the echo is exactly a convolution:
+
+    raw(t) = sum_b A_b * g(t - tau_b),   g(x) = gate(x) e^{j pi K (x-shift)^2}
+
+with A_b = sqrt(rcs)*gain*e^{j carrier}. This module evaluates it as a
+type-1 NUFFT: each impulse A_b delta(t - tau_b) is *spread* over W
+neighboring taps of an os-times oversampled grid with an
+exponential-of-semicircle kernel (FINUFFT's kernel family), the field is
+FFT-convolved with the sampled chirp, the spectrum is deconvolved by the
+spreading kernel's transform, and the result is decimated at the window
+sample positions. Cost: O(P*B*W) scatter + O(P * L log L) FFT.
+
+Sub-sample delays are therefore represented to spreading accuracy (~1e-5
+relative with W=8, os=2), not quantized — essential because the chirp's
+internal phase ramp makes a delay error r cost up to 2*pi*K*(Tp/2)*r radians
+at the pulse edges.
+
+Window truncation (the reference's 22 us window cutting the 20 us chirp) is
+reproduced exactly: the convolution lives on an extended grid and is cropped
+to the window — identical to gating each echo by the receive interval.
+
+Requires a uniform fast-time grid (endpoint_grid=False); selected with
+EchoOpts(backend='freq').
+
+Accuracy class (measured, tests/test_echo_freq.py): *approximate*. An
+isolated scatterer's compressed peak matches the direct engine to ~0.05 dB /
+~1e-3 rad; bright pixels of interference-rich scenes to ~0.1-0.3 dB /
+~0.01-0.05 rad; the field error floor is ~-25 to -30 dB relative to peak,
+dominated by the gate edges
+(a rect has unbounded bandwidth, and the direct engine's hard-edge sampling
+is itself a modeling choice). Use for clutter-heavy scene synthesis and bulk
+VideoSAR data generation (~50x faster); use the 'jnp'/'pallas' backends for
+metrology-grade golden comparisons. Requires chirp bandwidth < fs (a
+physical waveform); aliased test waveforms (BW > fs) violate the spreading
+band assumption.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nis_sar_amtigmti_video_tpu.utils.cplx import expj
+
+_W = 8                      # spreading taps
+_BETA = 2.30 * _W           # ES-kernel beta (FINUFFT's rule of thumb)
+
+
+def _next_fast_len(n: int) -> int:
+    """Next 2^a * 3^b * 5^c >= n (small search)."""
+    best = 1 << (n - 1).bit_length()
+    p5 = 1
+    while p5 < best:
+        p3 = p5
+        while p3 < best:
+            p2 = p3
+            while p2 < n:
+                p2 *= 2
+            if p2 < best:
+                best = p2
+            p3 *= 3
+        p5 *= 5
+    return best
+
+
+def _es_kernel(u):
+    """exp(beta*(sqrt(1-(2u/W)^2)-1)) on |u|<=W/2, else 0."""
+    z = 2.0 * np.asarray(u, np.float64) / _W
+    inside = np.abs(z) < 1.0
+    val = np.exp(_BETA * (np.sqrt(np.maximum(1.0 - z * z, 0.0)) - 1.0))
+    return np.where(inside, val, 0.0)
+
+
+@lru_cache(maxsize=None)
+def _kernel_ft(l_fft: int) -> np.ndarray:
+    """phi_hat(nu_k) for all DFT bins (numerical quadrature, host, cached)."""
+    nu = np.fft.fftfreq(l_fft)                      # cycles/sample
+    uq = np.linspace(-_W / 2, _W / 2, 8 * _W + 1)
+    wq = _es_kernel(uq)
+    # trapezoid weights
+    tw = np.full(uq.shape, uq[1] - uq[0])
+    tw[0] *= 0.5
+    tw[-1] *= 0.5
+    ft = (wq * tw) @ np.exp(-2j * np.pi * np.outer(uq, nu))
+    # clamp far out-of-band values so deconvolution cannot blow up where the
+    # chirp spectrum is ~0 anyway
+    mag = np.abs(ft)
+    floor = mag.max() * 1e-6
+    ft = np.where(mag < floor, floor, ft)
+    return ft.astype(np.complex128)
+
+
+def chirp_kernel(opts, oversample: int):
+    """(g taps complex64, x0) — g sampled at os*fs over its gate support."""
+    dt = 1.0 / (opts.fs_hz * oversample)
+    n = int(round(opts.pulse_width_s / dt)) + 1
+    x0 = opts.chirp_shift - opts.half_width
+    arg = x0 + np.arange(n) * dt - opts.chirp_shift
+    gate = np.abs(arg) <= opts.half_width + 1e-15
+    g = np.exp(1j * math.pi * opts.chirp_rate * arg ** 2) * gate
+    return g.astype(np.complex64), x0
+
+
+def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
+               pulse_chunk: int = 256):
+    """(P, B) f32 per-(pulse,target) scalars -> (P, Ns) complex64 raw data.
+
+    tau_rel: delay of each echo relative to the window start [s]
+    carrier: wrapped carrier phase [rad]; amp: real amplitude.
+    """
+    num_p, num_b = tau_rel.shape
+    ns = opts.num_samples
+    os_ = oversample
+    fs_os = opts.fs_hz * os_
+
+    g, x0 = chirp_kernel(opts, os_)
+    lead = int(round(opts.pulse_width_s * fs_os)) + os_ + _W     # L0
+    l_imp = lead + ns * os_ + os_ + _W
+    l_fft = _next_fast_len(l_imp + g.shape[0])
+    # combined spectral filter: chirp response deconvolved by the spreader
+    filt = np.fft.fft(g.astype(np.complex128), n=l_fft) / _kernel_ft(l_fft)
+    filt_j = jnp.asarray(filt.astype(np.complex64))
+
+    # ES kernel weights for the W tap offsets, evaluated on device (cheap)
+    pc = max(1, min(pulse_chunk, num_p))
+    p_pad = -(-num_p // pc) * pc
+
+    def padp(x):
+        return jnp.pad(x, [(0, p_pad - num_p), (0, 0)]).reshape(
+            p_pad // pc, pc, num_b)
+
+    xs = (padp(tau_rel), padp(carrier), padp(amp))
+    x0_f = jnp.float64(x0)
+    beta = jnp.float32(_BETA)
+    half_w = _W / 2.0
+
+    def chunk(carry, x):
+        tau, car, am = x
+        s = (tau.astype(jnp.float64) + x0_f) * fs_os + lead   # grid position
+        i0 = jnp.floor(s).astype(jnp.int32) - (_W // 2 - 1)
+        frac = (s - jnp.floor(s)).astype(jnp.float32)
+        a_cplx = am * expj(car)                                # (pc, B)
+        rows = jnp.arange(pc, dtype=jnp.int32)[:, None, None]
+        offs = jnp.arange(_W, dtype=jnp.int32)[None, None, :]
+        pos = i0[:, :, None] + offs                            # (pc, B, W)
+        # ES weights at u = pos - s = offs - (W/2-1) - frac
+        u = (offs.astype(jnp.float32) - (_W // 2 - 1)) - frac[:, :, None]
+        z2 = jnp.clip(1.0 - (2.0 * u / _W) ** 2, 0.0, 1.0)
+        w = jnp.where(jnp.abs(u) < half_w,
+                      jnp.exp(beta * (jnp.sqrt(z2) - 1.0)), 0.0)
+        ok = (pos >= 0) & (pos < l_imp)
+        pos = jnp.clip(pos, 0, l_imp - 1)
+        vals = jnp.where(ok, w, 0.0) * a_cplx[:, :, None]
+        flat = (jnp.broadcast_to(rows, pos.shape).reshape(-1) * l_imp
+                + pos.reshape(-1))
+        field = jnp.zeros((pc * l_imp,), jnp.complex64
+                          ).at[flat].add(vals.reshape(-1)).reshape(pc, l_imp)
+        spec = jnp.fft.fft(field, n=l_fft, axis=-1) * filt_j
+        conv = jnp.fft.ifft(spec, axis=-1)
+        return carry, conv[:, lead:lead + ns * os_:os_]
+
+    _, out = jax.lax.scan(chunk, 0, xs)
+    return out.reshape(p_pad, ns)[:num_p]
