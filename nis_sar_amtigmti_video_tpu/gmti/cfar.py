@@ -43,11 +43,15 @@ class CfarResult(NamedTuple):
 
 
 def _box_sum(x, half: int):
-    """Sum over a (2*half+1)^2 window with zero padding, via 2 cumsums."""
-    k = 2 * half + 1
+    """Sum over a (2*half+1)^2 window with zero padding, via 2 cumsums.
+
+    Accumulates in float64: SAR power maps span 80-100 dB, and differencing
+    two f32 running sums after a bright scatterer would perturb weak cells'
+    training sums by O(clutter) — enough to flip detections downstream of
+    any strong target."""
 
     def along(last_axis_x):
-        c = jnp.cumsum(last_axis_x, axis=-1)
+        c = jnp.cumsum(last_axis_x.astype(jnp.float64), axis=-1)
         pad = jnp.zeros_like(c[..., :1])
         c = jnp.concatenate([pad, c], axis=-1)       # c[i] = sum of first i
         n = last_axis_x.shape[-1]
@@ -55,7 +59,8 @@ def _box_sum(x, half: int):
         idx_lo = jnp.clip(jnp.arange(n) - half, 0, n)
         return c[..., idx_hi] - c[..., idx_lo]
 
-    return jnp.swapaxes(along(jnp.swapaxes(along(x), -1, -2)), -1, -2)
+    return jnp.swapaxes(along(jnp.swapaxes(along(x), -1, -2)),
+                        -1, -2).astype(x.dtype)
 
 
 @partial(jax.jit, static_argnames=("p",))
@@ -80,11 +85,15 @@ def ca_cfar(power, p: CfarParams) -> CfarResult:
 
 def detection_list(result: CfarResult, max_detections: int = 256):
     """Top-k detections as (row, col, snr) arrays, fixed-size (padded with
-    -1 rows) so the output shape is static under jit."""
+    -1 rows) so the output shape is static under jit.
+
+    Batched (..., H, W) inputs return (..., K) arrays with the top-k taken
+    *per image* (not across the batch)."""
     snr = jnp.where(result.detections, result.snr, 0.0)
-    flat = snr.ravel()
+    h, w = snr.shape[-2], snr.shape[-1]
+    flat = snr.reshape(snr.shape[:-2] + (h * w,))
     vals, idx = jax.lax.top_k(flat, max_detections)
-    rows, cols = jnp.unravel_index(idx, snr.shape)
+    rows, cols = idx // w, idx % w
     valid = vals > 0
     return (jnp.where(valid, rows, -1), jnp.where(valid, cols, -1),
             jnp.where(valid, vals, 0.0))

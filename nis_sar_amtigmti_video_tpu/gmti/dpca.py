@@ -18,8 +18,11 @@ def dpca_baseline(v_platform: float, prf_hz: float) -> float:
 
 def pulse_shift_coregister(raw1, raw2, shift_pulses: int = 1):
     """Trailing channel advanced by ``shift_pulses`` PRIs: returns
-    (raw1[s:], raw2[:-s]) so both see the same phase-center track."""
+    (raw1[s:], raw2[:-s]) so both see the same phase-center track.
+    shift_pulses=0 (co-located phase centers, pure ATI) is a no-op."""
     s = shift_pulses
+    if s == 0:
+        return raw1, raw2
     return raw1[..., s:, :], raw2[..., :-s, :]
 
 

@@ -8,10 +8,11 @@ baseline B and platform velocity V, is
 
 (the trailing channel sees the scene the lag later; an approaching target has
 shortened its range, giving positive relative phase with the pulse-shift
-co-registration of gmti/dpca.py). The unambiguous velocity span is
+co-registration of gmti/dpca.py). phi reaches +/-pi at
 v_amb = lambda*V/(2B) — the quantity the ``fastmover.html`` demo displays
-(fastmover.html:313-322). Inverting phi gives the GMTI velocity map; wrapping
-beyond +/-v_amb/2 is resolved by the dual-baseline CRT solver (gmti/crt.py).
+(fastmover.html:313-322) — so velocities are unambiguous on (-v_amb, +v_amb].
+Inverting phi gives the GMTI velocity map; wrapping beyond +/-v_amb is
+resolved by the dual-baseline CRT solver (gmti/crt.py).
 """
 
 from __future__ import annotations

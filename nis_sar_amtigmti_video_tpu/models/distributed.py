@@ -45,7 +45,7 @@ def product_sharding(mesh: Mesh) -> NamedSharding:
 
 def make_gmti_step(mesh: Mesh, p: csa_ops.CsaParams,
                    cfar_params: cfar_mod.CfarParams = cfar_mod.CfarParams(),
-                   mask_threshold: float = 0.05):
+                   mask_threshold: float = 0.05, fft_impl: str = "xla"):
     """Jitted sharded step: (F, C=2, P, Ns) complex64 raw -> products.
 
     The caller shards the input with :func:`raw_sharding` (or lets jit
@@ -54,7 +54,8 @@ def make_gmti_step(mesh: Mesh, p: csa_ops.CsaParams,
     phases = csa_ops.csa_phases(p)
 
     def body(raw_l, phi1_l, phi2_l, phi3_l):
-        slc = corner_turn.csa_local(raw_l, phi1_l, phi2_l, phi3_l, "seq")
+        slc = corner_turn.csa_local(raw_l, phi1_l, phi2_l, phi3_l, "seq",
+                                    fft_impl=fft_impl)
         ch = jax.lax.all_gather(slc, "chan", axis=1, tiled=True)
         s1, s2 = ch[:, 0], ch[:, 1]
         # channel balance from the global mean interferogram
@@ -93,13 +94,15 @@ def make_gmti_step(mesh: Mesh, p: csa_ops.CsaParams,
     return step
 
 
-def make_videosar_step(mesh: Mesh, p: csa_ops.CsaParams):
+def make_videosar_step(mesh: Mesh, p: csa_ops.CsaParams,
+                       fft_impl: str = "xla"):
     """Jitted sharded single-channel VideoSAR formation:
     (F, P, Ns) raw frames -> (F, P, Ns) SLC frames, 'data' x 'seq' sharded."""
     phases = csa_ops.csa_phases(p)
 
     def body(raw_l, phi1_l, phi2_l, phi3_l):
-        return corner_turn.csa_local(raw_l, phi1_l, phi2_l, phi3_l, "seq")
+        return corner_turn.csa_local(raw_l, phi1_l, phi2_l, phi3_l, "seq",
+                                     fft_impl=fft_impl)
 
     sharded = jax.shard_map(
         body, mesh=mesh,

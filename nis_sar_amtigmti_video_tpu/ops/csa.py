@@ -214,10 +214,9 @@ def apply_csa_fused_t(phist, f: CsaFactors):
     n_rg = phist.shape[-1]
     if not (supported(n_az) and supported(n_rg)):
         return apply_csa_fused(phist, f, "hybrid")
-    u, fr = f.u[None, :], f.fr[None, :]
 
     s = _fft_middle(phist, n_az, inverse=False)
-    du = u - f.w[:, None]
+    du = f.u[None, :] - f.w[:, None]
     s = s * _expj32(f.c1[:, None] * du * du)
     s = jnp.swapaxes(s, -1, -2)                   # -> (..., rg, az)
     s = _fft_middle(s, n_rg, inverse=False)

@@ -110,11 +110,14 @@ def chirp_kernel(opts, oversample: int):
 
 
 def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
-               pulse_chunk: int = 256):
+               pulse_chunk: int | None = None):
     """(P, B) f32 per-(pulse,target) scalars -> (P, Ns) complex64 raw data.
 
     tau_rel: delay of each echo relative to the window start [s]
     carrier: wrapped carrier phase [rad]; amp: real amplitude.
+    The pulse chunk is sized from ``opts.max_elements`` (like the direct
+    backend) so the (pc, B, W) spreading temporaries and the (pc, l_fft)
+    field stay bounded for clutter-heavy scenes.
     """
     num_p, num_b = tau_rel.shape
     ns = opts.num_samples
@@ -129,7 +132,9 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
     filt = np.fft.fft(g.astype(np.complex128), n=l_fft) / _kernel_ft(l_fft)
     filt_j = jnp.asarray(filt.astype(np.complex64))
 
-    # ES kernel weights for the W tap offsets, evaluated on device (cheap)
+    if pulse_chunk is None:
+        per_pulse = max(num_b * _W, l_fft)
+        pulse_chunk = max(1, opts.max_elements // per_pulse)
     pc = max(1, min(pulse_chunk, num_p))
     p_pad = -(-num_p // pc) * pc
 

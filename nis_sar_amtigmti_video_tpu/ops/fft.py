@@ -156,4 +156,6 @@ def get_impl(name: str):
         return fft, ifft
     if name == "hybrid":
         return _fft_hybrid, _ifft_hybrid
-    return jnp.fft.fft, jnp.fft.ifft
+    if name == "xla":
+        return jnp.fft.fft, jnp.fft.ifft
+    raise ValueError(f"unknown fft impl {name!r}; options: xla, mxu, hybrid")

@@ -42,24 +42,30 @@ def corner_turn_local(x, axis_name: str, *, to_range_sharded: bool):
                               concat_axis=concat, tiled=True)
 
 
-def csa_local(phist_local, phi1_cols, phi2_rows, phi3_rows, axis_name: str):
+def csa_local(phist_local, phi1_cols, phi2_rows, phi3_rows, axis_name: str,
+              fft_impl: str = "xla"):
     """Per-device body of the distributed CSA (see module docstring).
 
     phist_local: (..., P/n, Ns) — pulse-sharded raw data
     phi1_cols:   (P, Ns/n)      — Phi1 sliced along range
     phi2_rows, phi3_rows: (P/n, Ns) — Phi2/Phi3 sliced along azimuth
+    fft_impl: 'xla' | 'mxu' | 'hybrid' (ops/fft.py) — the azimuth passes
+    are exactly the axis=-2 case the MXU einsum accelerates.
     Returns (..., P, Ns/n) — range-sharded SLC.
     """
+    from nis_sar_amtigmti_video_tpu.ops.fft import get_impl
+    fft, ifft = get_impl(fft_impl)
     s = corner_turn_local(phist_local, axis_name, to_range_sharded=True)
-    s = jnp.fft.fft(s, axis=-2) * phi1_cols
+    s = fft(s, axis=-2) * phi1_cols
     s = corner_turn_local(s, axis_name, to_range_sharded=False)
-    s = jnp.fft.fft(s, axis=-1) * phi2_rows
-    s = jnp.fft.ifft(s, axis=-1) * phi3_rows
+    s = fft(s, axis=-1) * phi2_rows
+    s = ifft(s, axis=-1) * phi3_rows
     s = corner_turn_local(s, axis_name, to_range_sharded=True)
-    return jnp.fft.ifft(s, axis=-2)
+    return ifft(s, axis=-2)
 
 
-def csa_sharded(phist, phases: CsaPhases, mesh: Mesh, axis: str = "seq"):
+def csa_sharded(phist, phases: CsaPhases, mesh: Mesh, axis: str = "seq",
+                fft_impl: str = "xla"):
     """Sequence-parallel CSA: raw (..., P, Ns) sharded on the pulse axis over
     ``axis``; returns SLC (..., P, Ns) sharded on the range axis.
 
@@ -68,7 +74,7 @@ def csa_sharded(phist, phases: CsaPhases, mesh: Mesh, axis: str = "seq"):
     """
     nbatch = phist.ndim - 2
     lead = [None] * nbatch
-    body = partial(csa_local, axis_name=axis)
+    body = partial(csa_local, axis_name=axis, fft_impl=fft_impl)
     spec_pulse = P(*lead, axis, None)
     spec_range = P(*lead, None, axis)
     f = jax.shard_map(

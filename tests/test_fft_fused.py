@@ -73,3 +73,14 @@ class TestFusedCsa:
         a = cplx.to_host(csa_ops.apply_csa(raw, csa_ops.csa_phases(p)))
         b = cplx.to_host(csa_ops.apply_csa_fused(raw, csa_ops.csa_factors(p)))
         assert np.abs(a - b).max() / np.abs(a).max() < 1e-4
+
+
+class TestFftImplRegressions:
+    def test_unknown_impl_raises(self):
+        with pytest.raises(ValueError, match="unknown fft impl"):
+            mfft.get_impl("hybird")
+
+    def test_known_impls(self):
+        for name in ("xla", "mxu", "hybrid"):
+            f, fi = mfft.get_impl(name)
+            assert callable(f) and callable(fi)

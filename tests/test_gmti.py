@@ -155,3 +155,30 @@ class TestCrt:
         vmap_, res = crt.solve_map(jnp.asarray(p1), jnp.asarray(p2), lam,
                                    v_amb, r1, r2, k_range=30)
         np.testing.assert_allclose(np.asarray(vmap_), v, atol=0.05)
+
+
+class TestReviewRegressions:
+    def test_detection_list_batched(self):
+        """Batched (F, H, W) CFAR stacks: per-image top-k, no crash."""
+        power = jnp.zeros((3, 32, 32))
+        power = power.at[0, 5, 7].set(500.0).at[2, 20, 11].set(400.0)
+        res = cfar.ca_cfar(power, cfar.CfarParams(guard=1, train=3, pfa=1e-4))
+        rows, cols, snrs = cfar.detection_list(res, max_detections=4)
+        assert rows.shape == (3, 4)
+        assert int(rows[0, 0]) == 5 and int(cols[0, 0]) == 7
+        assert int(rows[1, 0]) == -1              # empty frame padded
+        assert int(rows[2, 0]) == 20 and int(cols[2, 0]) == 11
+
+    def test_pulse_shift_zero(self):
+        a = jnp.ones((4, 8), jnp.complex64)
+        b = jnp.ones((4, 8), jnp.complex64) * 2
+        r1, r2 = dpca.pulse_shift_coregister(a, b, shift_pulses=0)
+        assert r1.shape == r2.shape == (4, 8)
+
+    def test_cfar_precision_after_bright_target(self):
+        """A 100 dB scatterer must not poison training sums downstream."""
+        power = jnp.full((64, 64), 1.0).at[5, 5].set(1e10)
+        res = cfar.ca_cfar(power, cfar.CfarParams(guard=2, train=6, pfa=1e-6))
+        noise = np.asarray(res.noise)
+        # cells far from the target keep a ~1.0 noise estimate
+        assert np.allclose(noise[40:, 40:], 1.0, atol=1e-3)
