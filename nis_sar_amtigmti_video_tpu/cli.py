@@ -51,6 +51,7 @@ def cmd_stripmap(args):
     sc = cfg.satellite_stripmap()
     if args.small:
         sc = _small_radar(sc)
+    sc = _apply_fast_sim(sc)
     tgt = T.destroyer().rotate_z(90.0)
     key = jax.random.PRNGKey(args.seed) if not args.no_noise else None
     t0 = time.time()
@@ -94,6 +95,7 @@ def cmd_moving(args):
     sc = cfg.satellite_moving()
     if args.small:
         sc = _small_radar(sc)
+    sc = _apply_fast_sim(sc)
     base = T.destroyer()
     speed = 15.0
     scenarios = [("stationary", 0.0, 0.0), ("moving_0deg", 0.0, speed),
@@ -124,6 +126,7 @@ def cmd_ati_dpca(args):
     sc = cfg.ati_dpca()
     if args.small:
         sc = _small_radar(sc)
+    sc = _apply_fast_sim(sc)
     rng = np.random.default_rng(args.seed)
     ship = T.destroyer()
     clut = (ocean_clutter_field(rng, num_points=args.clutter)
@@ -160,6 +163,7 @@ def cmd_videosar(args):
             processing=dataclasses.replace(sc.processing, bp_grid=128,
                                            bp_scene_size_m=500.0),
             video=cfg.VideoConfig(duration_s=2.0, fps=5.0, cpi_s=0.4))
+    sc = _apply_fast_sim(sc)
     key = jax.random.PRNGKey(args.seed) if not args.no_noise else None
     t0 = time.time()
     out = videosar.run(sc, T.destroyer(), heading_deg=args.heading,
@@ -197,6 +201,7 @@ def cmd_videosar_batch(args):
                                         window_length_s=512 / 150e6),
             processing=dataclasses.replace(sc.processing, bp_grid=96),
             video=cfg.VideoConfig(duration_s=1.2, fps=5.0, cpi_s=0.4))
+    sc = _apply_fast_sim(sc)
 
     # vehicle matrix entries mirror sar_batch_sim.py:267-288 (incl. the
     # commented-out aircraft rows, available here)
@@ -364,6 +369,10 @@ def main(argv=None):
     ap.add_argument("--small", action="store_true",
                     help="reduced waveform/aperture for quick runs")
     ap.add_argument("--no-noise", action="store_true")
+    ap.add_argument("--fast-sim", action="store_true",
+                    help="use the approximate NUFFT echo backend (~50x "
+                         "faster for clutter-heavy scenes; uniform-grid "
+                         "window modes only)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("stripmap").set_defaults(fn=cmd_stripmap)
@@ -428,7 +437,21 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
+    if args.fast_sim:
+        global _FAST_SIM
+        _FAST_SIM = True
     args.fn(args)
+
+
+_FAST_SIM = False
+
+
+def _apply_fast_sim(sc):
+    """Switch a scenario to the NUFFT echo backend (uniform window grids)."""
+    if not _FAST_SIM:
+        return sc
+    return sc.replace(collect=dataclasses.replace(
+        sc.collect, window_start_mode="centered", echo_backend="freq"))
 
 
 if __name__ == "__main__":

@@ -118,6 +118,8 @@ class CollectConfig:
     window_start_mode: str = "reference"  # 'reference': 2R0/c - Tp/2 - 1us
                                           # 'centered':  2R0/c - win/2 (sar_batch_sim.py:89)
     even_pulses: bool = True              # round pulse count up to even (FFT-friendly)
+    echo_backend: str = "jnp"             # 'jnp' | 'pallas' | 'freq' (ops/echo.py)
+    echo_oversample: int = 4              # 'freq' backend spreading oversample
 
     def num_pulses(self, prf_hz: float) -> int:
         n = int(math.ceil(self.integration_time_s * prf_hz))

@@ -42,7 +42,8 @@ def echo_opts_for(sc: ScenarioConfig) -> EchoOpts:
         fc_hz=r.fc_hz, chirp_rate=r.chirp_rate, pulse_width_s=r.pulse_width_s,
         fs_hz=r.fs_hz, num_samples=c.num_samples(r.fs_hz),
         endpoint_grid=(c.window_start_mode == "reference"),
-        chirp_centering="leading", amplitude="sqrt_rcs")
+        chirp_centering="leading", amplitude="sqrt_rcs",
+        backend=c.echo_backend, freq_oversample=c.echo_oversample)
 
 
 def simulate_raw(sc: ScenarioConfig, targets: PointTargets, *,
