@@ -32,8 +32,9 @@ import numpy as np
 
 
 def _small_radar(sc, n_pulses=256, n_samples=768):
+    # BW must stay below fs (physical waveform; the reference uses fs=1.2*BW)
     return sc.replace(
-        radar=dataclasses.replace(sc.radar, bandwidth_hz=300e6,
+        radar=dataclasses.replace(sc.radar, bandwidth_hz=120e6,
                                   pulse_width_s=2e-6, fs_hz=150e6),
         collect=dataclasses.replace(sc.collect,
                                     integration_time_s=n_pulses / sc.radar.prf_hz,

@@ -25,11 +25,18 @@ def _h(x):
     return cplx.to_host(x) if x is not None else None
 
 
+def _savez(path, **arrays):
+    """np.savez with None entries omitted — savez would silently pickle None
+    into an object array that every default (allow_pickle=False) np.load
+    rejects, breaking the viewers on files this framework itself wrote."""
+    np.savez(path, **{k: v for k, v in arrays.items() if v is not None})
+
+
 def write_satellite_products(path: str, prod, sc: ScenarioConfig):
     """Schema of sar_satellite_data.npz (sar_satellite_sim.py:483-500)."""
     g, r = sc.geometry, sc.radar
     inter = prod.intermediates
-    np.savez(
+    _savez(
         path,
         raw_phist=_h(prod.raw),
         range_comp=_h(inter.compressed) if inter else None,
@@ -54,7 +61,7 @@ def write_vehicle_products(path: str, prod, sc: ScenarioConfig):
     """Schema of sar_simulation_data.npz (sar_vehicle_sim.py:290-306)."""
     g, r = sc.geometry, sc.radar
     inter = prod.intermediates
-    np.savez(
+    _savez(
         path,
         raw_phist=_h(prod.raw).T,
         range_comp=_h(inter.compressed).T if inter else None,
@@ -127,34 +134,41 @@ def write_video_frames(out_dir: str, frames, prefix: str = "frame",
     if async_spill and spiller is None:
         from nis_sar_amtigmti_video_tpu import native
         own = spiller = native.FrameSpiller()
-    for i in range(frames.shape[0]):
-        pth = os.path.join(out_dir, f"{prefix}_{i:03d}.npy")
-        if spiller is not None:
-            spiller.submit(pth, frames[i])
-        else:
-            np.save(pth, frames[i])
-        paths.append(pth)
-    if own is not None:
-        own.wait()
-        if own.errors:
-            raise IOError(f"frame spiller reported {own.errors} write errors")
-        own.close()
+    try:
+        for i in range(frames.shape[0]):
+            pth = os.path.join(out_dir, f"{prefix}_{i:05d}.npy")
+            if spiller is not None:
+                spiller.submit(pth, frames[i])
+            else:
+                np.save(pth, frames[i])
+            paths.append(pth)
+        if own is not None:
+            own.wait()
+            if own.errors:
+                raise IOError(
+                    f"frame spiller reported {own.errors} write errors")
+    finally:
+        if own is not None:
+            own.close()
     return paths
 
 
 def read_video_frames(out_dir: str, prefix: str = "frame"):
-    """Load an (possibly partial) frame stack; returns (indices, frames)."""
+    """Load an (possibly partial) frame stack; returns (indices, frames)
+    sorted by frame *index* (numeric, not lexicographic — zero-padding can
+    differ across writers/campaign sizes)."""
     import re
     pat = re.compile(rf"{re.escape(prefix)}_(\d+)\.npy$")
     found = []
-    for name in sorted(os.listdir(out_dir)):
+    for name in os.listdir(out_dir):
         m = pat.match(name)
         if m:
-            found.append((int(m.group(1)), np.load(os.path.join(out_dir, name))))
+            found.append((int(m.group(1)), os.path.join(out_dir, name)))
     if not found:
         return np.array([], np.int64), np.zeros((0,))
-    idx, arrs = zip(*found)
-    return np.asarray(idx), np.stack(arrs)
+    found.sort(key=lambda t: t[0])
+    idx = np.asarray([i for i, _ in found])
+    return idx, np.stack([np.load(p) for _, p in found])
 
 
 def missing_frames(out_dir: str, num_frames: int, prefix: str = "frame"):

@@ -45,11 +45,16 @@ def product_sharding(mesh: Mesh) -> NamedSharding:
 
 def make_gmti_step(mesh: Mesh, p: csa_ops.CsaParams,
                    cfar_params: cfar_mod.CfarParams = cfar_mod.CfarParams(),
-                   mask_threshold: float = 0.05, fft_impl: str = "xla"):
+                   mask_threshold: float = 0.05, fft_impl: str = "xla",
+                   shift_pulses: int = 1):
     """Jitted sharded step: (F, C=2, P, Ns) complex64 raw -> products.
 
-    The caller shards the input with :func:`raw_sharding` (or lets jit
-    insert the transfer). P and Ns must divide by the 'seq' axis size.
+    The DPCA one-pulse-shift co-registration (gmti/dpca.py) is applied
+    first, exactly as the single-device pipeline does, so ``p.num_pulses``
+    must equal P - shift_pulses, and both (P - shift_pulses) and Ns must
+    divide by the 'seq' axis size. Pass shift_pulses=0 for pre-coregistered
+    input. The caller shards the input with :func:`raw_sharding` (or lets
+    jit insert the transfer).
     """
     phases = csa_ops.csa_phases(p)
 
@@ -71,12 +76,21 @@ def make_gmti_step(mesh: Mesh, p: csa_ops.CsaParams,
         phase = jnp.where(mag1 > mask_threshold * peak, jnp.angle(ifg), 0.0)
 
         diff = s1 - s2
-        det = cfar_mod.ca_cfar(jnp.abs(diff) ** 2, cfar_params)
+        # CFAR training windows cross range-shard boundaries: gather the full
+        # range axis, detect, then slice the local shard back — identical to
+        # the single-device detector (no zero-padded internal borders).
+        diff_full = jax.lax.all_gather(jnp.abs(diff) ** 2, "seq", axis=-1,
+                                       tiled=True)
+        det_full = cfar_mod.ca_cfar(diff_full, cfar_params)
+        ns_local = diff.shape[-1]
+        start = jax.lax.axis_index("seq") * ns_local
+        snr_local = jax.lax.dynamic_slice_in_dim(det_full.snr, start,
+                                                 ns_local, axis=-1)
         c_num = jax.lax.psum(jnp.sum(mag1), ("data", "chan", "seq"))
         c_den = jax.lax.psum(jnp.sum(jnp.abs(diff)), ("data", "chan", "seq"))
         cancel = (c_num / (c_den + 1e-30)) * jnp.ones((), jnp.float32)
         return (jnp.abs(diff), phase.astype(jnp.float32),
-                det.snr.astype(jnp.float32), cancel)
+                snr_local.astype(jnp.float32), cancel)
 
     sharded = jax.shard_map(
         body, mesh=mesh,
@@ -88,6 +102,9 @@ def make_gmti_step(mesh: Mesh, p: csa_ops.CsaParams,
 
     @jax.jit
     def step(raw):
+        if shift_pulses:
+            s = shift_pulses
+            raw = jnp.stack([raw[:, 0, s:, :], raw[:, 1, :-s, :]], axis=1)
         return ShardedGmtiOutputs(*sharded(raw, phases.phi1, phases.phi2,
                                            phases.phi3))
 

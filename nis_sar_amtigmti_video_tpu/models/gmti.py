@@ -89,11 +89,14 @@ def focus_and_products(raw2ch, sc: ScenarioConfig, t0: float, *,
     diff = dpca.dpca_difference(slc1, slc2)
     dmag = jnp.abs(diff)
 
-    v_amb = velocity.ambiguous_velocity(r.wavelength_m,
-                                        g.effective_velocity_mps,
+    # velocity inversion uses the *phase-center progression* speed (the
+    # platform's true along-track velocity): the channel lag is B/(2*V_sat),
+    # set by where the phase centers physically are — not the curved-earth
+    # focusing velocity V_eff (which would bias v_r by ~2.6% at 350 km)
+    v_platform = g.speed_mps
+    v_amb = velocity.ambiguous_velocity(r.wavelength_m, v_platform,
                                         sc.channels.baseline_m)
-    vmap_ = velocity.velocity_from_phase(phase, r.wavelength_m,
-                                         g.effective_velocity_mps,
+    vmap_ = velocity.velocity_from_phase(phase, r.wavelength_m, v_platform,
                                          sc.channels.baseline_m)
     det = cfar.ca_cfar(dmag ** 2, cfar_params)
     ratio = dpca.cancellation_ratio(slc1, diff)

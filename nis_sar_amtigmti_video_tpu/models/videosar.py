@@ -5,12 +5,14 @@ SURVEY.md §3.3): a 5 s collect at PRF 5 kHz becomes 50 half-second CPIs at
 10 fps (80% overlap), each focused by moving-grid backprojection (mBP),
 standard BP, or CSA.
 
-TPU design: the collect's pulse stream is simulated once; frames are gathered
-as a (F, cpi, Ns) batch and formation is vmapped over the leading frame axis —
-which XLA shards over the mesh 'data' axis (see parallel/). Frames are
-processed in bounded-size batches so HBM never holds the full overlapped
-stack; each batch is a self-contained re-driveable unit (failure recovery =
-re-run the batch).
+TPU design: each pulse of the collect is simulated exactly once — the stream
+is synthesized in step-sized segments that a rolling cache assembles into the
+80%-overlapped CPIs (5 overlapping frames share every segment; re-simulating
+per frame would multiply the dominant echo cost ~5x). Formation is vmapped
+over the leading frame axis — which XLA shards over the mesh 'data' axis
+(see parallel/). Frames are processed in bounded-size batches so HBM never
+holds the full overlapped stack; each batch is a self-contained re-driveable
+unit (failure recovery = re-run the batch).
 """
 
 from __future__ import annotations
@@ -139,6 +141,42 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
     vel_focus = vel_tgt if algorithm == "mbp" else np.zeros(3)
     p_bp = bp_params_for(sc, opts, precision)
 
+    # Overlapped CPIs share pulses: synthesize the stream once, in step-sized
+    # segments, and assemble each frame from its cached segments (the default
+    # 80% overlap would otherwise re-simulate every pulse ~5x). Noise is
+    # still drawn per frame on the assembled CPI, matching the reference.
+    step = sched.step_pulses
+    use_segments = (sched.num_frames > 1 and sched.cpi_pulses % step == 0
+                    and all(int(s) % step == 0 for s in sched.starts))
+    segs_per_cpi = sched.cpi_pulses // step if use_segments else 0
+    seg_cache = {}
+
+    def segment(s):
+        if s not in seg_cache:
+            sl = traj.slice(s * step, (s + 1) * step)
+            seg_cache[s] = phase_history(sl, tgt, opts, t_start=t0,
+                                         target_velocity=vel_tgt)
+        return seg_cache[s]
+
+    def frame_raw(f):
+        if use_segments:
+            s0 = int(sched.starts[f]) // step
+            raw = jnp.concatenate([segment(s0 + j)
+                                   for j in range(segs_per_cpi)], axis=0)
+            for s in [k for k in seg_cache if k < s0]:
+                del seg_cache[s]   # earlier frames never need them again
+            kf = None if key is None else jax.random.fold_in(key, f)
+            if kf is not None and snr_raw is not None:
+                raw = noise_ops.add_ocean_noise(kf, raw, snr_raw,
+                                                sc.noise.scr_db,
+                                                sc.noise.k_shape,
+                                                ref_power_mode="peak")
+            return raw
+        sl = traj.slice(int(sched.starts[f]),
+                        int(sched.starts[f]) + sched.cpi_pulses)
+        kf = None if key is None else jax.random.fold_in(key, f)
+        return simulate_cpi(sc, tgt, sl, opts, t0, vel_tgt, kf, snr_raw)
+
     images = []
     f_total = sched.num_frames
     for b0 in range(0, f_total, frames_per_batch):
@@ -147,9 +185,7 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
         for f in range(b0, b1):
             i0 = int(sched.starts[f])
             sl = traj.slice(i0, i0 + sched.cpi_pulses)
-            kf = None if key is None else jax.random.fold_in(key, f)
-            raws.append(simulate_cpi(sc, tgt, sl, opts, t0, vel_tgt, kf,
-                                     snr_raw))
+            raws.append(frame_raw(f))
             poss.append(sl.positions); vels.append(sl.velocities); ts.append(sl.times)
         raw_b = jnp.stack(raws)
         pos_b = jnp.asarray(np.stack(poss))

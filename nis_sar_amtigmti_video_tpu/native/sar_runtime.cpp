@@ -116,7 +116,13 @@ struct Spiller {
         if (w != job.bytes.size()) errors.fetch_add(1);
         std::fclose(f);
       }
-      if (pending.fetch_sub(1) == 1) cv_done.notify_all();
+      // decrement + notify under the mutex: notifying outside it races with
+      // a waiter that has checked the predicate but not yet blocked
+      // (lost-wakeup), hanging spiller_wait() forever.
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (pending.fetch_sub(1) == 1) cv_done.notify_all();
+      }
     }
   }
 

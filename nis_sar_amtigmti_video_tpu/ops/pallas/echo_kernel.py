@@ -5,15 +5,25 @@ The echo hot loop evaluates, for every (pulse, target, sample),
     acc += amp * gate(|t - tau - shift| <= Tp/2) * exp(j*(carrier + pi*K*(t-tau-shift)^2))
 
 The jnp path materializes (pulse_chunk x target_chunk x Ns) f32 temporaries
-in HBM between fusion boundaries; this kernel keeps the whole accumulation
-in VMEM: each grid step owns a (pulse_tile x Ns) accumulator pair and loops
-targets with pure VPU math — HBM sees only the per-(pulse,target) scalars in
-and the finished pulse rows out.
+in HBM between fusion boundaries; this kernel keeps the accumulation in
+VMEM: each grid step owns an (Ns_tile x pulse_tile) accumulator pair and
+reduces a target chunk with pure VPU math — HBM sees only the
+per-(pulse,target) scalars in and the finished tiles out.
+
+Mosaic layout rules shape the design (learned on hardware):
+  * dynamic indexing is only legal on sublane-ish dims, never the lane dim —
+    so the per-target scalars are laid out (targets, pulses) and each target
+    is a (1, pulse_tile) row read;
+  * the compute tile is (range, pulse) — fast-time as a column, pulses on
+    lanes — so no in-kernel transposes are needed; the final (Ns, P) buffer
+    is transposed back to (P, Ns) by XLA once;
+  * targets reduce over the *last* grid dimension with output revisiting
+    (accumulate into out_ref, zero-init at k==0).
 
 Complex is carried as separate re/im planes (Mosaic has no complex dtype).
 Used by ops/echo.py as the ``pallas`` backend; numerically identical to the
-jnp backend at f32 rounding (tested in tests/test_pallas.py, interpret mode
-on CPU + compiled on TPU).
+jnp backend at f32 rounding (tests/test_pallas.py: interpret mode on CPU;
+compiled on TPU by scripts/probe_pallas.py).
 """
 
 from __future__ import annotations
@@ -28,31 +38,41 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _echo_kernel(tau_ref, car_ref, amp_ref, tfast_ref, out_re_ref, out_im_ref,
-                 *, k_pi: float, shift: float, half: float, num_targets: int):
-    """One pulse-tile: accumulate all targets into the (PT, Ns) tile."""
-    t_fast = tfast_ref[:]                       # (1, Ns)
+                 *, k_pi: float, shift: float, half: float,
+                 target_tile: int):
+    """Accumulate one target chunk into the (Ns_tile, pulse_tile) tile."""
+    k = pl.program_id(2)
 
-    def body(b, acc):
-        acc_re, acc_im = acc
-        tau_b = tau_ref[:, b][:, None]          # (PT, 1)
-        car_b = car_ref[:, b][:, None]
-        amp_b = amp_ref[:, b][:, None]
-        arg = (t_fast - tau_b) - shift          # (PT, Ns)
+    @pl.when(k == 0)
+    def _():
+        out_re_ref[:] = jnp.zeros_like(out_re_ref)
+        out_im_ref[:] = jnp.zeros_like(out_im_ref)
+
+    t_fast = tfast_ref[:]                        # (Ns_tile, 1)
+
+    def body(b, carry):
+        tau_b = tau_ref[pl.ds(b, 1), :]          # (1, pulse_tile)
+        car_b = car_ref[pl.ds(b, 1), :]
+        amp_b = amp_ref[pl.ds(b, 1), :]
+        arg = (t_fast - tau_b) - shift           # (Ns_tile, pulse_tile)
         gate = jnp.abs(arg) <= half
         phase = car_b + k_pi * (arg * arg)
         a = jnp.where(gate, amp_b, 0.0)
-        return (acc_re + a * jnp.cos(phase), acc_im + a * jnp.sin(phase))
+        out_re_ref[:] = out_re_ref[:] + a * jnp.cos(phase)
+        out_im_ref[:] = out_im_ref[:] + a * jnp.sin(phase)
+        return carry
 
-    zero = jnp.zeros(out_re_ref.shape, jnp.float32)
-    acc_re, acc_im = jax.lax.fori_loop(0, num_targets, body, (zero, zero))
-    out_re_ref[:] = acc_re
-    out_im_ref[:] = acc_im
+    # int32 bounds/carry: the package enables x64, and Python-int loop
+    # state lowers to i64, which Mosaic cannot legalize
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(target_tile), body,
+                      jnp.int32(0))
 
 
 @partial(jax.jit, static_argnames=("k_pi", "shift", "half", "pulse_tile",
-                                   "interpret"))
+                                   "ns_tile", "target_tile", "interpret"))
 def echo_accumulate(tau_rel, carrier, amp, t_fast, *, k_pi: float,
-                    shift: float, half: float, pulse_tile: int = 8,
+                    shift: float, half: float, pulse_tile: int = 128,
+                    ns_tile: int = 512, target_tile: int = 1024,
                     interpret: bool = False):
     """Fused echo accumulation.
 
@@ -62,37 +82,51 @@ def echo_accumulate(tau_rel, carrier, amp, t_fast, *, k_pi: float,
     """
     num_p, num_b = tau_rel.shape
     ns = t_fast.shape[0]
-    pt = max(1, min(pulse_tile, num_p))
-    p_pad = -(-num_p // pt) * pt
-    if p_pad != num_p:
-        pad = [(0, p_pad - num_p), (0, 0)]
-        tau_rel = jnp.pad(tau_rel, pad, mode="edge")
-        carrier = jnp.pad(carrier, pad, mode="edge")
-        amp = jnp.pad(amp, pad)              # zero amp: no contribution
 
-    grid = (p_pad // pt,)
+    pt = min(pulse_tile, max(8, num_p))
+    nt = min(ns_tile, max(8, ns))
+    tb = min(target_tile, num_b)
+    p_pad = -(-num_p // pt) * pt
+    ns_pad = -(-ns // nt) * nt
+    b_pad = -(-num_b // tb) * tb
+
+    def pad_t(x, fill_edge):
+        """(P, B) -> (B_pad, P_pad) transposed + padded."""
+        x = jnp.pad(x, [(0, p_pad - num_p), (0, b_pad - num_b)],
+                    mode="edge" if fill_edge else "constant")
+        return jnp.swapaxes(x, 0, 1)
+
+    tau_t = pad_t(tau_rel, True)
+    car_t = pad_t(carrier, True)
+    amp_t = pad_t(amp, False)        # zero amp: padded targets contribute 0
+    tf_col = jnp.pad(t_fast, (0, ns_pad - ns),
+                     constant_values=-1.0)[:, None]   # (Ns_pad, 1)
+
+    grid = (p_pad // pt, ns_pad // nt, b_pad // tb)
     kernel = partial(_echo_kernel, k_pi=k_pi, shift=shift, half=half,
-                     num_targets=num_b)
-    out_shape = [jax.ShapeDtypeStruct((p_pad, ns), jnp.float32)] * 2
-    re, im = pl.pallas_call(
+                     target_tile=tb)
+    out_shape = [jax.ShapeDtypeStruct((ns_pad, p_pad), jnp.float32)] * 2
+    re_t, im_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((pt, num_b), lambda i: (i, 0),
+            pl.BlockSpec((tb, pt), lambda i, j, k: (k, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((pt, num_b), lambda i: (i, 0),
+            pl.BlockSpec((tb, pt), lambda i, j, k: (k, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((pt, num_b), lambda i: (i, 0),
+            pl.BlockSpec((tb, pt), lambda i, j, k: (k, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ns), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, 1), lambda i, j, k: (j, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((pt, ns), lambda i: (i, 0),
+            pl.BlockSpec((nt, pt), lambda i, j, k: (j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((pt, ns), lambda i: (i, 0),
+            pl.BlockSpec((nt, pt), lambda i, j, k: (j, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
         interpret=interpret,
-    )(tau_rel, carrier, amp, t_fast[None, :])
-    return jax.lax.complex(re[:num_p], im[:num_p])
+    )(tau_t, car_t, amp_t, tf_col)
+    raw = jax.lax.complex(jnp.swapaxes(re_t, 0, 1), jnp.swapaxes(im_t, 0, 1))
+    return raw[:num_p, :ns]

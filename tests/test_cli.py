@@ -58,6 +58,6 @@ class TestPipelineCommands:
         main(["--out", str(tmp_path), "--small", "--no-noise", "videosar",
               "--frames", "2", "--algo", "stdbp"])
         frame_dir = tmp_path / "frames_Destroyer_15_0_stdbp"
-        assert (frame_dir / "frame_000.npy").exists()
+        assert (frame_dir / "frame_00000.npy").exists()
         main(["--out", str(tmp_path), "view", str(frame_dir)])
         assert (tmp_path / "frames_Destroyer_15_0_stdbp.gif").exists()

@@ -39,7 +39,7 @@ class TestShardedGmti:
                               (n_f, 2, n_az, n_rg), jnp.float32))
 
         mesh = mesh_mod.make_mesh((2, 2, 2))
-        step = distributed.make_gmti_step(mesh, p)
+        step = distributed.make_gmti_step(mesh, p, shift_pulses=0)
         out = step(jax.device_put(raw, distributed.raw_sharding(mesh)))
 
         # single-device reference with matching (global-mean) balance
@@ -64,6 +64,38 @@ class TestShardedGmti:
         np.testing.assert_allclose(got_phase[strong], want_phase[strong],
                                    atol=2e-3)
         assert np.isfinite(float(np.asarray(out.cancellation)))
+        # CFAR must equal the single-device detector (halo-complete, no
+        # zero-padded internal shard borders)
+        from nis_sar_amtigmti_video_tpu.gmti import cfar as cfar_mod
+        det = cfar_mod.ca_cfar(jnp.abs(diff) ** 2, cfar_mod.CfarParams())
+        np.testing.assert_allclose(cplx.to_host(out.cfar_snr),
+                                   cplx.to_host(det.snr), rtol=2e-3,
+                                   atol=1e-3)
+
+    def test_dpca_shift_applied(self):
+        """With shift_pulses=1 the step must cancel a DPCA-coherent pair:
+        build channels where ch1[k+1] == ch2[k]; after the shift the
+        difference is ~0 while the unshifted difference is large."""
+        n_az, n_rg, n_f = 33, 64, 2   # 33 pulses -> 32 after shift (div by 2)
+        p = _params(n_az - 1, n_rg)
+        key = jax.random.PRNGKey(9)
+        base = jax.lax.complex(
+            jax.random.normal(key, (n_f, n_az, n_rg), jnp.float32),
+            jax.random.normal(jax.random.fold_in(key, 1),
+                              (n_f, n_az, n_rg), jnp.float32))
+        ch1 = base
+        ch2 = jnp.roll(base, -1, axis=1)  # ch2[k] == ch1[k+1] -> ch1[1:] == ch2[:-1]
+        raw = jnp.stack([ch1, ch2], axis=1)
+        mesh = mesh_mod.make_mesh((2, 2, 2))
+        step = distributed.make_gmti_step(mesh, p, shift_pulses=1)
+        # pre-shift P=33 is not seq-divisible; jit inserts the reshard after
+        # the in-step co-registration slice
+        out = step(raw)
+        dpca = cplx.to_host(out.dpca_mag)
+        s_ref = np.abs(cplx.to_host(csa_ops.apply_csa(
+            base[:, 1:], csa_ops.csa_phases(p))))
+        # cancellation deep: DPCA residual tiny relative to the SLC field
+        assert dpca.max() < 1e-3 * s_ref.max()
 
     def test_videosar_step(self):
         n_az, n_rg, n_f = 32, 64, 8

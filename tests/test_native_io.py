@@ -73,8 +73,8 @@ class TestProductIO:
         frames = np.zeros((4, 8, 8), np.complex64)
         d = str(tmp_path / "frames")
         products.write_video_frames(d, frames)
-        os.remove(os.path.join(d, "frame_001.npy"))
-        os.remove(os.path.join(d, "frame_003.npy"))
+        os.remove(os.path.join(d, "frame_00001.npy"))
+        os.remove(os.path.join(d, "frame_00003.npy"))
         assert products.missing_frames(d, 4) == [1, 3]
         assert products.missing_frames(str(tmp_path / "nowhere"), 3) == [0, 1, 2]
 
