@@ -40,8 +40,9 @@ def main():
         collect=dataclasses.replace(sc.collect, integration_time_s=192 / 6000.0,
                                     window_length_s=512 / 150e6))
     g, r = sc.geometry, sc.radar
-    v_amb = velocity.ambiguous_velocity(r.wavelength_m,
-                                        g.effective_velocity_mps,
+    # phase-center progression speed (V_sat) sets the ATI lag, not V_eff
+    v_plat = g.orbital_velocity_mps
+    v_amb = velocity.ambiguous_velocity(r.wavelength_m, v_plat,
                                         sc.channels.baseline_m)
     print(f"v_amb = {v_amb:.2f} m/s")
 
@@ -56,8 +57,7 @@ def main():
         ph = cplx.to_host(prod.ati_phase)
         iy, ix = np.unravel_index(s1.argmax(), s1.shape)
         got.append(ph[iy, ix])
-        w = velocity.phase_from_velocity(-v, r.wavelength_m,
-                                         g.effective_velocity_mps,
+        w = velocity.phase_from_velocity(-v, r.wavelength_m, v_plat,
                                          sc.channels.baseline_m)
         want.append(np.angle(np.exp(1j * w)))
         print(f"  v_r={-v:+6.2f} m/s  phase got={got[-1]:+.3f} want={want[-1]:+.3f}")

@@ -138,6 +138,18 @@ def cmd_ati_dpca(args):
     products.write_ati_dpca_products(out, prod)
     png = render.save_gmti_panel(os.path.join(args.out, "gmti_panel.png"),
                                  prod)
+    # the reference's three standalone plots, same filenames/colormaps
+    # (sar_ati_dcpa_sim_csa.py:446-451)
+    from nis_sar_amtigmti_video_tpu.utils import cplx as _cplx
+    s1 = _cplx.to_host(prod.slc1)
+    render.save_image(os.path.join(args.out, "csa_sar_ati_ch1_mag.png"),
+                      np.abs(s1), title="CSA Channel 1 Magnitude", cmap="bone")
+    render.save_image(os.path.join(args.out, "csa_sar_ati_phase.png"),
+                      _cplx.to_host(prod.ati_phase), title="CSA ATI Phase",
+                      is_phase=True)
+    render.save_image(os.path.join(args.out, "csa_sar_dpca_diff.png"),
+                      _cplx.to_host(prod.dpca_mag),
+                      title="CSA DPCA Difference", cmap="magma")
     from nis_sar_amtigmti_video_tpu.utils import cplx
     ratio = float(np.asarray(cplx.to_host(prod.cancellation_ratio)))
     print(f"ati-dpca: {time.time()-t0:.1f}s, cancellation "

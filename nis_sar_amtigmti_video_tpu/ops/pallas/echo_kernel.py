@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _echo_kernel(tau_ref, car_ref, amp_ref, tfast_ref, out_re_ref, out_im_ref,
+def echo_kernel_body(tau_ref, car_ref, amp_ref, tfast_ref, out_re_ref, out_im_ref,
                  *, k_pi: float, shift: float, half: float,
                  target_tile: int):
     """Accumulate one target chunk into the (Ns_tile, pulse_tile) tile."""
@@ -48,7 +48,7 @@ def _echo_kernel(tau_ref, car_ref, amp_ref, tfast_ref, out_re_ref, out_im_ref,
         out_re_ref[:] = jnp.zeros_like(out_re_ref)
         out_im_ref[:] = jnp.zeros_like(out_im_ref)
 
-    t_fast = tfast_ref[:]                        # (Ns_tile, 1)
+    t_fast = tfast_ref[:]                        # (Ns_tile, pulse_tile)
 
     def body(b, carry):
         tau_b = tau_ref[pl.ds(b, 1), :]          # (1, pulse_tile)
@@ -99,11 +99,18 @@ def echo_accumulate(tau_rel, carrier, amp, t_fast, *, k_pi: float,
     tau_t = pad_t(tau_rel, True)
     car_t = pad_t(carrier, True)
     amp_t = pad_t(amp, False)        # zero amp: padded targets contribute 0
-    tf_col = jnp.pad(t_fast, (0, ns_pad - ns),
-                     constant_values=-1.0)[:, None]   # (Ns_pad, 1)
+    # lane-replicated fast-time column: Mosaic dislikes lane-dim-1 blocks.
+    tf_col = jnp.broadcast_to(
+        jnp.pad(t_fast, (0, ns_pad - ns), constant_values=-1.0)[:, None],
+        (ns_pad, pt))
+    # optimization_barrier materializes all operands — fused pad/transpose/
+    # broadcast producers handed straight to pallas_call have tripped Mosaic
+    # legalization ('func.return' i32/i64) on the v5e toolchain
+    tau_t, car_t, amp_t, tf_col = jax.lax.optimization_barrier(
+        (tau_t, car_t, amp_t, tf_col))
 
     grid = (p_pad // pt, ns_pad // nt, b_pad // tb)
-    kernel = partial(_echo_kernel, k_pi=k_pi, shift=shift, half=half,
+    kernel = partial(echo_kernel_body, k_pi=k_pi, shift=shift, half=half,
                      target_tile=tb)
     out_shape = [jax.ShapeDtypeStruct((ns_pad, p_pad), jnp.float32)] * 2
     re_t, im_t = pl.pallas_call(
@@ -116,7 +123,7 @@ def echo_accumulate(tau_rel, carrier, amp, t_fast, *, k_pi: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, pt), lambda i, j, k: (k, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, 1), lambda i, j, k: (j, 0),
+            pl.BlockSpec((nt, pt), lambda i, j, k: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
