@@ -134,6 +134,8 @@ def cmd_ati_dpca(args):
             if args.clutter > 0 else None)
     t0 = time.time()
     prod = gmti_model.run(sc, ship, (15.0, 0.0, 0.0), clut)
+    if _RUNLOG is not None:
+        _RUNLOG.params(sc)
     out = os.path.join(args.out, "sar_ati_dpca_data_csa.npz")
     products.write_ati_dpca_products(out, prod)
     png = render.save_gmti_panel(os.path.join(args.out, "gmti_panel.png"),
@@ -152,6 +154,8 @@ def cmd_ati_dpca(args):
                       title="CSA DPCA Difference", cmap="magma")
     from nis_sar_amtigmti_video_tpu.utils import cplx
     ratio = float(np.asarray(cplx.to_host(prod.cancellation_ratio)))
+    _log_event("gmti_products", cancellation_db=20*np.log10(ratio+1e-30),
+               v_amb_mps=prod.v_amb, seconds=time.time()-t0)
     print(f"ati-dpca: {time.time()-t0:.1f}s, cancellation "
           f"{20*np.log10(ratio+1e-30):.1f} dB, v_amb {prod.v_amb:.2f} m/s")
     print(f"  wrote {out}\n  wrote {png}")
@@ -190,6 +194,8 @@ def cmd_videosar(args):
     gif = render.save_gif(os.path.join(args.out, f"{run_id}.gif"), out.images,
                           fps=sc.video.fps)
     dt = time.time() - t0
+    _log_event("videosar_frames", frames=n, wall_s=dt, fps=n/dt,
+               algorithm=args.algo)
     print(f"videosar: {n} frames in {dt:.1f}s ({n/dt:.2f} fps end-to-end)")
     print(f"  wrote {frame_dir}/ and {gif}")
 
@@ -386,6 +392,8 @@ def main(argv=None):
                     help="use the approximate NUFFT echo backend (~50x "
                          "faster for clutter-heavy scenes; uniform-grid "
                          "window modes only)")
+    ap.add_argument("--log", default="",
+                    help="append structured JSONL run events to this file")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("stripmap").set_defaults(fn=cmd_stripmap)
@@ -453,7 +461,26 @@ def main(argv=None):
     if args.fast_sim:
         global _FAST_SIM
         _FAST_SIM = True
-    args.fn(args)
+    if args.log:
+        from nis_sar_amtigmti_video_tpu.utils.runlog import RunLogger
+        with RunLogger(args.log, run_id=args.cmd) as rl:
+            global _RUNLOG
+            _RUNLOG = rl
+            rl.event("start", argv=argv or sys.argv[1:])
+            t0 = time.time()
+            args.fn(args)
+            rl.event("done", wall_s=round(time.time() - t0, 2))
+            _RUNLOG = None
+    else:
+        args.fn(args)
+
+
+_RUNLOG = None
+
+
+def _log_event(kind, **fields):
+    if _RUNLOG is not None:
+        _RUNLOG.event(kind, **fields)
 
 
 _FAST_SIM = False

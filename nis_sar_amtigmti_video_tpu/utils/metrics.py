@@ -28,16 +28,6 @@ class ImpulseResponse:
 def _interp_width(mag: np.ndarray, peak: int, level: float) -> float:
     """Width of the main lobe at ``level`` (fractional cells, linear interp)."""
     n = mag.shape[0]
-    left = peak
-    while left > 0 and mag[left - 1] <= mag[left]:
-        left -= 1
-        if mag[left] < level:
-            break
-    right = peak
-    while right < n - 1 and mag[right + 1] <= mag[right]:
-        right += 1
-        if mag[right] < level:
-            break
 
     def cross(i0, i1):
         a, b = mag[i0], mag[i1]

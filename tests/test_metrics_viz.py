@@ -73,3 +73,25 @@ class TestDeterminism:
         c = cplx.to_host(noise_ops.add_ocean_noise(
             jax.random.PRNGKey(43), raw, 10.0, ref_power=1.0))
         assert not np.allclose(a, c)
+
+
+class TestRunLog:
+    def test_jsonl_events(self, tmp_path):
+        import json
+        from nis_sar_amtigmti_video_tpu import config as cfg
+        from nis_sar_amtigmti_video_tpu.utils.runlog import RunLogger
+        from nis_sar_amtigmti_video_tpu.utils.profiling import StageTimer
+        p = tmp_path / "run.jsonl"
+        st = StageTimer()
+        with st.stage("focus"):
+            pass
+        with RunLogger(str(p), run_id="t") as rl:
+            rl.params(cfg.satellite_stripmap())
+            rl.timings(st)
+            rl.event("custom", value=np.float32(1.5), arr=np.arange(3))
+        lines = [json.loads(l) for l in open(p)]
+        kinds = [l["event"] for l in lines]
+        assert kinds == ["params", "timings", "custom"]
+        assert lines[0]["slant_range_km"] > 500
+        assert "focus" in lines[1]["stages"]
+        assert lines[2]["value"] == 1.5 and lines[2]["arr"] == [0, 1, 2]
