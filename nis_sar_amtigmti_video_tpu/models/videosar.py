@@ -106,17 +106,25 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
         speed_mps: float = 0.0, algorithm: str = "mbp",
         frames_per_batch: int = 4, key=None,
         avg_rcs: float | None = None, num_frames: int | None = None,
-        precision: str = "f32") -> VideoFrames:
+        frame_indices=None, precision: str = "f32") -> VideoFrames:
     """Full VideoSAR product: schedule -> per-frame sim -> batched formation.
 
     algorithm: 'mbp' (focus on target velocity), 'stdbp' (zero focus
     velocity) — the reference's algo matrix (sar_batch_sim.py:276-279) —
-    or 'csa'.
+    or 'csa'. ``frame_indices`` selects a subset of schedule frames (the
+    recovery path: see :func:`resume`); determinism holds because noise keys
+    fold the *schedule* frame index, not the batch position.
     """
     r, g, v = sc.radar, sc.geometry, sc.video
     sched = scheduler.make_schedule(v, r.prf_hz)
+    orig_idx = np.arange(sched.num_frames)
     if num_frames is not None:
         sched = sched._replace(starts=sched.starts[:num_frames])
+        orig_idx = orig_idx[:num_frames]
+    if frame_indices is not None:
+        frame_indices = sorted(int(i) for i in frame_indices)
+        sched = sched._replace(starts=sched.starts[frame_indices])
+        orig_idx = np.asarray(frame_indices)
 
     times = np.linspace(-v.duration_s / 2.0, v.duration_s / 2.0,
                         sched.total_pulses)
@@ -165,7 +173,8 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
                                    for j in range(segs_per_cpi)], axis=0)
             for s in [k for k in seg_cache if k < s0]:
                 del seg_cache[s]   # earlier frames never need them again
-            kf = None if key is None else jax.random.fold_in(key, f)
+            kf = (None if key is None
+                  else jax.random.fold_in(key, int(orig_idx[f])))
             if kf is not None and snr_raw is not None:
                 raw = noise_ops.add_ocean_noise(kf, raw, snr_raw,
                                                 sc.noise.scr_db,
@@ -174,7 +183,8 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
             return raw
         sl = traj.slice(int(sched.starts[f]),
                         int(sched.starts[f]) + sched.cpi_pulses)
-        kf = None if key is None else jax.random.fold_in(key, f)
+        kf = (None if key is None
+              else jax.random.fold_in(key, int(orig_idx[f])))
         return simulate_cpi(sc, tgt, sl, opts, t0, vel_tgt, kf, snr_raw)
 
     images = []
@@ -210,3 +220,31 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
         images.append(cplx.to_host(img_b))
     return VideoFrames(images=np.concatenate(images, axis=0),
                        schedule=sched, scene_size_m=swath)
+
+
+def resume(sc: ScenarioConfig, targets: PointTargets, frame_dir: str,
+           prefix: str = "frame", **run_kwargs):
+    """Re-form only the frames missing from a checkpointed run.
+
+    The failure-recovery loop (SURVEY §5): a preempted/crashed campaign left
+    a partial per-frame .npy stack (io/products.write_video_frames); this
+    computes the missing schedule indices, re-simulates/forms exactly those
+    (same noise keys — frame index, not batch position, seeds the RNG), and
+    fills the gaps on disk. Returns the list of recovered indices.
+    """
+    from nis_sar_amtigmti_video_tpu.io.products import (missing_frames,
+                                                        write_video_frames)
+    import os
+
+    sched = scheduler.make_schedule(sc.video, sc.radar.prf_hz)
+    total = sched.num_frames
+    if "num_frames" in run_kwargs and run_kwargs["num_frames"]:
+        total = min(total, run_kwargs["num_frames"])
+    missing = missing_frames(frame_dir, total, prefix)
+    if not missing:
+        return []
+    out = run(sc, targets, frame_indices=missing, **run_kwargs)
+    for pos, f in enumerate(missing):
+        np.save(os.path.join(frame_dir, f"{prefix}_{f:05d}.npy"),
+                out.images[pos])
+    return missing

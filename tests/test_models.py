@@ -186,3 +186,35 @@ class TestVideoSarSegmentCache:
         want = np.stack(imgs)
         np.testing.assert_allclose(np.abs(out.images), np.abs(want),
                                    rtol=0, atol=1e-4 * np.abs(want).max())
+
+
+class TestVideoSarResume:
+    def test_resume_fills_missing_frames(self, tmp_path):
+        """Fault injection: delete frames from a checkpointed run; resume()
+        re-forms exactly those, reproducing the original stack bit-close."""
+        from nis_sar_amtigmti_video_tpu.io import products
+        sc = cfg.videosar().replace(
+            radar=dataclasses.replace(cfg.videosar().radar,
+                                      bandwidth_hz=120e6, pulse_width_s=2e-6,
+                                      fs_hz=150e6, prf_hz=1000.0),
+            collect=dataclasses.replace(cfg.videosar().collect,
+                                        window_length_s=512 / 150e6),
+            processing=dataclasses.replace(cfg.videosar().processing,
+                                           bp_grid=32, bp_scene_size_m=400.0),
+            video=cfg.VideoConfig(duration_s=1.0, fps=5.0, cpi_s=0.4))
+        kw = dict(heading_deg=0.0, speed_mps=10.0, algorithm="stdbp",
+                  frames_per_batch=2, key=jax.random.PRNGKey(7))
+        full = videosar.run(sc, T.point_target((0.0, 0.0, 0.0), 20.0), **kw)
+        d = str(tmp_path / "frames")
+        products.write_video_frames(d, full.images)
+        import os
+        os.remove(os.path.join(d, "frame_00001.npy"))
+        os.remove(os.path.join(d, "frame_00002.npy"))
+        recovered = videosar.resume(sc, T.point_target((0.0, 0.0, 0.0), 20.0),
+                                    d, **kw)
+        assert recovered == [1, 2]
+        idx, back = products.read_video_frames(d)
+        assert idx.tolist() == list(range(full.images.shape[0]))
+        # deterministic keys: recovered frames match the originals
+        np.testing.assert_allclose(back, full.images, rtol=0,
+                                   atol=1e-5 * np.abs(full.images).max())
