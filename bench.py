@@ -80,6 +80,10 @@ def main():
     fps = batch * iters / dt
 
     # ---- GMTI latency per CPI: 2-channel formation + products, synced ----
+    # best-effort beyond this point: the headline formation number is already
+    # measured, and remote-compile queues can be slow — never lose the line.
+    budget_s = float(os.environ.get("BENCH_TIME_BUDGET", "1800"))
+    t_elapsed = time.perf_counter() - t_start
     cfar_p = cfar.CfarParams(guard=2, train=8)
 
     @jax.jit
@@ -92,18 +96,24 @@ def main():
         det = cfar.ca_cfar(jnp.abs(diff) ** 2, cfar_p)
         return jnp.sum(phase[:2, :2]) + jnp.sum(det.snr[:2, :2])
 
-    two = frames[:2]
-    _ = float(gmti_step(two, phases))
-    lat = []
-    for _ in range(5):
-        t1 = time.perf_counter()
-        _ = float(gmti_step(two, phases))
-        lat.append(time.perf_counter() - t1)
-    gmti_ms = 1000.0 * float(np.median(lat))
+    gmti_ms = None
+    try:
+        if t_elapsed < budget_s:
+            two = frames[:2]
+            _ = float(gmti_step(two, phases))
+            lat = []
+            for _ in range(5):
+                t1 = time.perf_counter()
+                _ = float(gmti_step(two, phases))
+                lat.append(time.perf_counter() - t1)
+            gmti_ms = 1000.0 * float(np.median(lat))
+    except Exception:
+        pass
 
     # ---- NumPy reference baseline (oracle CSA, same shape, 1 rep) ----
     numpy_fps = None
-    if os.environ.get("BENCH_SKIP_NUMPY", "0") != "1":
+    try:
+      if os.environ.get("BENCH_SKIP_NUMPY", "0") != "1":
         import oracle
         rng = np.random.default_rng(0)
         nsz = min(size, 4096)
@@ -114,13 +124,15 @@ def main():
                          p.velocity_mps, p.range_ref_m, p.t_start_fast)
         numpy_dt = time.perf_counter() - t2
         numpy_fps = (1.0 / numpy_dt) * (size / nsz) ** 0  # same-size measure
+    except Exception:
+        pass
 
     result = {
         "metric": f"videosar_csa_{size}x{size}_formation",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / numpy_fps, 2) if numpy_fps else None,
-        "gmti_latency_ms": round(gmti_ms, 2),
+        "gmti_latency_ms": round(gmti_ms, 2) if gmti_ms else None,
         "numpy_fps": round(numpy_fps, 4) if numpy_fps else None,
         "device": str(dev),
         "batch": batch,
