@@ -111,3 +111,59 @@ class TestShardedGmti:
         want = cplx.to_host(csa_ops.apply_csa(raw, csa_ops.csa_phases(p)))
         np.testing.assert_allclose(got, want, rtol=0,
                                    atol=3e-4 * np.abs(want).max())
+
+
+@needs_8
+class TestShardedBp:
+    def test_frame_sharded_bp_equals_local(self):
+        """Backprojection frames sharded over 'data' equal the local run."""
+        import dataclasses
+        from nis_sar_amtigmti_video_tpu.geometry import orbit
+        from nis_sar_amtigmti_video_tpu.models.videosar import (
+            form_frames_bp, bp_params_for, spotlight_echo_opts,
+            antenna_length_for_swath)
+        from nis_sar_amtigmti_video_tpu.ops.echo import (phase_history,
+                                                         window_start_time)
+        from nis_sar_amtigmti_video_tpu.scene import targets as T
+
+        sc = cfg.videosar().replace(
+            radar=dataclasses.replace(cfg.videosar().radar,
+                                      bandwidth_hz=120e6, pulse_width_s=2e-6,
+                                      fs_hz=150e6, prf_hz=1000.0),
+            collect=dataclasses.replace(cfg.videosar().collect,
+                                        window_length_s=256 / 150e6),
+            processing=dataclasses.replace(cfg.videosar().processing,
+                                           bp_grid=24, bp_scene_size_m=300.0))
+        g = sc.geometry
+        opts = spotlight_echo_opts(sc, antenna_length_for_swath(sc, 300.0))
+        t0 = __import__("nis_sar_amtigmti_video_tpu.ops.echo",
+                        fromlist=["window_start_time"]).window_start_time(
+            g.slant_range_m, opts, sc.collect.window_length_s, "centered")
+        p_bp = bp_params_for(sc, opts, "f32")
+        traj = orbit.make_trajectory(g, np.linspace(-0.2, 0.2, 64))
+        frames, poss, vels, ts = [], [], [], []
+        for f in range(8):
+            sl = traj.slice(f * 8, f * 8 + 16) if f < 6 else traj.slice(0, 16)
+            raw = phase_history(sl, T.point_target((0, 0, 0), 10.0), opts,
+                                t_start=t0)
+            frames.append(raw); poss.append(sl.positions)
+            vels.append(sl.velocities); ts.append(sl.times)
+        raw_b = jnp.stack(frames)
+        pos_b = jnp.asarray(np.stack(poss))
+        vel_b = jnp.asarray(np.stack(vels))
+        t_b = jnp.asarray(np.stack(ts))
+        vf = jnp.zeros(3)
+        want = cplx.to_host(form_frames_bp(raw_b, pos_b, vel_b, t_b, vf,
+                                           jnp.float64(t0), p_bp))
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = mesh_mod.make_mesh((8, 1, 1))
+        sh4 = NamedSharding(mesh, P("data", None, None))
+        got = cplx.to_host(form_frames_bp(
+            jax.device_put(raw_b, sh4),
+            jax.device_put(pos_b, NamedSharding(mesh, P("data", None, None))),
+            jax.device_put(vel_b, NamedSharding(mesh, P("data", None, None))),
+            jax.device_put(t_b, NamedSharding(mesh, P("data", None))),
+            vf, jnp.float64(t0), p_bp))
+        np.testing.assert_allclose(got, want, rtol=0,
+                                   atol=1e-5 * np.abs(want).max())

@@ -218,3 +218,18 @@ class TestVideoSarResume:
         # deterministic keys: recovered frames match the originals
         np.testing.assert_allclose(back, full.images, rtol=0,
                                    atol=1e-5 * np.abs(full.images).max())
+
+
+class TestSchedulerGather:
+    def test_gather_frames_device(self):
+        """gather_frames produces the exact overlapped (F, cpi, ...) stack."""
+        import jax.numpy as jnp
+        from nis_sar_amtigmti_video_tpu.video import scheduler
+        sched = scheduler.FrameSchedule(
+            starts=np.array([0, 2, 4]), cpi_pulses=4, step_pulses=2,
+            total_pulses=8)
+        stream = jnp.arange(8 * 3, dtype=jnp.float32).reshape(8, 3)
+        frames = np.asarray(scheduler.gather_frames(stream, sched))
+        assert frames.shape == (3, 4, 3)
+        np.testing.assert_allclose(frames[1], np.asarray(stream)[2:6])
+        np.testing.assert_allclose(frames[2], np.asarray(stream)[4:8])
