@@ -24,6 +24,7 @@ import numpy as np
 
 
 def main():
+    t_proc0 = time.perf_counter()
     import jax
     import jax.numpy as jnp
 
@@ -37,9 +38,12 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     fft_impl = os.environ.get("BENCH_FFT", "hybrid")  # profiled fastest on v5e
 
+    from nis_sar_amtigmti_video_tpu.ops.echo import window_start_time
+
     sc = cfg.videosar()
     g, r = sc.geometry, sc.radar
-    t0 = 2.0 * g.slant_range_m / 299792458.0 - sc.collect.window_length_s / 2
+    t0 = window_start_time(g.slant_range_m, None, sc.collect.window_length_s,
+                           "centered")
     p = csa_ops.CsaParams(
         wavelength_m=r.wavelength_m, chirp_rate=r.chirp_rate, fs_hz=r.fs_hz,
         prf_hz=r.prf_hz, velocity_mps=g.effective_velocity_mps,
@@ -83,7 +87,7 @@ def main():
     # best-effort beyond this point: the headline formation number is already
     # measured, and remote-compile queues can be slow — never lose the line.
     budget_s = float(os.environ.get("BENCH_TIME_BUDGET", "1800"))
-    t_elapsed = time.perf_counter() - t_start
+    t_elapsed = time.perf_counter() - t_proc0
     cfar_p = cfar.CfarParams(guard=2, train=8)
 
     @jax.jit
@@ -123,7 +127,10 @@ def main():
         oracle.focus_csa(raw, p.wavelength_m, p.chirp_rate, p.fs_hz, p.prf_hz,
                          p.velocity_mps, p.range_ref_m, p.t_start_fast)
         numpy_dt = time.perf_counter() - t2
-        numpy_fps = (1.0 / numpy_dt) * (size / nsz) ** 0  # same-size measure
+        # CSA cost ~ N^2 log N: scale the measured rate to the bench size so
+        # vs_baseline stays a same-work comparison when BENCH_SIZE > 4096
+        work = (size * size * np.log2(size)) / (nsz * nsz * np.log2(nsz))
+        numpy_fps = (1.0 / numpy_dt) / work
     except Exception:
         pass
 

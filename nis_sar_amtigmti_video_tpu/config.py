@@ -128,7 +128,13 @@ class CollectConfig:
         return n
 
     def num_samples(self, fs_hz: float, even: bool = False) -> int:
-        n = int(self.window_length_s * fs_hz)
+        if self.window_start_mode == "reference":
+            # the reference truncates here (int(22e-6*fs),
+            # sar_satellite_sim.py:248)
+            n = int(self.window_length_s * fs_hz)
+        else:
+            # ...but ceils for the spotlight window (sar_batch_sim.py:86)
+            n = int(math.ceil(self.window_length_s * fs_hz))
         if even and n % 2 != 0:
             n += 1
         return n
@@ -273,7 +279,8 @@ def satellite_moving() -> ScenarioConfig:
     return cfg.replace(
         name="satellite_moving",
         geometry=dataclasses.replace(cfg.geometry, along_track_axis="y"),
-        collect=dataclasses.replace(cfg.collect, even_pulses=False),
+        # the reference also rounds the pulse count up to even
+        # (sar_satellite_moving_sim.py:70-71)
     )
 
 

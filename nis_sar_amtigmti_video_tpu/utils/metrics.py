@@ -47,8 +47,8 @@ def _interp_width(mag: np.ndarray, peak: int, level: float) -> float:
     return abs(x_hi - x_lo)
 
 
-def impulse_response(profile: np.ndarray, cell_size_m: float | None = None,
-                     mainlobe_null_search: int = 2) -> ImpulseResponse:
+def impulse_response(profile: np.ndarray,
+                     cell_size_m: float | None = None) -> ImpulseResponse:
     """1-D IRF analysis of a focused point-target cut (range or azimuth)."""
     mag = np.abs(np.asarray(profile)).astype(np.float64)
     peak = int(mag.argmax())
@@ -56,10 +56,11 @@ def impulse_response(profile: np.ndarray, cell_size_m: float | None = None,
     level = pk / math.sqrt(2.0)   # -3 dB
     width = _interp_width(mag, peak, level)
 
-    # find first nulls on each side
+    # walk outward from the peak to the first local minimum on each side;
+    # a peak at an array edge makes that edge its own null
     def first_null(direction):
         i = peak
-        while 0 < i < mag.shape[0] - 1:
+        while 0 <= i + direction <= mag.shape[0] - 1:
             j = i + direction
             if mag[j] > mag[i]:
                 return i

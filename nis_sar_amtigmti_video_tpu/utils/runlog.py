@@ -15,6 +15,8 @@ import os
 import time
 from typing import Any, Optional
 
+import numpy as np
+
 
 class RunLogger:
     """Append-only JSONL event log; every event gets ts + elapsed."""
@@ -64,7 +66,6 @@ class RunLogger:
 
 
 def _jsonable(obj):
-    import numpy as np
     if isinstance(obj, dict):
         return {k: _jsonable(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):
@@ -73,6 +74,18 @@ def _jsonable(obj):
         return int(obj)
     if isinstance(obj, (np.floating,)):
         return float(obj)
+    if isinstance(obj, (np.bool_, bool)):
+        return bool(obj)
     if isinstance(obj, np.ndarray):
         return obj.tolist() if obj.size <= 64 else f"<array {obj.shape}>"
+    if hasattr(obj, "dtype") and hasattr(obj, "shape"):
+        # jax Array (possibly still on device): logging a metric straight off
+        # a computation is the common case — fetch it (complex-safe: some TPU
+        # runtimes cannot transfer complex directly)
+        if obj.dtype.kind == "c":
+            from nis_sar_amtigmti_video_tpu.utils.cplx import to_host
+            a = to_host(obj)
+            return {"re": _jsonable(np.real(a)), "im": _jsonable(np.imag(a))}
+        a = np.asarray(obj)
+        return _jsonable(a if a.ndim else a.item())
     return obj
