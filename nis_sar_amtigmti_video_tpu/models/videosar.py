@@ -33,6 +33,7 @@ from nis_sar_amtigmti_video_tpu.ops import noise as noise_ops
 from nis_sar_amtigmti_video_tpu.ops.echo import (EchoOpts, phase_history,
                                                  window_start_time)
 from nis_sar_amtigmti_video_tpu.scene.targets import PointTargets
+from nis_sar_amtigmti_video_tpu.parallel import pipeline
 from nis_sar_amtigmti_video_tpu.video import scheduler
 from nis_sar_amtigmti_video_tpu.utils import cplx
 
@@ -187,9 +188,11 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
               else jax.random.fold_in(key, int(orig_idx[f])))
         return simulate_cpi(sc, tgt, sl, opts, t0, vel_tgt, kf, snr_raw)
 
-    images = []
     f_total = sched.num_frames
-    for b0 in range(0, f_total, frames_per_batch):
+
+    def dispatch_batch(b0):
+        """Enqueue one frame batch (async under JAX dispatch); the pipeline
+        fetches batch k while batch k+1's formation runs on device."""
         b1 = min(b0 + frames_per_batch, f_total)
         raws, poss, vels, ts = [], [], [], []
         for f in range(b0, b1):
@@ -202,9 +205,9 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
         vel_b = jnp.asarray(np.stack(vels))
         t_b = jnp.asarray(np.stack(ts))
         if algorithm in ("mbp", "stdbp"):
-            img_b = form_frames_bp(raw_b, pos_b, vel_b, t_b,
-                                   jnp.asarray(vel_focus), jnp.float64(t0),
-                                   p_bp)
+            return form_frames_bp(raw_b, pos_b, vel_b, t_b,
+                                  jnp.asarray(vel_focus), jnp.float64(t0),
+                                  p_bp)
         elif algorithm == "csa":
             p_csa = csa_ops.CsaParams(
                 wavelength_m=r.wavelength_m, chirp_rate=r.chirp_rate,
@@ -212,12 +215,14 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
                 velocity_mps=g.effective_velocity_mps,
                 range_ref_m=g.slant_range_m, t_start_fast=t0,
                 num_pulses=sched.cpi_pulses, num_samples=opts.num_samples)
-            img_b = form_frames_csa(raw_b, p_csa,
-                                    fused=sc.processing.csa_fused,
-                                    fft_impl=sc.processing.fft_impl)
-        else:
-            raise ValueError(f"unknown algorithm {algorithm!r}")
-        images.append(cplx.to_host(img_b))
+            return form_frames_csa(raw_b, p_csa,
+                                   fused=sc.processing.csa_fused,
+                                   fft_impl=sc.processing.fft_impl)
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+
+    images = list(pipeline.pipelined(
+        dispatch_batch, range(0, f_total, frames_per_batch),
+        depth=2, fetch=cplx.to_host))
     return VideoFrames(images=np.concatenate(images, axis=0),
                        schedule=sched, scene_size_m=swath)
 

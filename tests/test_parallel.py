@@ -131,3 +131,47 @@ class TestDataParallelFormation:
         got = cplx.to_host(f(jax.device_put(frames, sh)))
         np.testing.assert_allclose(got, want, rtol=0,
                                    atol=1e-5 * np.abs(want).max())
+
+
+class TestPipelined:
+    """parallel/pipeline.pipelined — the stage-overlap component
+    (SURVEY §2.10 'pipeline parallel'; ref sar_batch_sim.py:312-328 is the
+    serial loop it replaces)."""
+
+    def test_order_and_results_match_serial_map(self):
+        from nis_sar_amtigmti_video_tpu.parallel.pipeline import pipelined
+        items = list(range(17))
+        got = list(pipelined(lambda x: x * x, items, depth=3))
+        assert got == [x * x for x in items]
+
+    def test_depth_bounds_inflight(self):
+        """At most `depth` dispatched-but-unfetched handles at any time."""
+        from nis_sar_amtigmti_video_tpu.parallel.pipeline import pipelined
+        live = set()
+        peak = 0
+
+        def dispatch(x):
+            live.add(x)
+            nonlocal peak
+            peak = max(peak, len(live))
+            return x
+
+        def fetch(x):
+            live.discard(x)
+            return -x
+
+        got = list(pipelined(dispatch, range(10), depth=2, fetch=fetch))
+        assert got == [-x for x in range(10)]
+        # the pipeline admits depth+1 momentarily (dispatch happens before
+        # the oldest is fetched), never more
+        assert peak <= 3
+
+    def test_depth_validation_and_device_arrays(self):
+        from nis_sar_amtigmti_video_tpu.parallel.pipeline import pipelined
+        with pytest.raises(ValueError):
+            list(pipelined(lambda x: x, [1], depth=0))
+        # jax async-dispatch path: device compute in flight, fetched in order
+        xs = [jnp.arange(4.0) + i for i in range(5)]
+        f = jax.jit(lambda a: (a * 2.0).sum())
+        got = list(pipelined(f, xs, depth=2, fetch=lambda h: float(h)))
+        assert got == [float((x * 2).sum()) for x in xs]
