@@ -105,15 +105,25 @@ def apply_csa(phist, phases: CsaPhases, fft_impl: str = "xla"):
     identical ordering to the reference, whose shift pairs cancel.
     ``fft_impl='mxu'`` uses the matmul FFT (ops/fft.py).
     """
+    import jax
+
     from nis_sar_amtigmti_video_tpu.ops.fft import get_impl
     fft, ifft = get_impl(fft_impl)
-    s = fft(phist, axis=-2)                     # azimuth FFT -> range-Doppler
-    s = s * phases.phi1                         # chirp scaling
-    s = fft(s, axis=-1)                         # range FFT -> 2D frequency
-    s = s * phases.phi2                         # range compression + bulk RCMC
-    s = ifft(s, axis=-1)                        # back to range-Doppler
-    s = s * phases.phi3                         # azimuth compression + residual
-    return ifft(s, axis=-2)                     # azimuth IFFT -> SLC
+    # named scopes label the profiler trace (utils/profiling) per CSA stage
+    with jax.named_scope("csa_az_fft"):
+        s = fft(phist, axis=-2)                 # azimuth FFT -> range-Doppler
+    with jax.named_scope("csa_phi1_chirp_scaling"):
+        s = s * phases.phi1
+    with jax.named_scope("csa_rg_fft"):
+        s = fft(s, axis=-1)                     # range FFT -> 2D frequency
+    with jax.named_scope("csa_phi2_rc_rcmc"):
+        s = s * phases.phi2                     # range compression + bulk RCMC
+    with jax.named_scope("csa_rg_ifft"):
+        s = ifft(s, axis=-1)                    # back to range-Doppler
+    with jax.named_scope("csa_phi3_az_compress"):
+        s = s * phases.phi3                     # azimuth compression + residual
+    with jax.named_scope("csa_az_ifft"):
+        return ifft(s, axis=-2)                 # azimuth IFFT -> SLC
 
 
 class CsaFactors(NamedTuple):

@@ -125,3 +125,24 @@ class TestFormationQuality:
         # Hamming broadening ~1.3x of c/2B
         expect = metrics.expected_range_resolution(120e6, 1.3)
         assert irf.resolution_m < 1.6 * expect
+
+
+class TestDebugSanitizers:
+    def test_nan_checks_traps_and_restores(self):
+        import jax
+        import jax.numpy as jnp
+        from nis_sar_amtigmti_video_tpu.utils.debug import nan_checks
+        with pytest.raises(FloatingPointError):
+            with nan_checks():
+                jnp.log(jnp.array(-1.0)).block_until_ready()
+        assert not jax.config.jax_debug_nans   # restored
+        # clean computation passes inside the scope
+        with nan_checks():
+            assert float(jnp.log(jnp.array(2.0))) > 0
+
+    def test_assert_finite(self):
+        import jax.numpy as jnp
+        from nis_sar_amtigmti_video_tpu.utils.debug import assert_finite
+        assert_finite({"a": jnp.ones(3), "b": jnp.ones(2, jnp.complex64)})
+        with pytest.raises(FloatingPointError, match="stage"):
+            assert_finite([jnp.array([1.0, jnp.nan])], where="stage")
