@@ -4,7 +4,7 @@ The reference has no explicit detector (detection is visual, via the viewers)
 but the BASELINE north star names CFAR as a first-class GMTI stage. This is a
 standard CA-CFAR over the DPCA magnitude (or ATI-velocity-gated) map,
 TPU-shaped: the training-cell mean is two box sums computed with separable
-cumulative-sum filters — O(N) per pixel-independent, no gather loops.
+sliding-window reductions — pixel-independent, f32-safe, no gather loops.
 """
 
 from __future__ import annotations
@@ -43,24 +43,27 @@ class CfarResult(NamedTuple):
 
 
 def _box_sum(x, half: int):
-    """Sum over a (2*half+1)^2 window with zero padding, via 2 cumsums.
+    """Sum over a (2*half+1)^2 window with zero padding, via two separable
+    sliding-window reductions.
 
-    Accumulates in float64: SAR power maps span 80-100 dB, and differencing
-    two f32 running sums after a bright scatterer would perturb weak cells'
-    training sums by O(clutter) — enough to flip detections downstream of
-    any strong target."""
+    Precision note: SAR power maps span 80-100 dB, so the cumsum-difference
+    box filter is unusable in f32 — after one bright scatterer the running
+    sum is O(target power) and differencing it for weak cells far away loses
+    their entire training sum. Locally-windowed sums never difference large
+    accumulators (each output sums only 2*half+1 values), so f32 keeps
+    relative error ~2^-24 of the *local* sum — and f32 is what TPU v5e wants:
+    the f64-cumsum variant doubled the full-GMTI-step latency (emulated f64)."""
+    k = 2 * half + 1
+    nb = x.ndim - 2
+    win = (1,) * nb + (k, 1)
+    pad = [(0, 0)] * nb + [(half, half), (0, 0)]
 
-    def along(last_axis_x):
-        c = jnp.cumsum(last_axis_x.astype(jnp.float64), axis=-1)
-        pad = jnp.zeros_like(c[..., :1])
-        c = jnp.concatenate([pad, c], axis=-1)       # c[i] = sum of first i
-        n = last_axis_x.shape[-1]
-        idx_hi = jnp.clip(jnp.arange(n) + half + 1, 0, n)
-        idx_lo = jnp.clip(jnp.arange(n) - half, 0, n)
-        return c[..., idx_hi] - c[..., idx_lo]
-
-    return jnp.swapaxes(along(jnp.swapaxes(along(x), -1, -2)),
-                        -1, -2).astype(x.dtype)
+    zero = jnp.zeros((), x.dtype)
+    y = jax.lax.reduce_window(x, zero, jax.lax.add, win, (1,) * x.ndim, pad)
+    win2 = (1,) * nb + (1, k)
+    pad2 = [(0, 0)] * nb + [(0, 0), (half, half)]
+    return jax.lax.reduce_window(y, zero, jax.lax.add, win2, (1,) * x.ndim,
+                                 pad2)
 
 
 @partial(jax.jit, static_argnames=("p",))
