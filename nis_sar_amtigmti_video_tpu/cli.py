@@ -396,15 +396,32 @@ def main(argv=None):
                     help="append structured JSONL run events to this file")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    sub.add_parser("stripmap").set_defaults(fn=cmd_stripmap)
-    sub.add_parser("vehicle").set_defaults(fn=cmd_vehicle)
-    sub.add_parser("moving").set_defaults(fn=cmd_moving)
+    # global flags are also accepted *after* the subcommand (the natural
+    # place to type them); SUPPRESS defaults keep the subparser from
+    # overwriting values parsed before the subcommand
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--out", default=argparse.SUPPRESS)
+    common.add_argument("--seed", type=int, default=argparse.SUPPRESS)
+    common.add_argument("--small", action="store_true",
+                        default=argparse.SUPPRESS)
+    common.add_argument("--no-noise", action="store_true",
+                        default=argparse.SUPPRESS)
+    common.add_argument("--fast-sim", action="store_true",
+                        default=argparse.SUPPRESS)
+    common.add_argument("--log", default=argparse.SUPPRESS)
 
-    p = sub.add_parser("ati-dpca")
+    def add_cmd(name):
+        return sub.add_parser(name, parents=[common])
+
+    add_cmd("stripmap").set_defaults(fn=cmd_stripmap)
+    add_cmd("vehicle").set_defaults(fn=cmd_vehicle)
+    add_cmd("moving").set_defaults(fn=cmd_moving)
+
+    p = add_cmd("ati-dpca")
     p.add_argument("--clutter", type=int, default=500)
     p.set_defaults(fn=cmd_ati_dpca)
 
-    p = sub.add_parser("videosar")
+    p = add_cmd("videosar")
     p.add_argument("--algo", default="mbp", choices=["mbp", "stdbp", "csa"])
     p.add_argument("--heading", type=float, default=0.0)
     p.add_argument("--speed", type=float, default=15.0)
@@ -412,7 +429,7 @@ def main(argv=None):
     p.add_argument("--frames-per-batch", type=int, default=4)
     p.set_defaults(fn=cmd_videosar)
 
-    p = sub.add_parser("videosar-batch")
+    p = add_cmd("videosar-batch")
     p.add_argument("--vehicles", default="Destroyer",
                    help="comma list: Destroyer,PlaneCrus,Stealth")
     p.add_argument("--headings", default="0,90,45,135")
@@ -421,9 +438,9 @@ def main(argv=None):
     p.add_argument("--frames-per-batch", type=int, default=4)
     p.set_defaults(fn=cmd_videosar_batch)
 
-    sub.add_parser("targets").set_defaults(fn=cmd_targets)
+    add_cmd("targets").set_defaults(fn=cmd_targets)
 
-    p = sub.add_parser("coverage")
+    p = add_cmd("coverage")
     p.add_argument("--sats", type=int, default=24)
     p.add_argument("--alt-km", type=float, default=500.0)
     p.add_argument("--duration", type=float, default=6000.0)
@@ -431,26 +448,26 @@ def main(argv=None):
     p.add_argument("--mode", default="spotlight", choices=["spotlight", "hrws"])
     p.set_defaults(fn=cmd_coverage)
 
-    p = sub.add_parser("timing")
+    p = add_cmd("timing")
     p.add_argument("--beamwidth", type=float, default=2.0)
     p.add_argument("--pulse-us", type=float, default=20.0)
     p.add_argument("--prf-min", type=float, default=1000.0)
     p.add_argument("--prf-max", type=float, default=8000.0)
     p.set_defaults(fn=cmd_timing)
 
-    p = sub.add_parser("view")
+    p = add_cmd("view")
     p.add_argument("file", help=".npz product file or frame directory")
     p.add_argument("--interactive", action="store_true",
                    help="open the widget viewer instead of writing PNGs")
     p.set_defaults(fn=cmd_view)
 
-    p = sub.add_parser("geometry")
+    p = add_cmd("geometry")
     p.add_argument("--preset", default="satellite_stripmap",
                    choices=["satellite_stripmap", "satellite_moving",
                             "ati_dpca", "airborne_vehicle", "videosar"])
     p.set_defaults(fn=cmd_geometry)
 
-    p = sub.add_parser("budget")
+    p = add_cmd("budget")
     p.add_argument("--preset", default="satellite_stripmap",
                    choices=["satellite_stripmap", "satellite_moving",
                             "ati_dpca", "airborne_vehicle", "videosar"])
