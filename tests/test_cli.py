@@ -61,3 +61,21 @@ class TestPipelineCommands:
         assert (frame_dir / "frame_00000.npy").exists()
         main(["--out", str(tmp_path), "view", str(frame_dir)])
         assert (tmp_path / "frames_Destroyer_15_0_stdbp.gif").exists()
+
+
+class TestGlobalFlagPositions:
+    """Global flags must work after the subcommand too — the --help examples
+    show them there (e.g. "ati-dpca --small")."""
+
+    def test_flags_after_subcommand(self, tmp_path, capsys):
+        main(["budget", "--preset", "ati_dpca", "--out", str(tmp_path)])
+        assert "snr_db_per_m2" in capsys.readouterr().out
+
+    def test_targets_out_after_subcommand(self, tmp_path):
+        main(["targets", "--out", str(tmp_path)])
+        assert (tmp_path / "targets_preview.png").exists()
+
+    def test_pre_subcommand_value_not_overwritten(self, tmp_path):
+        # --out given BEFORE the subcommand must survive the subparser pass
+        main(["--out", str(tmp_path), "targets"])
+        assert (tmp_path / "targets_preview.png").exists()
