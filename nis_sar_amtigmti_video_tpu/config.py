@@ -188,6 +188,9 @@ class ProcessingConfig:
     algorithm: str = "csa"        # 'csa' | 'rda' | 'bp'
     azimuth_window: str = "hamming"   # RDA azimuth taper (reference behavior)
     range_window: str = "hamming"     # RDA matched-filter taper
+    rcmc_mode: str = "exact"      # RDA RCMC: 'exact' | 'fast' | 'phase'
+                                  # ('phase' = gather-free TPU mode, ~11x
+                                  # faster at 4k²; see ops/rda.py)
     bp_grid: int = 512            # BP pixels per side (sar_batch_sim.py:173)
     bp_scene_size_m: float = 500.0
     out_size: int = 0             # 0 = native size; else pad/crop for formation

@@ -95,7 +95,8 @@ def run(sc: ScenarioConfig, targets: PointTargets, *,
             velocity_mps=g.effective_velocity_mps, range_ref_m=g.slant_range_m,
             num_pulses=n_p, num_samples=n_s,
             range_window=sc.processing.range_window,
-            azimuth_window=sc.processing.azimuth_window)
+            azimuth_window=sc.processing.azimuth_window,
+            rcmc_mode=sc.processing.rcmc_mode)
         prod = rda_ops.focus_rda(raw, p)
         _, r_centered, cax, fd = rda_ops.rda_axes(p)
         return StripmapProducts(raw=raw, image=prod.image, intermediates=prod,

@@ -51,7 +51,9 @@ class RdaParams:
     num_samples: int
     range_window: str = "hamming"
     azimuth_window: str = "hamming"
-    rcmc_mode: str = "exact"  # 'exact' (reference interp1d semantics) | 'fast'
+    rcmc_mode: str = "exact"  # 'exact' (reference interp1d semantics) |
+                              # 'fast' (one gather) | 'phase' (TPU-fast
+                              # Fourier shift; see phase_rcmc_inrow_cells)
 
 
 class RdaProducts(NamedTuple):
@@ -102,7 +104,10 @@ def range_compress(phist, p: RdaParams):
     mf = matched_filter(p)
     n_rg = phist.shape[-1]
     n_mf = mf.shape[0]
-    nfft = n_rg + n_mf - 1
+    # any nfft >= n_rg + n_mf - 1 gives the exact linear convolution; round
+    # up to a power of two — odd composite lengths (e.g. 16095) fall off
+    # XLA's fast FFT path and cost ~10x on TPU
+    nfft = 1 << (n_rg + n_mf - 2).bit_length()
     spec = jnp.fft.fft(phist, n=nfft, axis=-1) * jnp.fft.fft(mf, n=nfft)
     full = jnp.fft.ifft(spec, axis=-1)
     start = (n_mf - 1) // 2
@@ -127,6 +132,19 @@ def _rda_grids(p: RdaParams):
     return delta_r, h, r
 
 
+def phase_rcmc_inrow_cells(p: RdaParams) -> float:
+    """Max variation of the RCM shift *within one Doppler row*, in range
+    cells. ``rcmc_mode='phase'`` models the shift as constant per row, which
+    is valid when this is << 1 (spaceborne stripmap: ~0.1 cells). delta_R =
+    R * (lambda*f_d)^2 / (8 V^2) is linear in R, so the in-row spread is the
+    swath extent times the same factor at the highest Doppler."""
+    dr = 299792458.0 / (2.0 * p.fs_hz)
+    extent_m = p.num_samples * dr
+    f_dmax = p.prf_hz / 2.0
+    k = (p.wavelength_m * f_dmax) ** 2 / (8.0 * p.velocity_mps ** 2)
+    return extent_m * k / dr
+
+
 def rcmc(rd, delta_r, range_axis, mode: str = "exact"):
     """Range-cell migration correction on (..., n_az, n_rg) range-Doppler data.
 
@@ -134,7 +152,21 @@ def rcmc(rd, delta_r, range_axis, mode: str = "exact"):
     (per-Doppler-bin non-uniform interp, sar_satellite_sim.py:417-427).
     'fast': target-indexed uniform gather at r + delta_R(r) — standard RCMC,
     one gather, no searchsorted; differs from 'exact' by O(delta_R') terms.
+    'phase': per-Doppler-row constant shift applied as a Fourier phase ramp
+    (band-limited interpolation; no gathers — the TPU-fast mode). Valid when
+    phase_rcmc_inrow_cells(p) << 1; edges wrap circularly over the outermost
+    ~delta_R cells instead of zero-filling.
     """
+    if mode == "phase":
+        dr = (range_axis[1] - range_axis[0])
+        n = rd.shape[-1]
+        # shift at the swath-center range; in-row variation is sub-cell by
+        # the validity contract checked in focus_rda
+        s = delta_r[..., n // 2:n // 2 + 1] / dr          # (n_az, 1) cells
+        f = jnp.fft.fftfreq(n)                            # cycles/sample f64
+        ramp_phase = _wrap(_TWO_PI * f[None, :] * s).astype(jnp.float32)
+        ramp = jax.lax.complex(jnp.cos(ramp_phase), jnp.sin(ramp_phase))
+        return jnp.fft.ifft(jnp.fft.fft(rd, axis=-1) * ramp, axis=-1)
     if mode == "fast":
         dr = (range_axis[1] - range_axis[0])
         n = rd.shape[-1]
@@ -158,6 +190,13 @@ def rcmc(rd, delta_r, range_axis, mode: str = "exact"):
 @partial(jax.jit, static_argnames=("p",))
 def focus_rda(phist, p: RdaParams) -> RdaProducts:
     """Full RDA chain on (n_az, n_rg) complex64 raw data."""
+    if p.rcmc_mode == "phase":
+        spread = phase_rcmc_inrow_cells(p)
+        if spread > 0.5:
+            raise ValueError(
+                f"rcmc_mode='phase' models RCM as constant per Doppler row, "
+                f"but this geometry varies {spread:.2f} cells across the "
+                f"swath; use 'fast' or 'exact'")
     delta_r, h, range_axis = _rda_grids(p)
     n_az = p.num_pulses
 

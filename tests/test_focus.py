@@ -112,7 +112,7 @@ class TestCSA:
 
 
 class TestRDA:
-    @pytest.mark.parametrize("mode", ["exact", "fast"])
+    @pytest.mark.parametrize("mode", ["exact", "fast", "phase"])
     def test_matches_oracle(self, small_scene, mode):
         g, traj, tgts, opts, t0, raw, prf = small_scene
         p = rda_ops.RdaParams(
@@ -129,7 +129,7 @@ class TestRDA:
             prf, p.velocity_mps, p.range_ref_m)
         want_img = want[0].T  # oracle mag image is (az, rg) transposed... -> back
         peak = want_img.max()
-        tol = 0.01 if mode == "exact" else 0.05
+        tol = {"exact": 0.01, "fast": 0.05, "phase": 0.05}[mode]
         assert np.abs(got_img.T - want_img).max() / peak < tol
         if mode == "exact":
             # intermediates (compressed, rd_map, rd_rcmc) also match
@@ -139,6 +139,20 @@ class TestRDA:
             np.testing.assert_allclose(
                 np.abs(cplx.to_host(prod.rd_rcmc)),
                 np.abs(want[5].T), atol=5e-3 * np.abs(want[5]).max())
+
+    def test_phase_mode_guard(self, small_scene):
+        """'phase' must refuse geometries whose in-row RCM spread is not
+        sub-cell (e.g. slow platforms)."""
+        g, traj, tgts, opts, t0, raw, prf = small_scene
+        p = rda_ops.RdaParams(
+            wavelength_m=C / opts.fc_hz, pulse_width_s=opts.pulse_width_s,
+            chirp_rate=opts.chirp_rate, fs_hz=opts.fs_hz, prf_hz=3000.0,
+            velocity_mps=80.0, range_ref_m=g.slant_range_m,
+            num_pulses=raw.shape[0], num_samples=raw.shape[1],
+            rcmc_mode="phase")
+        assert rda_ops.phase_rcmc_inrow_cells(p) > 0.5
+        with pytest.raises(ValueError, match="constant per Doppler row"):
+            rda_ops.focus_rda(cplx.to_device(raw), p)
 
 
 class TestBP:
