@@ -193,6 +193,8 @@ class ProcessingConfig:
                                   # faster at 4k²; see ops/rda.py)
     bp_grid: int = 512            # BP pixels per side (sar_batch_sim.py:173)
     bp_scene_size_m: float = 500.0
+    bp_presum: int = 0            # azimuth presum: 0 = auto (ops/bp.py::
+                                  # presum_factor), 1 = off, N = explicit
     out_size: int = 0             # 0 = native size; else pad/crop for formation
     csa_fused: bool = True        # grid-free fused phases (ops/csa.py)
     fft_impl: str = "xla"         # 'xla' | 'mxu' (matmul FFT, ops/fft.py)

@@ -69,15 +69,26 @@ def bp_params_for(sc: ScenarioConfig, opts: EchoOpts,
         scene_size_m=pr.bp_scene_size_m, precision=precision)
 
 
-@partial(jax.jit, static_argnames=("p",))
+@partial(jax.jit, static_argnames=("p", "presum"))
 def form_frames_bp(raw_frames, pos_frames, vel_frames, t_frames, vel_focus,
-                   t_start, p: bp_ops.BpParams):
+                   t_start, p: bp_ops.BpParams, presum: int = 1):
     """Vmapped mBP/StdBP formation: (F, cpi, Ns) -> (F, ny, nx) complex64.
-    The leading F axis is the data-parallel (shardable) axis."""
+    The leading F axis is the data-parallel (shardable) axis. ``presum > 1``
+    decimates slow time first (bp_ops.presum_recenter) — choose it with
+    bp_ops.presum_factor; it cuts per-frame BP cost ~presum-fold."""
     rc = bp_ops.bp_range_compress(raw_frames, p)
-    f = jax.vmap(lambda r_, po, ve, ts: bp_ops.backproject(
-        r_, po, ve, ts, vel_focus, t_start, p))
-    return f(rc, pos_frames, vel_frames, t_frames)
+
+    def one(r_, po, ve, ts):
+        if presum > 1:
+            corr = bp_ops.presum_droop_correction(po, ve, ts, vel_focus, p,
+                                                  presum)
+            r_, po, ve, ts = bp_ops.presum_recenter(
+                r_, po, ve, ts, vel_focus, t_start, p, presum)
+            return presum * corr * bp_ops.backproject(r_, po, ve, ts,
+                                                      vel_focus, t_start, p)
+        return bp_ops.backproject(r_, po, ve, ts, vel_focus, t_start, p)
+
+    return jax.vmap(one)(rc, pos_frames, vel_frames, t_frames)
 
 
 def form_frames_csa(raw_frames, p: csa_ops.CsaParams, fused: bool = True,
@@ -149,6 +160,9 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
 
     vel_focus = vel_tgt if algorithm == "mbp" else np.zeros(3)
     p_bp = bp_params_for(sc, opts, precision)
+    presum = sc.processing.bp_presum or bp_ops.presum_factor(
+        p_bp, r.prf_hz, r.wavelength_m, g.slant_range_m,
+        g.effective_velocity_mps)
 
     # Overlapped CPIs share pulses: synthesize the stream once, in step-sized
     # segments, and assemble each frame from its cached segments (the default
@@ -207,7 +221,7 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
         if algorithm in ("mbp", "stdbp"):
             return form_frames_bp(raw_b, pos_b, vel_b, t_b,
                                   jnp.asarray(vel_focus), jnp.float64(t0),
-                                  p_bp)
+                                  p_bp, presum)
         elif algorithm == "csa":
             p_csa = csa_ops.CsaParams(
                 wavelength_m=r.wavelength_m, chirp_rate=r.chirp_rate,

@@ -196,3 +196,42 @@ class TestBP:
         iy, ix = np.unravel_index(np.abs(got).argmax(), got.shape)
         x = np.linspace(-200, 200, 48)
         assert abs(x[ix] - 0.0) < 20 or abs(x[ix] - 50.0) < 20
+
+    def test_presum_matches_full_rate(self):
+        """Azimuth presum (droop-corrected) must match the full-rate BP to
+        <0.1 dB peak, <1% field, and <1e-2 rad peak phase — with a ragged
+        last block (P not divisible by D)."""
+        sc = cfg.videosar()
+        g = sc.geometry
+        n_p = 251                      # prime-ish: ragged for any D >= 2
+        traj = orbit.make_trajectory(g, orbit.slow_time_grid(n_p / 5000.0, n_p))
+        tgts = T.PointTargets.concatenate([
+            T.point_target((0.0, 0.0, 0.0), 30.0),
+            T.point_target((80.0, 80.0, 0.0), 30.0),   # droop-stressed corner
+        ])
+        vel = np.array([12.0, 0.0, 0.0])
+        lam = C / 9.65e9
+        opts = EchoOpts(fc_hz=9.65e9, chirp_rate=150e6 / 2e-6,
+                        pulse_width_s=2e-6, fs_hz=150e6, num_samples=600,
+                        endpoint_grid=False, chirp_centering="centered",
+                        amplitude="rcs", stop_and_go=True,
+                        antenna_length_m=lam * g.slant_range_m / 500.0)
+        t0 = window_start_time(g.slant_range_m, opts, 600 / opts.fs_hz,
+                               "centered")
+        raw = phase_history(traj, tgts, opts, t_start=t0, target_velocity=vel)
+        p = bp_ops.BpParams(fc_hz=opts.fc_hz, chirp_rate=opts.chirp_rate,
+                            fs_hz=opts.fs_hz, pulse_width_s=opts.pulse_width_s,
+                            num_samples=600, nx=48, ny=48, scene_size_m=200.0)
+        d = bp_ops.presum_factor(p, 5000.0, lam, g.slant_range_m,
+                                 g.effective_velocity_mps)
+        assert d >= 2 and n_p % d != 0
+        full = cplx.to_host(bp_ops.focus_bp(
+            raw, traj.positions, traj.velocities, traj.times, vel, t0, p))
+        dec = cplx.to_host(bp_ops.focus_bp(
+            raw, traj.positions, traj.velocities, traj.times, vel, t0, p,
+            presum=d))
+        a1, ad = np.abs(full), np.abs(dec)
+        assert abs(20 * np.log10(ad.max() / a1.max())) < 0.1
+        assert np.abs(ad - a1).max() / a1.max() < 0.01
+        pk = np.unravel_index(a1.argmax(), a1.shape)
+        assert abs(np.angle(dec[pk] * np.conj(full[pk]))) < 1e-2
