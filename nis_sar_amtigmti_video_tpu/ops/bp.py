@@ -75,13 +75,18 @@ def pixel_grid(p: BpParams):
 
 
 @partial(jax.jit, static_argnames=("p",))
-def backproject(rc, sat_pos, sat_vel, t_slow, vel_focus, t_start, p: BpParams):
+def backproject(rc, sat_pos, sat_vel, t_slow, vel_focus, t_start, p: BpParams,
+                t_mean=None):
     """Backproject range-compressed data onto the (moving) pixel grid.
 
     rc:       (P, Ns) complex64 range-compressed pulses
     sat_pos:  (P, 3) float64, sat_vel: (P, 3) float64, t_slow: (P,) float64
     vel_focus:(3,) float64 — focus velocity (mBP); zeros = standard BP
     t_start:  receive-window opening time (float64 scalar)
+    t_mean:   moving-grid reference time; defaults to mean(t_slow). Pass the
+              global CPI mean when t_slow is a pulse shard (parallel/
+              corner_turn.bp_sharded), else each shard would recentre its
+              grid on its own mid-time.
 
     Returns (ny, nx) complex64 image.
     """
@@ -95,7 +100,8 @@ def backproject(rc, sat_pos, sat_vel, t_slow, vel_focus, t_start, p: BpParams):
     carrier0 = (carrier0 - _TWO_PI * jnp.round(carrier0 / _TWO_PI)).astype(ft)
     toff = (2.0 * d0 / _C - t_start).astype(ft)             # window-relative delay of origin
 
-    dt = (t_slow - jnp.mean(t_slow)).astype(ft)             # mBP grid time
+    t_ref_grid = jnp.mean(t_slow) if t_mean is None else t_mean
+    dt = (t_slow - t_ref_grid).astype(ft)                   # mBP grid time
     pos_f = sat_pos.astype(ft)
     vel_f = sat_vel.astype(ft)
     vf = vel_focus.astype(ft)

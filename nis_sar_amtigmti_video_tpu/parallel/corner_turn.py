@@ -82,3 +82,41 @@ def csa_sharded(phist, phases: CsaPhases, mesh: Mesh, axis: str = "seq",
         in_specs=(spec_pulse, P(None, axis), P(axis, None), P(axis, None)),
         out_specs=spec_range)
     return f(phist, phases.phi1, phases.phi2, phases.phi3)
+
+
+def bp_sharded(rc, sat_pos, sat_vel, t_slow, vel_focus, t_start, p,
+               mesh, axis: str = "seq"):
+    """Pulse-sharded backprojection: each device backprojects its slow-time
+    shard onto the full pixel grid, then the partial images psum over
+    ``axis`` — the TPU analog of a ring-reduce over aperture segments
+    (SURVEY §5 "BP accumulation over pulse shards = psum"; the reference
+    runs the pulse loop serially, sar_batch_sim.py:207-235).
+
+    rc: (P, Ns) range-compressed pulses with P divisible by the axis size.
+    Returns the (ny, nx) complex image, replicated across the mesh.
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P_
+
+    from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
+
+    n_shards = mesh.shape[axis]
+
+    def body(rc_l, pos_l, vel_l, ts_l, vf_l, t0_l):
+        # global CPI mid-time: each shard must reference the same moving grid
+        t_mean = (jax.lax.psum(jnp.sum(ts_l), axis)
+                  / (ts_l.shape[0] * n_shards))
+        img = bp_ops.backproject(rc_l, pos_l, vel_l, ts_l, vf_l[0],
+                                 t0_l[0], p, t_mean=t_mean)
+        return jax.lax.psum(img, axis)[None]
+
+    other = [ax for ax in mesh.axis_names if ax != axis]
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P_(axis, None), P_(axis, None), P_(axis, None), P_(axis),
+                  P_(None, None), P_(None)),
+        out_specs=P_(None, None, None),
+        check_vma=False)
+    out = fn(rc, sat_pos, sat_vel, t_slow, vel_focus[None, :],
+             t_start[None])
+    return out[0]

@@ -175,3 +175,43 @@ class TestPipelined:
         f = jax.jit(lambda a: (a * 2.0).sum())
         got = list(pipelined(f, xs, depth=2, fetch=lambda h: float(h)))
         assert got == [float((x * 2).sum()) for x in xs]
+
+
+@needs_8
+class TestShardedBP:
+    def test_pulse_sharded_equals_local(self):
+        """Pulse-sharded BP (psum of partial images) == single-device BP,
+        including the mBP moving grid (global CPI mid-time, not per-shard)."""
+        from nis_sar_amtigmti_video_tpu.geometry import orbit
+        from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
+        from nis_sar_amtigmti_video_tpu.ops.echo import (
+            EchoOpts, phase_history, window_start_time)
+        from nis_sar_amtigmti_video_tpu.scene import targets as T
+
+        sc = cfg.videosar()
+        g = sc.geometry
+        n_p, n_s = 64, 512
+        traj = orbit.make_trajectory(g, orbit.slow_time_grid(n_p / 5000.0, n_p))
+        opts = EchoOpts(fc_hz=9.65e9, chirp_rate=150e6 / 2e-6,
+                        pulse_width_s=2e-6, fs_hz=150e6, num_samples=n_s,
+                        endpoint_grid=False, chirp_centering="centered",
+                        amplitude="rcs", stop_and_go=True)
+        t0 = window_start_time(g.slant_range_m, opts, n_s / opts.fs_hz,
+                               "centered")
+        vel = np.array([10.0, 0.0, 0.0])
+        raw = phase_history(traj, T.point_target((0.0, 0.0, 0.0), 50.0),
+                            opts, t_start=t0, target_velocity=vel)
+        p = bp_ops.BpParams(fc_hz=opts.fc_hz, chirp_rate=opts.chirp_rate,
+                            fs_hz=opts.fs_hz, pulse_width_s=opts.pulse_width_s,
+                            num_samples=n_s, nx=32, ny=32, scene_size_m=200.0,
+                            pulse_block=8)
+        rc = bp_ops.bp_range_compress(raw, p)
+        pos = jnp.asarray(traj.positions); ve = jnp.asarray(traj.velocities)
+        ts = jnp.asarray(traj.times)
+        vf = jnp.asarray(vel, jnp.float64)
+        want = cplx.to_host(bp_ops.backproject(rc, pos, ve, ts, vf,
+                                               jnp.float64(t0), p))
+        m = mesh_mod.make_mesh((1, 1, 8))
+        got = cplx.to_host(corner_turn.bp_sharded(
+            rc, pos, ve, ts, vf, jnp.float64(t0), p, m, axis="seq"))
+        np.testing.assert_allclose(got, want, atol=2e-4 * np.abs(want).max())
