@@ -79,3 +79,24 @@ class TestGlobalFlagPositions:
         # --out given BEFORE the subcommand must survive the subparser pass
         main(["--out", str(tmp_path), "targets"])
         assert (tmp_path / "targets_preview.png").exists()
+
+
+class TestRemainingCommands:
+    def test_videosar_batch_matrix(self, tmp_path):
+        """The reference's batch matrix runner (sar_batch_sim.py:240-361):
+        vehicles x headings x algos, per-cell frame dirs + GIFs."""
+        main(["--small", "--fast-sim", "--no-noise", "--out", str(tmp_path),
+              "videosar-batch", "--vehicles", "Destroyer",
+              "--headings", "0,90", "--algos", "mbp,stdbp", "--frames", "2"])
+        gifs = sorted(f.name for f in tmp_path.glob("*.gif"))
+        assert gifs == ["Destroyer_15_0_mbp.gif", "Destroyer_15_0_stdbp.gif",
+                        "Destroyer_15_90_mbp.gif", "Destroyer_15_90_stdbp.gif"]
+
+    def test_ati_dpca_products(self, tmp_path):
+        main(["--small", "--fast-sim", "--no-noise", "--out", str(tmp_path),
+              "ati-dpca", "--clutter", "10"])
+        assert (tmp_path / "sar_ati_dpca_data_csa.npz").exists()
+        # the reference's three standalone plot filenames
+        for n in ("csa_sar_ati_ch1_mag.png", "csa_sar_ati_phase.png",
+                  "csa_sar_dpca_diff.png"):
+            assert (tmp_path / n).exists()
