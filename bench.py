@@ -114,6 +114,58 @@ def main():
     except Exception:
         pass
 
+    # ---- BP VideoSAR frame (512^2 grid, presummed aperture), best-effort ----
+    bp_ms = None
+    try:
+        # BP adds a multi-minute remote compile: only attempt it with at
+        # least half the budget left, so the JSON line is never at risk
+        if (time.perf_counter() - t_proc0) < 0.5 * budget_s \
+                and os.environ.get("BENCH_SKIP_BP", "0") != "1":
+            from nis_sar_amtigmti_video_tpu.geometry import orbit
+            from nis_sar_amtigmti_video_tpu.models import videosar
+            from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
+
+            scv = cfg.videosar()
+            rv, gv = scv.radar, scv.geometry
+            sched_pulses = 2500                     # reference CPI
+            l_ant = videosar.antenna_length_for_swath(
+                scv, scv.processing.bp_scene_size_m)
+            opts = videosar.spotlight_echo_opts(scv, l_ant)
+            t0b = window_start_time(gv.slant_range_m, opts,
+                                    scv.collect.window_length_s, "centered")
+            p_bp = videosar.bp_params_for(scv, opts, "f32")
+            d_ps = bp_ops.presum_factor(p_bp, rv.prf_hz, rv.wavelength_m,
+                                        gv.slant_range_m,
+                                        gv.effective_velocity_mps)
+            tb = np.linspace(-sched_pulses / rv.prf_hz / 2,
+                             sched_pulses / rv.prf_hz / 2, sched_pulses)
+            trajb = orbit.make_trajectory(gv, tb)
+
+            @jax.jit
+            def mk_bp(key):
+                return jax.lax.complex(
+                    jax.random.normal(key, (sched_pulses, opts.num_samples),
+                                      jnp.float32),
+                    jax.random.normal(jax.random.fold_in(key, 1),
+                                      (sched_pulses, opts.num_samples),
+                                      jnp.float32))
+
+            raw_bp = mk_bp(jax.random.PRNGKey(1))
+            fbp = jax.jit(lambda x: bp_ops.focus_bp(
+                x, trajb.positions, trajb.velocities, trajb.times,
+                np.zeros(3), t0b, p_bp, presum=d_ps))
+            o = fbp(raw_bp)
+            _ = float(jnp.sum(jnp.abs(o[:2, :2])))
+            lat = []
+            for _ in range(2):
+                t1 = time.perf_counter()
+                o = fbp(raw_bp)
+                _ = float(jnp.sum(jnp.abs(o[:2, :2])))
+                lat.append(time.perf_counter() - t1)
+            bp_ms = 1000.0 * float(np.median(lat))
+    except Exception:
+        pass
+
     # ---- NumPy reference baseline (oracle CSA, same shape, 1 rep) ----
     numpy_fps = None
     try:
@@ -140,6 +192,7 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(fps / numpy_fps, 2) if numpy_fps else None,
         "gmti_latency_ms": round(gmti_ms, 2) if gmti_ms else None,
+        "bp_frame_ms": round(bp_ms, 1) if bp_ms else None,
         "numpy_fps": round(numpy_fps, 4) if numpy_fps else None,
         "device": str(dev),
         "batch": batch,
