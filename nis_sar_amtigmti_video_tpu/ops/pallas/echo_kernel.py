@@ -103,37 +103,43 @@ def echo_accumulate(tau_rel, carrier, amp, t_fast, *, k_pi: float,
     tf_col = jnp.broadcast_to(
         jnp.pad(t_fast, (0, ns_pad - ns), constant_values=-1.0)[:, None],
         (ns_pad, pt))
-    # optimization_barrier materializes all operands — fused pad/transpose/
-    # broadcast producers handed straight to pallas_call have tripped Mosaic
-    # legalization ('func.return' i32/i64) on the v5e toolchain
-    tau_t, car_t, amp_t, tf_col = jax.lax.optimization_barrier(
-        (tau_t, car_t, amp_t, tf_col))
 
     grid = (p_pad // pt, ns_pad // nt, b_pad // tb)
     kernel = partial(echo_kernel_body, k_pi=k_pi, shift=shift, half=half,
                      target_tile=tb)
     out_shape = [jax.ShapeDtypeStruct((ns_pad, p_pad), jnp.float32)] * 2
-    re_t, im_t = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tb, pt), lambda i, j, k: (k, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, pt), lambda i, j, k: (k, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, pt), lambda i, j, k: (k, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, pt), lambda i, j, k: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((nt, pt), lambda i, j, k: (j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, pt), lambda i, j, k: (j, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=out_shape,
-        interpret=interpret,
-    )(tau_t, car_t, amp_t, tf_col)
+
+    def call(a1, a2, a3, a4):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tb, pt), lambda i, j, k: (k, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, pt), lambda i, j, k: (k, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, pt), lambda i, j, k: (k, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nt, pt), lambda i, j, k: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((nt, pt), lambda i, j, k: (j, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nt, pt), lambda i, j, k: (j, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(a1, a2, a3, a4)
+
+    # Mosaic cannot legalize the i64 grid/loop state that jax_enable_x64
+    # injects ("failed to legalize 'func.return' (i32, i64)") — the package
+    # enables x64 globally for geometry, so trace the pallas_call with x64
+    # OFF. All operands are f32; semantics are unchanged. Root-caused by
+    # bisection on the v5e toolchain (x64 off -> compiles and runs at every
+    # grid shape; x64 on -> fails even at grid (1,1,1)).
+    with jax.enable_x64(False):
+        re_t, im_t = jax.jit(call)(tau_t, car_t, amp_t, tf_col)
     raw = jax.lax.complex(jnp.swapaxes(re_t, 0, 1), jnp.swapaxes(im_t, 0, 1))
     return raw[:num_p, :ns]
