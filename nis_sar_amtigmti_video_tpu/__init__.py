@@ -24,10 +24,17 @@ use :mod:`nis_sar_amtigmti_video_tpu.utils.cplx` (``to_host`` / ``to_device``)
 which moves real/imag planes and (re)assembles complex on the proper side.
 """
 
+import os as _os
+
 import jax as _jax
 
-# Must happen before any array is created anywhere in the package.
-_jax.config.update("jax_enable_x64", True)
+# Must happen before any array is created anywhere in the package. Host
+# applications embedding this library next to other JAX code can opt out of
+# the process-global x64 switch with NIS_SAR_NO_X64=1 (geometry helpers then
+# upcast explicitly where f64 is required; focusing accuracy contracts are
+# only guaranteed with x64 on).
+if _os.environ.get("NIS_SAR_NO_X64", "0") != "1":
+    _jax.config.update("jax_enable_x64", True)
 
 from nis_sar_amtigmti_video_tpu import constants  # noqa: E402
 from nis_sar_amtigmti_video_tpu import config  # noqa: E402

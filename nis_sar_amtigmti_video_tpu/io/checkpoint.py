@@ -19,6 +19,12 @@ import numpy as np
 def _encode(tree: Dict[str, Any]) -> Dict[str, Any]:
     out = {}
     for k, v in tree.items():
+        if k.endswith("__cplx"):
+            # the packed-complex sentinel is reserved: a real array stored
+            # under such a key would silently decode as a bogus complex array
+            raise ValueError(
+                f"checkpoint key {k!r} collides with the reserved "
+                "'__cplx' suffix used to pack complex arrays")
         if isinstance(v, dict):
             out[k] = _encode(v)
         else:

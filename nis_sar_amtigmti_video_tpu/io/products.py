@@ -173,9 +173,12 @@ def read_video_frames(out_dir: str, prefix: str = "frame"):
 
 def missing_frames(out_dir: str, num_frames: int, prefix: str = "frame"):
     """Frame indices not yet on disk — the re-drive list for resume."""
+    import re
     have = set()
     if os.path.isdir(out_dir):
-        have = set(int(p.split("_")[-1].split(".")[0])
-                   for p in os.listdir(out_dir)
-                   if p.startswith(prefix) and p.endswith(".npy"))
+        # same strict pattern as read_video_frames: unrelated files in the
+        # output dir (e.g. 'frame_meta.npy') must not break resume
+        pat = re.compile(rf"{re.escape(prefix)}_(\d+)\.npy$")
+        have = set(int(m.group(1))
+                   for m in map(pat.match, os.listdir(out_dir)) if m)
     return [f for f in range(num_frames) if f not in have]

@@ -1,15 +1,17 @@
 """Native (C++) runtime tier: build-on-demand ctypes bindings.
 
 ``sar_runtime.cpp`` holds the host-side hot paths (async .npy frame spiller,
-constellation coverage statistics). The library is compiled once with g++
-into the package directory (or a temp dir if read-only) and loaded with
-ctypes; every entry point has a pure-Python fallback so the framework works
-on hosts without a toolchain.
+constellation coverage statistics). The library is compiled on first use with
+g++ into a per-user cache directory, keyed by a hash of the source so a
+stale binary can never be dlopen'd against newer ctypes signatures; every
+entry point has a pure-Python fallback so the framework works on hosts
+without a toolchain.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import tempfile
@@ -20,7 +22,6 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "sar_runtime.cpp")
-_LIB_NAME = "libsar_runtime.so"
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -28,13 +29,37 @@ _tried = False
 
 
 def _build(out_path: str) -> bool:
+    # build to a temp name then rename: atomic vs concurrent processes
+    tmp = out_path + f".tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-           _SRC, "-o", out_path]
+           _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out_path)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError):
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
+
+
+def _lib_path() -> str:
+    """Cache path embedding the source hash (never inside the package dir,
+    which would dirty the worktree; never reused across source changes)."""
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    d = os.path.join(cache, "nis_sar_amtigmti_video_tpu")
+    try:
+        os.makedirs(d, exist_ok=True)
+        if not os.access(d, os.W_OK):
+            raise OSError
+    except OSError:
+        d = tempfile.gettempdir()
+    return os.path.join(d, f"libsar_runtime-{h}.so")
 
 
 def load() -> Optional[ctypes.CDLL]:
@@ -44,15 +69,12 @@ def load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        for d in (_HERE, tempfile.gettempdir()):
-            path = os.path.join(d, _LIB_NAME)
-            if not os.path.exists(path) or os.path.getmtime(path) < os.path.getmtime(_SRC):
-                if not os.access(d, os.W_OK) or not _build(path):
-                    continue
+        path = _lib_path()
+        if os.path.exists(path) or _build(path):
             try:
                 lib = ctypes.CDLL(path)
             except OSError:
-                continue
+                return None
             lib.rle_stats.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                 ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
@@ -146,17 +168,19 @@ class FrameSpiller:
                    if self._lib is not None else None)
 
     def submit(self, path: str, array: np.ndarray):
-        a = np.ascontiguousarray(array)
+        # Both backends must produce the same file: normalize the name to
+        # end in .npy and store float32/complex64 regardless of which
+        # backend runs (the stack a resume reads must not depend on whether
+        # g++ was available on the writing host).
+        if not path.endswith(".npy"):
+            path += ".npy"
+        is_c = np.iscomplexobj(array)
+        a = np.ascontiguousarray(
+            np.asarray(array, np.complex64 if is_c else np.float32))
         if self._h is None:
-            np.save(path if not path.endswith(".npy") else path[:-4], a)
+            np.save(path, a)
             return
-        is_c = np.iscomplexobj(a)
-        if is_c:
-            a = np.ascontiguousarray(a.astype(np.complex64))
-            flat = a.view(np.float32)
-        else:
-            a = np.ascontiguousarray(a.astype(np.float32))
-            flat = a
+        flat = a.view(np.float32) if is_c else a
         shape = (ctypes.c_int64 * a.ndim)(*a.shape)
         self._lib.spiller_submit(
             self._h, path.encode(),
