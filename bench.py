@@ -151,9 +151,14 @@ def main():
                                       jnp.float32))
 
             raw_bp = mk_bp(jax.random.PRNGKey(1))
-            fbp = jax.jit(lambda x: bp_ops.focus_bp(
+            # gather-free fast BP (ops/bp_fast.py); the exact path stays
+            # available as bp_ops.focus_bp / bp_backend='exact'
+            from nis_sar_amtigmti_video_tpu.ops import bp_fast
+            plan_bp = bp_fast.make_plan(p_bp, np.asarray(trajb.positions),
+                                        np.asarray(trajb.times), float(t0b))
+            fbp = jax.jit(lambda x: bp_fast.focus_bp_fast(
                 x, trajb.positions, trajb.velocities, trajb.times,
-                np.zeros(3), t0b, p_bp, presum=d_ps))
+                np.zeros(3), float(t0b), p_bp, presum=d_ps, plan=plan_bp))
             o = fbp(raw_bp)
             _ = float(jnp.sum(jnp.abs(o[:2, :2])))
             lat = []

@@ -28,6 +28,7 @@ import numpy as np
 from nis_sar_amtigmti_video_tpu.config import ScenarioConfig
 from nis_sar_amtigmti_video_tpu.geometry import orbit
 from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
+from nis_sar_amtigmti_video_tpu.ops import bp_fast
 from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
 from nis_sar_amtigmti_video_tpu.ops import noise as noise_ops
 from nis_sar_amtigmti_video_tpu.ops.echo import (EchoOpts, phase_history,
@@ -69,16 +70,30 @@ def bp_params_for(sc: ScenarioConfig, opts: EchoOpts,
         scene_size_m=pr.bp_scene_size_m, precision=precision)
 
 
-@partial(jax.jit, static_argnames=("p", "presum"))
+@partial(jax.jit, static_argnames=("p", "presum", "backend", "plan"))
 def form_frames_bp(raw_frames, pos_frames, vel_frames, t_frames, vel_focus,
-                   t_start, p: bp_ops.BpParams, presum: int = 1):
+                   t_start, p: bp_ops.BpParams, presum: int = 1,
+                   backend: str = "exact", plan=None):
     """Vmapped mBP/StdBP formation: (F, cpi, Ns) -> (F, ny, nx) complex64.
     The leading F axis is the data-parallel (shardable) axis. ``presum > 1``
     decimates slow time first (bp_ops.presum_recenter) — choose it with
-    bp_ops.presum_factor; it cuts per-frame BP cost ~presum-fold."""
+    bp_ops.presum_factor; it cuts per-frame BP cost ~presum-fold.
+
+    backend: 'exact' keeps the reference-semantics per-pixel path
+    (ops/bp.py); 'fast' uses the gather-free iso-range kernel
+    (ops/bp_fast.py, one shared static ``plan`` for every CPI — build it
+    with bp_fast.make_plan over the whole collect's trajectory)."""
     rc = bp_ops.bp_range_compress(raw_frames, p)
 
     def one(r_, po, ve, ts):
+        if backend == "fast":
+            img = bp_fast.backproject_fast(r_, po, ve, ts, vel_focus, p,
+                                           plan, presum=presum)
+            if presum > 1:
+                corr = bp_ops.presum_droop_correction(po, ve, ts, vel_focus,
+                                                      p, presum)
+                return presum * corr * img
+            return img
         if presum > 1:
             corr = bp_ops.presum_droop_correction(po, ve, ts, vel_focus, p,
                                                   presum)
@@ -118,7 +133,8 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
         speed_mps: float = 0.0, algorithm: str = "mbp",
         frames_per_batch: int = 4, key=None,
         avg_rcs: float | None = None, num_frames: int | None = None,
-        frame_indices=None, precision: str = "f32") -> VideoFrames:
+        frame_indices=None, precision: str = "f32",
+        bp_backend: str = "fast") -> VideoFrames:
     """Full VideoSAR product: schedule -> per-frame sim -> batched formation.
 
     algorithm: 'mbp' (focus on target velocity), 'stdbp' (zero focus
@@ -126,6 +142,9 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
     or 'csa'. ``frame_indices`` selects a subset of schedule frames (the
     recovery path: see :func:`resume`); determinism holds because noise keys
     fold the *schedule* frame index, not the batch position.
+
+    bp_backend: 'fast' (default — gather-free iso-range BP, ops/bp_fast.py)
+    or 'exact' (reference-semantics per-pixel path, ops/bp.py).
     """
     r, g, v = sc.radar, sc.geometry, sc.video
     sched = scheduler.make_schedule(v, r.prf_hz)
@@ -163,6 +182,11 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
     presum = sc.processing.bp_presum or bp_ops.presum_factor(
         p_bp, r.prf_hz, r.wavelength_m, g.slant_range_m,
         g.effective_velocity_mps)
+    bp_plan = None
+    if algorithm in ("mbp", "stdbp") and bp_backend == "fast":
+        # one static plan for the whole collect (per-CPI geometry is traced)
+        bp_plan = bp_fast.make_plan(p_bp, traj.positions, traj.times,
+                                    float(t0))
 
     # Overlapped CPIs share pulses: synthesize the stream once, in step-sized
     # segments, and assemble each frame from its cached segments (the default
@@ -221,7 +245,8 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
         if algorithm in ("mbp", "stdbp"):
             return form_frames_bp(raw_b, pos_b, vel_b, t_b,
                                   jnp.asarray(vel_focus), jnp.float64(t0),
-                                  p_bp, presum)
+                                  p_bp, presum, backend=bp_backend,
+                                  plan=bp_plan)
         elif algorithm == "csa":
             p_csa = csa_ops.CsaParams(
                 wavelength_m=r.wavelength_m, chirp_rate=r.chirp_rate,

@@ -1,0 +1,506 @@
+"""Gather-free fast backprojection (the TPU answer to ``tdbp_gpu``).
+
+Why
+---
+Classic per-pixel BP needs ``pulses x pixels`` fractional-sample lookups;
+on TPU arbitrary gathers cost ~35 ns/element, so the reference workload
+(512^2 x 2,500 pulses, sar_batch_sim.py:171-238) spends ~10 s in gathers
+alone. This module removes *every* per-pixel gather:
+
+1. **Recentre + presum** (ops/bp.py machinery): every pulse is resampled so
+   the scene origin sits at a fixed sample bin, then slow time is coherently
+   decimated by D (validated droop budget +0.03 dB).
+2. **Iso-range internal grid**: pixels are laid out with rows along the
+   CPI-centre iso-range direction and row pitch chosen so consecutive rows
+   advance the range index by an *exact integer* ``stride`` of samples.
+   Row windows of W samples then come out of the recentred pulses as W
+   static strided slices — no gathers.
+3. **Separable evaluation**: within a row, the true sample index of pixel
+   (t, y, x) is A[t,y] + e_t(x) with e_t quadratic in x (curvature, squint,
+   Doppler re-centering and stop-and-go all included — coefficients are fit
+   from 3 exact delta-range evaluations per (t,y), so no term is dropped by
+   hand). The tapered window is interpolated in its 32-point Fourier basis:
+
+       value[t,y,x] = sum_m  (W^[t,y,m] e^{j2pi f_m A}) * (e^{j2pi f_m e_t(x)})
+                      ------------------------------   -------------------
+                            per-(t,y) ramp                per-t kernel
+
+   — a per-pulse (ny x W) @ (W x nx) complex matmul on the MXU.
+4. **Phase** exp(j*phi[t,y,x]) is evaluated per pixel (that is the azimuth
+   focusing) from a per-(t,y) quadratic-in-x fit of the exact f64 phase;
+   cubic residuals are < 1e-3 rad at the reference geometry.
+5. The internal image is mapped to the requested output grid by a
+   gather-free affine resample (FFT-ramp shears + sinc-matrix matmuls).
+
+The result is numerically *better* interpolation than the reference's
+bilinear ``grid_sample`` (windowed-Fourier vs 2-tap linear); golden parity
+with the reference semantics stays on ops/bp.py's exact path.
+
+Reference behavior covered: sar_batch_sim.py:171-238 (tdbp_gpu: mBP/StdBP,
+Doppler re-centering, stop-and-go Rx, grid_sample -0.5 offset).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nis_sar_amtigmti_video_tpu.ops.bp import BpParams
+from nis_sar_amtigmti_video_tpu.utils.cplx import expj
+
+_TWO_PI = 2.0 * math.pi
+_C = 299792458.0
+
+
+# --------------------------------------------------------------------------
+# plan (host-side, static): internal grid + band geometry
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FastBpPlan:
+    """Static geometry of the internal iso-range grid (hashable: jit-static).
+
+    Per-frame quantities (iso-range directions, row pitch, which rotate over
+    a VideoSAR collect) are *traced*, computed in-graph by
+    :func:`_frame_geometry` — one plan serves every CPI of a collect, so a
+    vmapped multi-frame formation compiles once.
+    """
+    ny_i: int              # internal rows (iso-range lines)
+    nx_i: int              # internal columns (along iso-range)
+    w_win: int             # per-row window length (samples)
+    stride: int            # integer samples of range walk per internal row
+    band_start: int        # first recentred sample used by row 0's window
+    nfft: int              # recentred fast-time length (power of two)
+    dx_m: float            # internal column pitch (= output pitch)
+    t_ref: float           # fixed recentre delay (s): origin bin position
+    n_org: float           # (t_ref - t_start) * fs, the origin's sample index
+    taper_pow: int = 4     # cos^p window taper power
+
+
+def _look_geometry(p: BpParams, pos_c: np.ndarray):
+    """CPI-centre look geometry: in-plane range-gradient and iso-range dirs
+    (host/numpy version, used for static plan sizing)."""
+    u = pos_c / np.linalg.norm(pos_c)          # origin -> sat
+    ug = np.array([u[0], u[1]])                # ground projection
+    g = float(np.linalg.norm(ug))
+    if g < 1e-12:                              # nadir: degenerate, pick +y
+        ug = np.array([0.0, 1.0]); g = 1.0
+    cdir = -ug / np.linalg.norm(ug)            # range increases along cdir
+    rdir = np.array([cdir[1], -cdir[0]])       # iso-range direction
+    if rdir[0] < 0:                            # keep roughly +x for sanity
+        rdir = -rdir
+    return (np.array([rdir[0], rdir[1], 0.0]),
+            np.array([cdir[0], cdir[1], 0.0]), g)
+
+
+def _frame_geometry(pos_c, p: BpParams, plan: FastBpPlan):
+    """Traced per-CPI grid geometry from the centre-pulse position:
+    (row_dir(3,), col_dir(3,), dy_m scalar), all f64."""
+    u = pos_c / jnp.linalg.norm(pos_c)
+    ug = u[:2]
+    gn = jnp.linalg.norm(ug)
+    ug = jnp.where(gn < 1e-12, jnp.asarray([0.0, 1.0], ug.dtype), ug / gn)
+    gn = jnp.maximum(gn, 1e-12)
+    cdir = jnp.concatenate([-ug, jnp.zeros((1,), ug.dtype)])
+    rdir = jnp.asarray([cdir[1], -cdir[0], 0.0])
+    rdir = jnp.where(rdir[0] < 0, -rdir, rdir)
+    dy_m = plan.stride * (_C / (2.0 * p.fs_hz)) / gn
+    return rdir, cdir, dy_m
+
+
+def make_plan(p: BpParams, sat_pos: np.ndarray, t_slow: np.ndarray,
+              t_start: float, w_win: int = 32) -> FastBpPlan:
+    """Build the static plan from *concrete* (numpy) trajectory geometry.
+
+    ``sat_pos``/``t_slow`` may span a whole VideoSAR collect; sizing covers
+    the worst-case look rotation across it.
+    """
+    sat_pos = np.asarray(sat_pos, np.float64)
+    t_slow = np.asarray(t_slow, np.float64)
+
+    # integer-stride row pitch: one row advances range by stride samples.
+    # stride > 1 is only safe when fs substantially oversamples the chirp
+    # (row pitch must keep the range spectrum alias-free).
+    bw = abs(p.chirp_rate) * p.pulse_width_s
+    stride = max(1, int(p.fs_hz / max(bw, 1e-3)))
+    dr_per_sample = _C / (2.0 * p.fs_hz)       # slant meters per sample
+    dx_m = p.scene_size_m / (p.nx - 1)
+
+    # coverage: output square corners projected on (row_dir, col_dir) at the
+    # start/mid/end look geometry + resample margin + window guard
+    half = p.scene_size_m / 2.0
+    b_half, a_half, dy_min = 0.0, 0.0, np.inf
+    for ci in (0, sat_pos.shape[0] // 2, sat_pos.shape[0] - 1):
+        row_dir, col_dir, u_g = _look_geometry(p, sat_pos[ci])
+        b_half = max(b_half, half * (abs(col_dir[0]) + abs(col_dir[1])))
+        a_half = max(a_half, half * (abs(row_dir[0]) + abs(row_dir[1])))
+        dy_min = min(dy_min, stride * dr_per_sample / u_g)
+    margin_rows = 16
+    ny_i = 2 * (int(np.ceil(b_half / dy_min)) + margin_rows)
+    ny_i = -(-ny_i // 8) * 8
+    nx_i = 2 * (int(np.ceil(a_half / dx_m)) + 12)
+    nx_i = -(-nx_i // 64) * 64
+
+    nfft = 1 << (p.num_samples - 1).bit_length()
+    d0 = np.linalg.norm(sat_pos, axis=1)
+    t_ref = float(2.0 * np.mean(d0) / _C)
+    n_org = (t_ref - float(t_start)) * p.fs_hz
+    band_start = int(round(n_org - 0.5 - ((ny_i - 1) / 2.0) * stride
+                           - w_win / 2.0))
+    n_band = stride * (ny_i - 1) + w_win
+    if band_start < 0 or band_start + n_band > nfft:
+        raise ValueError(
+            f"scene band [{band_start}, {band_start + n_band}) does not fit "
+            f"the receive window (nfft={nfft}); enlarge num_samples or "
+            "reduce scene_size_m")
+    return FastBpPlan(
+        ny_i=ny_i, nx_i=nx_i, w_win=w_win, stride=stride,
+        band_start=band_start, nfft=nfft, dx_m=float(dx_m),
+        t_ref=t_ref, n_org=float(n_org))
+
+
+# --------------------------------------------------------------------------
+# recentred presum (shared machinery with ops/bp.py, minus the un-recentre)
+# --------------------------------------------------------------------------
+
+def recenter_presum(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
+                    d: int, t_ref: float):
+    """Recentre every pulse to the moving scene origin at the *fixed* delay
+    ``t_ref`` and box-presum by ``d`` — identical math to
+    ops/bp.py::presum_recenter (:213) but returning the *recentred* pulses
+    (the fast path works in recentred coordinates, saving the un-recentre
+    FFT round trip). Returns (rc_c2[P2, nfft], pos2, vel2, t2)."""
+    num_p = rc.shape[0]
+    ns = rc.shape[1]
+    dt = t_slow - jnp.mean(t_slow)
+    org = vel_focus[None, :] * dt[:, None]
+    d0 = jnp.linalg.norm(sat_pos - org, axis=1)
+
+    p_pad = -(-num_p // d) * d
+    w = jnp.pad(jnp.ones((num_p,), jnp.float32), (0, p_pad - num_p))
+    rc = jnp.pad(rc, ((0, p_pad - num_p), (0, 0)), mode="edge")
+    d0_p = jnp.pad(d0, (0, p_pad - num_p), mode="edge")
+
+    shift = (2.0 * d0_p / _C - t_ref) * p.fs_hz
+    nfft = 1 << (ns - 1).bit_length()
+    f_bins = jnp.fft.fftfreq(nfft)
+    car = _TWO_PI * (2.0 * p.fc_hz / _C) * d0_p
+
+    def ramp(phase64):
+        ph = (phase64 - _TWO_PI * jnp.round(phase64 / _TWO_PI)
+              ).astype(jnp.float32)
+        return jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+    spec = jnp.fft.fft(rc, n=nfft, axis=-1)
+    spec = spec * ramp(_TWO_PI * f_bins[None, :] * shift[:, None])
+    rc_c = jnp.fft.ifft(spec, axis=-1) * ramp(car)[:, None]
+
+    wb = w.reshape(-1, d)
+    rc_b = (rc_c.reshape(-1, d, nfft) * wb[:, :, None].astype(jnp.complex64)
+            ).sum(axis=1) / jnp.float32(d)
+
+    ci = jnp.arange(p_pad // d) * d + (d // 2)
+    ci = jnp.minimum(ci, num_p - 1)
+    return (rc_b.astype(jnp.complex64), sat_pos[ci], sat_vel[ci], t_slow[ci])
+
+
+# --------------------------------------------------------------------------
+# exact per-(pulse,row) coefficients (f64 delta-range physics, 3-point fit)
+# --------------------------------------------------------------------------
+
+def _idx_phase_exact(g, pos, vel, vf, p: BpParams, plan: FastBpPlan):
+    """Exact recentred (sample index, unwrapped phase) for pixel positions.
+
+    g: (..., 3) moving-grid pixel positions, pos/vel: (..., 3) per-pulse
+    (broadcastable). All f64. Mirrors ops/bp.py::backproject's block body
+    (delta-range Newton, Doppler re-centering, stop-and-go Rx; see
+    sar_batch_sim.py:207-235 for the semantics being reproduced).
+    """
+    d0 = jnp.linalg.norm(pos, axis=-1)
+    gp = jnp.sum(g * pos, axis=-1)
+    g2 = jnp.sum(g * g, axis=-1)
+    num = g2 - 2.0 * gp
+    d1 = num / (2.0 * d0)
+    delta = num / (2.0 * d0 + d1)
+    d_tx = d0 + delta
+
+    u = g - pos
+    v_rel = vel - vf
+    v_rad = jnp.sum(v_rel * u, axis=-1) / d_tx
+    t_shift = (-p.fc_hz * 2.0 / (_C * p.chirp_rate)) * v_rad
+
+    tau_a = 2.0 * d_tx / _C
+    w_vec = (vf - vel) * tau_a[..., None]
+    uw = 2.0 * jnp.sum(u * w_vec, axis=-1) + jnp.sum(w_vec * w_vec, axis=-1)
+    drx1 = uw / (2.0 * d_tx)
+    delta_rx = uw / (2.0 * d_tx + drx1)
+
+    dtau = (2.0 * delta + delta_rx) / _C
+    idx = plan.n_org + (dtau + t_shift) * p.fs_hz - 0.5
+    phase = (_TWO_PI * p.fc_hz / _C) * (2.0 * delta + delta_rx)
+    return idx, phase
+
+
+def _fit_coeffs(pos2, vel2, t2, vel_focus, p: BpParams, plan: FastBpPlan,
+                t_mean, rdir, cdir, dy_m):
+    """Per-(t,y) window offset u0 and phase quadratic (Pa, Pb, Pc); per-t
+    index quadratic (B, C). xi is the centred column index."""
+    ny, nx = plan.ny_i, plan.nx_i
+    b = (jnp.arange(ny, dtype=jnp.float64) - (ny - 1) / 2.0) * dy_m
+    xi_max = (nx - 1) / 2.0
+    a_max = xi_max * plan.dx_m
+
+    dt = (t2 - t_mean)
+    org = vel_focus[None, :] * dt[:, None]                    # (P,3) moving grid
+
+    # Work in origin-relative coordinates: the recentre removed the delay and
+    # carrier of the *moving* origin, so the delta-range reference must be
+    # d0 = |pos - org|. Shifting both pixel and platform by -org keeps every
+    # relative distance identical while making _idx_phase_exact's d0 the
+    # recentred reference.
+    base = b[None, :, None, None] * cdir[None, None, None, :]
+    xoff = (jnp.asarray([-a_max, 0.0, a_max])[None, None, :, None]
+            * rdir[None, None, None, :])
+    g = base + xoff
+    pos = (pos2 - org)[:, None, None, :]
+    vel = vel2[:, None, None, :]
+    idx, ph = _idx_phase_exact(g, pos, vel, vel_focus, p, plan)
+
+    # phase quadratic per (t, y) in centred column units
+    pa = ph[..., 1]
+    pb = (ph[..., 2] - ph[..., 0]) / (2.0 * xi_max)
+    pc = (ph[..., 2] + ph[..., 0] - 2.0 * ph[..., 1]) / (2.0 * xi_max ** 2)
+    pa_w = (pa - _TWO_PI * jnp.round(pa / _TWO_PI)).astype(jnp.float32)
+
+    # window-local offset per (t, y): exact centre index minus window origin
+    row0 = plan.band_start + plan.stride * jnp.arange(ny)
+    u0 = (idx[..., 1] - row0[None, :]).astype(jnp.float32)
+
+    # index quadratic per t from the centre row (y-variation of the slope is
+    # the xy cross-term, < 3e-3 samples at reference geometry)
+    cidx = ny // 2
+    b_t = ((idx[:, cidx, 2] - idx[:, cidx, 0]) / (2.0 * xi_max)
+           ).astype(jnp.float32)
+    c_t = ((idx[:, cidx, 2] + idx[:, cidx, 0] - 2.0 * idx[:, cidx, 1])
+           / (2.0 * xi_max ** 2)).astype(jnp.float32)
+    return (u0, pa_w, pb.astype(jnp.float32), pc.astype(jnp.float32),
+            b_t, c_t)
+
+
+# --------------------------------------------------------------------------
+# windowed-Fourier row interpolation + phase accumulation
+# --------------------------------------------------------------------------
+
+def _taper(u, w: int, power: int):
+    """Continuous periodic cosine-power taper, >0 away from window edges."""
+    return jnp.sin(jnp.pi * (u + 0.5) / w) ** power
+
+
+def _extract_windows(band, plan: FastBpPlan):
+    """(P, n_band) -> (P, ny_i, W) via W static strided slices (no gathers)."""
+    ny, w, k = plan.ny_i, plan.w_win, plan.stride
+    cols = []
+    for off in range(w):
+        sl = jax.lax.slice_in_dim(band, off, off + k * (ny - 1) + 1, k,
+                                  axis=1)
+        cols.append(sl)
+    return jnp.stack(cols, axis=-1)
+
+
+def _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
+                block: int = 32):
+    """sum_t value[t,y,x] * expj(phase[t,y,x]) over pulse blocks."""
+    num_p = rc2.shape[0]
+    w = plan.w_win
+    ny, nx = plan.ny_i, plan.nx_i
+    f_m = jnp.fft.fftfreq(w).astype(jnp.float32)              # signed cyc/sample
+    tap = _taper(jnp.arange(w, dtype=jnp.float32), w, plan.taper_pow)
+    xi = (jnp.arange(nx, dtype=jnp.float32) - (nx - 1) / 2.0)
+
+    band = jax.lax.slice_in_dim(
+        rc2, plan.band_start,
+        plan.band_start + plan.stride * (ny - 1) + w, 1, axis=1)
+
+    pb_pad = -(-num_p // block) * block
+
+    def padp(x):
+        cfg = [(0, pb_pad - num_p)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg).reshape((pb_pad // block, block) + x.shape[1:])
+
+    w_live = jnp.pad(jnp.ones((num_p,), jnp.float32), (0, pb_pad - num_p))
+    xs = (padp(band), padp(u0), padp(pa), padp(pb), padp(pc),
+          padp(b_t), padp(c_t), w_live.reshape(-1, block))
+
+    def step(img, x):
+        band_b, u0_b, pa_b, pb_b, pc_b, bt_b, ct_b, wl_b = x
+        win = _extract_windows(band_b, plan)                  # (B, ny, W)
+        w_hat = jnp.fft.fft(win * tap[None, None, :].astype(jnp.complex64),
+                            axis=-1) / jnp.float32(w)
+        # per-(t,y) ramp to the exact window offset
+        g = w_hat * expj(_TWO_PI * f_m[None, None, :] * u0_b[:, :, None])
+        # per-t kernel over columns: e_t(xi) = B xi + C xi^2
+        e_t = bt_b[:, None] * xi[None, :] + ct_b[:, None] * xi[None, :] ** 2
+        kern = expj(_TWO_PI * f_m[None, :, None] * e_t[:, None, :])
+        val = jnp.einsum("tym,tmx->tyx", g, kern,
+                         precision=jax.lax.Precision.HIGHEST)
+        # undo the taper at the true evaluation positions (floor keeps the
+        # division finite for zero-padded pulses, whose weight is 0 anyway)
+        u = u0_b[:, :, None] + e_t[:, None, :]
+        val = val / jnp.maximum(_taper(u, w, plan.taper_pow), 1e-4)
+        phase = (pa_b[:, :, None] + pb_b[:, :, None] * xi[None, None, :]
+                 + pc_b[:, :, None] * xi[None, None, :] ** 2)
+        contrib = val * expj(phase) * wl_b[:, None, None]
+        return img + jnp.sum(contrib, axis=0), None
+
+    img0 = jnp.zeros((ny, nx), jnp.complex64)
+    img, _ = jax.lax.scan(step, img0, xs)
+    return img
+
+
+# --------------------------------------------------------------------------
+# internal -> output grid resample (gather-free: FFT shears + sinc matmuls)
+# --------------------------------------------------------------------------
+
+def _fft_shift_axis(x, shift, axis: int):
+    """Fractional circular shift of ``x`` by per-slice ``shift`` samples
+    along ``axis`` (shift broadcasts against x without that axis)."""
+    n = x.shape[axis]
+    nfft = 1 << (n - 1).bit_length() if n & (n - 1) else n
+    f = jnp.fft.fftfreq(nfft).astype(jnp.float32)
+    sh = [1] * x.ndim
+    sh[axis] = nfft
+    f = f.reshape(sh)
+    spec = jnp.fft.fft(x, n=nfft, axis=axis)
+    spec = spec * expj(-_TWO_PI * f * jnp.expand_dims(shift, axis))
+    out = jnp.fft.ifft(spec, axis=axis)
+    return jax.lax.slice_in_dim(out, 0, n, 1, axis=axis)
+
+
+def _resample_output(img_i, plan: FastBpPlan, p: BpParams, rdir, cdir, dy_m):
+    """Internal (ny_i, nx_i) iso-range image -> (ny, nx) output grid.
+
+    Output pixel (ix, iy) sits at world (x[ix], y[iy], 0); its internal
+    coordinates are a = r.pos (columns), b = c.pos (rows). Decomposed as
+    per-axis uniform scales (exact chirp-Z trig resampling, ops/czt.py) plus
+    cross shifts (FFT ramps) — no gathers, no kernel droop.
+    """
+    from nis_sar_amtigmti_video_tpu.ops.czt import czt_eval
+
+    r1, r2 = rdir[0], rdir[1]
+    c1, c2 = cdir[0], cdir[1]
+    half = p.scene_size_m / 2.0
+    dy_out = p.scene_size_m / (p.ny - 1)
+    dx_out = p.scene_size_m / (p.nx - 1)
+
+    # pass 1 (rows axis): for points on output row iy at internal column a:
+    # b(iy, a) = c1/r1 * a + (c2 - c1*r2/r1) * y[iy]
+    a_cols = jnp.asarray(
+        (np.arange(plan.nx_i) - (plan.nx_i - 1) / 2.0) * plan.dx_m)
+    shear_b = (c1 / r1) * a_cols / dy_m                       # rows, per column
+    img = _fft_shift_axis(img_i, -shear_b.astype(jnp.float32), axis=0)
+    scale_b = (c2 - c1 * r2 / r1)
+    step_r = scale_b * dy_out / dy_m
+    start_r = (scale_b * -half) / dy_m + (plan.ny_i - 1) / 2.0
+    img = czt_eval(img, p.ny, step_r, start_r, axis=0)
+
+    # pass 2 (cols axis): a(ix, iy) = r1*x[ix] + r2*y[iy]
+    y = jnp.asarray(np.linspace(-half, half, p.ny))
+    shear_a = (r2 * y) / plan.dx_m                            # cols, per row
+    img = _fft_shift_axis(img, -shear_a.astype(jnp.float32), axis=1)
+    step_c = r1 * dx_out / plan.dx_m
+    start_c = (r1 * -half) / plan.dx_m + (plan.nx_i - 1) / 2.0
+    return czt_eval(img, p.nx, step_c, start_c, axis=1)
+
+
+# --------------------------------------------------------------------------
+# public entry points
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("p", "plan", "presum"))
+def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
+                     plan: FastBpPlan, presum: int = 1, t_mean=None):
+    """Gather-free BP of range-compressed pulses onto the output grid.
+
+    rc: (P, Ns) complex64; trajectory in f64; ``plan`` from :func:`make_plan`
+    built with the *same* trajectory/t_start. Output matches
+    ops/bp.py::backproject (with presum and high-quality interpolation) on
+    (ny, nx). Scaling matches focus_bp's convention: the caller applies the
+    ``presum`` rescale and droop correction.
+    """
+    pos = jnp.asarray(sat_pos, jnp.float64)
+    vel = jnp.asarray(sat_vel, jnp.float64)
+    ts = jnp.asarray(t_slow, jnp.float64)
+    vf = jnp.asarray(vel_focus, jnp.float64)
+    t_mean_v = jnp.mean(ts) if t_mean is None else t_mean
+
+    rc2, pos2, vel2, t2 = recenter_presum(rc, pos, vel, ts, vf, p,
+                                          max(1, presum), plan.t_ref)
+    rdir, cdir, dy_m = _frame_geometry(pos2[pos2.shape[0] // 2], p, plan)
+    u0, pa, pb, pc, b_t, c_t = _fit_coeffs(pos2, vel2, t2, vf, p, plan,
+                                           t_mean_v, rdir, cdir, dy_m)
+    img_i = _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan)
+
+    # The chirp-Z output resample is periodic: content in the margin
+    # rows/cols (outside the requested scene footprint) would alias back
+    # into the output — mask it to zero first (+small guard for the
+    # interpolant's local support).
+    half = p.scene_size_m / 2.0
+    b_rows = (jnp.arange(plan.ny_i, dtype=jnp.float64)
+              - (plan.ny_i - 1) / 2.0) * dy_m
+    b_lim = half * (jnp.abs(cdir[0]) + jnp.abs(cdir[1])) + 4.0 * dy_m
+    a_cols = jnp.asarray(
+        (np.arange(plan.nx_i) - (plan.nx_i - 1) / 2.0) * plan.dx_m)
+    a_lim = half * (jnp.abs(rdir[0]) + jnp.abs(rdir[1])) + 4.0 * plan.dx_m
+    img_i = img_i * ((jnp.abs(b_rows) <= b_lim)[:, None]
+                     & (jnp.abs(a_cols) <= a_lim)[None, :])
+
+    # A BP image carries the spatial range carrier exp(-j*phi_tc(g)) (~2k u_g
+    # rad/m), far beyond the grid Nyquist — demodulate with the exact
+    # CPI-centre-pulse phase before resampling, remodulate on the output
+    # grid with the same analytic phase.
+    tc = pos2.shape[0] // 2
+    xi = (jnp.arange(plan.nx_i, dtype=jnp.float32)
+          - (plan.nx_i - 1) / 2.0)
+    ph_int = (pa[tc][:, None] + pb[tc][:, None] * xi[None, :]
+              + pc[tc][:, None] * xi[None, :] ** 2)
+    img_i = img_i * expj(-ph_int)
+
+    img = _resample_output(img_i, plan, p, rdir, cdir, dy_m)
+
+    x = jnp.linspace(-p.scene_size_m / 2.0, p.scene_size_m / 2.0, p.nx)
+    y = jnp.linspace(-p.scene_size_m / 2.0, p.scene_size_m / 2.0, p.ny)
+    gx, gy = jnp.meshgrid(x, y, indexing="xy")
+    g_out = jnp.stack([gx, gy, jnp.zeros_like(gx)], axis=-1
+                      ).astype(jnp.float64)
+    org_tc = vf * (t2[tc] - t_mean_v)
+    _, ph_out = _idx_phase_exact(g_out, (pos2[tc] - org_tc)[None, None, :],
+                                 vel2[tc][None, None, :], vf, p, plan)
+    ph_out = (ph_out - _TWO_PI * jnp.round(ph_out / _TWO_PI)
+              ).astype(jnp.float32)
+    return img * expj(ph_out)
+
+
+def focus_bp_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
+                  p: BpParams, presum: int = 1, plan: FastBpPlan = None):
+    """Range compression + fast BP + presum rescale/droop (drop-in for
+    ops/bp.py::focus_bp at production scale)."""
+    from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
+
+    if plan is None:
+        plan = make_plan(p, np.asarray(sat_pos), np.asarray(t_slow),
+                         float(t_start))
+    rc = bp_ops.bp_range_compress(raw, p)
+    img = backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p, plan,
+                           presum=presum)
+    if presum > 1:
+        corr = bp_ops.presum_droop_correction(
+            jnp.asarray(sat_pos, jnp.float64), jnp.asarray(sat_vel, jnp.float64),
+            jnp.asarray(t_slow, jnp.float64), jnp.asarray(vel_focus, jnp.float64),
+            p, presum)
+        return presum * corr * img
+    return img

@@ -1,0 +1,154 @@
+"""Gather-free fast backprojection vs the exact (oracle-grade) BP.
+
+The comparison oracle is ops/bp.py::backproject in f64 fed with 8x
+FFT-upsampled range data (linear-interp error drops 64x), with t_start
+shifted so the reference's -0.5 grid_sample offset (defined at the original
+sample rate, sar_batch_sim.py:225-230) stays at the original rate.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nis_sar_amtigmti_video_tpu import config as cfg
+from nis_sar_amtigmti_video_tpu.constants import C
+from nis_sar_amtigmti_video_tpu.geometry import orbit
+from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
+from nis_sar_amtigmti_video_tpu.ops import bp_fast
+from nis_sar_amtigmti_video_tpu.ops.echo import (EchoOpts, phase_history,
+                                                 window_start_time)
+from nis_sar_amtigmti_video_tpu.scene import targets as T
+from nis_sar_amtigmti_video_tpu.utils import cplx
+
+
+def _scene(n_p=192, fs=180e6, ns=1024, vel=(0.0, 0.0, 0.0), t_offset=0.0):
+    sc = cfg.videosar()
+    g = sc.geometry
+    times = orbit.slow_time_grid(n_p / 5000.0, n_p) + t_offset
+    traj = orbit.make_trajectory(g, times)
+    tgts = T.PointTargets.concatenate([
+        T.point_target((0.0, 0.0, 0.0), 30.0),
+        T.point_target((150.0, -120.0, 0.0), 20.0),
+        T.point_target((-170.0, 140.0, 0.0), 25.0),
+    ])
+    lam = C / 9.65e9
+    opts = EchoOpts(fc_hz=9.65e9, chirp_rate=150e6 / 2e-6, pulse_width_s=2e-6,
+                    fs_hz=fs, num_samples=ns, endpoint_grid=False,
+                    chirp_centering="centered", amplitude="rcs",
+                    stop_and_go=True,
+                    antenna_length_m=lam * g.slant_range_m / 500.0)
+    t0 = window_start_time(g.slant_range_m, opts, ns / fs, "centered")
+    raw = cplx.to_host(phase_history(traj, tgts, opts, t_start=t0,
+                                     target_velocity=np.asarray(vel)))
+    p = bp_ops.BpParams(fc_hz=opts.fc_hz, chirp_rate=opts.chirp_rate,
+                        fs_hz=fs, pulse_width_s=opts.pulse_width_s,
+                        num_samples=ns, nx=64, ny=64, scene_size_m=400.0,
+                        precision="f64")
+    return raw, traj, p, float(t0)
+
+
+def _oracle_upsampled(raw, traj, p, t0, vel_focus, u=8):
+    """Exact f64 BP on u-times FFT-upsampled range data."""
+    n_p, ns = raw.shape
+    rc = np.asarray(bp_ops.bp_range_compress(cplx.to_device(raw), p))
+    spec = np.fft.fft(rc, axis=-1)
+    h = ns // 2
+    spec_u = np.zeros((n_p, ns * u), np.complex128)
+    spec_u[:, :h] = spec[:, :h]
+    spec_u[:, -h:] = spec[:, -h:]
+    spec_u[:, h] *= 0.5
+    spec_u[:, -h] *= 0.5
+    rc_u = (np.fft.ifft(spec_u, axis=-1) * u).astype(np.complex64)
+    p_u = bp_ops.BpParams(fc_hz=p.fc_hz, chirp_rate=p.chirp_rate,
+                          fs_hz=p.fs_hz * u, pulse_width_s=p.pulse_width_s,
+                          num_samples=ns * u, nx=p.nx, ny=p.ny,
+                          scene_size_m=p.scene_size_m, precision="f64")
+    t0_u = t0 + 0.5 * (u - 1) / (u * p.fs_hz)
+    return np.asarray(bp_ops.backproject(
+        jnp.asarray(rc_u), jnp.asarray(traj.positions),
+        jnp.asarray(traj.velocities), jnp.asarray(traj.times),
+        jnp.asarray(vel_focus, jnp.float64), jnp.float64(t0_u), p_u))
+
+
+def _check(fast, want, peak_db=0.1, peak_phase=0.01, field=0.01):
+    a_f, a_w = np.abs(fast), np.abs(want)
+    pk = np.unravel_index(a_w.argmax(), a_w.shape)
+    assert abs(20 * np.log10(a_f[pk] / a_w[pk])) < peak_db
+    assert abs(np.angle(fast[pk] * np.conj(want[pk]))) < peak_phase
+    assert np.abs(a_f - a_w).max() / a_w.max() < field
+
+
+class TestFastBp:
+    def test_static_scene_matches_exact(self):
+        raw, traj, p, t0 = _scene()
+        vf = np.zeros(3)
+        want = _oracle_upsampled(raw, traj, p, t0, vf)
+        got = np.asarray(bp_fast.focus_bp_fast(
+            cplx.to_device(raw), traj.positions, traj.velocities,
+            traj.times, vf, t0, p))
+        _check(got, want)
+
+    def test_mbp_moving_target(self):
+        vel = (12.0, 5.0, 0.0)
+        raw, traj, p, t0 = _scene(vel=vel)
+        vf = np.asarray(vel)
+        want = _oracle_upsampled(raw, traj, p, t0, vf)
+        got = np.asarray(bp_fast.focus_bp_fast(
+            cplx.to_device(raw), traj.positions, traj.velocities,
+            traj.times, vf, t0, p))
+        _check(got, want)
+        # mover focused by mBP: peak on the start-position grid cell
+        iy, ix = np.unravel_index(np.abs(got).argmax(), got.shape)
+        x = np.linspace(-200, 200, 64)
+        assert min(abs(x[ix] - 0.0), abs(x[ix] - 150.0),
+                   abs(x[ix] + 170.0)) < 15
+
+    def test_presum_within_budget(self):
+        raw, traj, p, t0 = _scene(n_p=251)
+        vf = np.zeros(3)
+        d = bp_ops.presum_factor(p, 5000.0, C / 9.65e9,
+                                 cfg.videosar().geometry.slant_range_m,
+                                 cfg.videosar().geometry.effective_velocity_mps)
+        assert d >= 2
+        want = _oracle_upsampled(raw, traj, p, t0, vf)
+        got = np.asarray(bp_fast.focus_bp_fast(
+            cplx.to_device(raw), traj.positions, traj.velocities,
+            traj.times, vf, t0, p, presum=d))
+        # presum adds its own validated +0.03 dB / <1% field budget
+        _check(got, want, peak_db=0.15, peak_phase=0.02, field=0.015)
+
+    def test_squinted_cpi(self):
+        """CPI centred off broadside: sheared internal grid + rotated
+        iso-range direction must still match the exact image."""
+        raw, traj, p, t0 = _scene(n_p=192, t_offset=0.08)  # ~600 m along-track
+        vf = np.zeros(3)
+        plan = bp_fast.make_plan(p, traj.positions, traj.times, t0)
+        rdir, _, _ = bp_fast._look_geometry(
+            p, traj.positions[len(traj.times) // 2])
+        assert abs(rdir[1]) > 1e-4           # genuinely rotated rows
+        want = _oracle_upsampled(raw, traj, p, t0, vf)
+        got = np.asarray(bp_fast.focus_bp_fast(
+            cplx.to_device(raw), traj.positions, traj.velocities,
+            traj.times, vf, t0, p, plan=plan))
+        _check(got, want, peak_db=0.12, peak_phase=0.02, field=0.012)
+
+    def test_integer_stride_two(self):
+        """fs/B = 2.4 exercises stride-2 window extraction."""
+        raw, traj, p, t0 = _scene(fs=360e6, ns=2048)
+        vf = np.zeros(3)
+        plan = bp_fast.make_plan(p, traj.positions, traj.times, t0)
+        assert plan.stride == 2
+        want = _oracle_upsampled(raw, traj, p, t0, vf)
+        got = np.asarray(bp_fast.focus_bp_fast(
+            cplx.to_device(raw), traj.positions, traj.velocities,
+            traj.times, vf, t0, p, plan=plan))
+        _check(got, want)
+
+    def test_band_does_not_fit_raises(self):
+        raw, traj, p, t0 = _scene(ns=512)
+        big = bp_ops.BpParams(fc_hz=p.fc_hz, chirp_rate=p.chirp_rate,
+                              fs_hz=p.fs_hz, pulse_width_s=p.pulse_width_s,
+                              num_samples=512, nx=64, ny=64,
+                              scene_size_m=3000.0)
+        with pytest.raises(ValueError, match="does not fit"):
+            bp_fast.make_plan(big, traj.positions, traj.times, t0)

@@ -82,8 +82,10 @@ class TestStripmap:
 class TestVideoSar:
     def _reduced(self):
         sc = cfg.videosar()
+        # B < fs keeps the reduced waveform physical (the production preset
+        # has fs/B = 1.2); an aliased chirp would exercise nothing real
         return sc.replace(
-            radar=dataclasses.replace(sc.radar, bandwidth_hz=300e6,
+            radar=dataclasses.replace(sc.radar, bandwidth_hz=120e6,
                                       pulse_width_s=2e-6, fs_hz=150e6,
                                       prf_hz=1000.0),
             collect=dataclasses.replace(sc.collect,
@@ -153,7 +155,7 @@ class TestVideoSarSegmentCache:
             video=cfg.VideoConfig(duration_s=1.0, fps=5.0, cpi_s=0.4))
         out = videosar.run(sc, T.point_target((5.0, -3.0, 0.0), 10.0),
                            heading_deg=30.0, speed_mps=8.0, algorithm="stdbp",
-                           frames_per_batch=2)
+                           frames_per_batch=2, bp_backend="exact")
         # direct per-frame resimulation for comparison at the raw level
         g, r = sc.geometry, sc.radar
         sched = scheduler.make_schedule(sc.video, r.prf_hz)
