@@ -317,6 +317,9 @@ def cmd_view(args):
 
     if getattr(args, "interactive", False):
         from nis_sar_amtigmti_video_tpu.viz import interactive
+        if os.path.isdir(src):
+            interactive.MovingScenarioViewer(src).show()
+            return
         z = np.load(src)
         if {"slc1", "slc2"} <= set(z.keys()):
             interactive.AtiDpcaViewer(src).show()
@@ -324,9 +327,17 @@ def cmd_view(args):
             interactive.PipelineViewer(src).show()
         return
 
-    if os.path.isdir(src):  # frame directory -> GIF
+    if os.path.isdir(src):
+        from nis_sar_amtigmti_video_tpu.viz.interactive import (
+            MovingScenarioViewer)
+        if MovingScenarioViewer.scenario_paths(src):
+            # moving-scenario set -> shared-zoom comparative sheet
+            png = render.save_moving_scenarios(
+                os.path.join(args.out, "moving_scenarios.png"), src)
+            print(f"view: moving-scenario sheet -> {png}")
+            return
         from nis_sar_amtigmti_video_tpu.io.products import read_video_frames
-        idx, frames = read_video_frames(src)
+        idx, frames = read_video_frames(src)  # frame directory -> GIF
         if frames.shape[0] == 0:
             print(f"view: no frames in {src}")
             return

@@ -202,3 +202,39 @@ def save_targets_preview(path: str, vehicles: Optional[dict] = None):
     fig.savefig(path, dpi=100)
     plt.close(fig)
     return path
+
+
+def save_moving_scenarios(path: str, directory: str, zoom=None):
+    """Headless comparative sheet over the moving-scenario npz set: all
+    available scenarios side by side with ONE shared zoom/extent (the
+    reference's shared-zoom interaction, sar_satellite_moving_viewer.py:
+    144-171, rendered non-interactively). ``zoom`` = ((x0,x1),(y0,y1)) in
+    world meters, default full extent. Returns the path."""
+    from nis_sar_amtigmti_video_tpu.viz.interactive import (
+        MovingScenarioViewer)
+
+    scen = MovingScenarioViewer.scenario_paths(directory)
+    if not scen:
+        raise ValueError(f"no moving-scenario npz files in {directory}")
+    plt = _plt()
+    n = len(scen)
+    fig, axes = plt.subplots(1, n, figsize=(4 * n, 4.4), squeeze=False)
+    for ax, (label, p) in zip(axes[0], scen):
+        z = np.load(p)
+        img = to_db(np.abs(np.asarray(z["final_image"])))
+        ra, cr = np.asarray(z["range_axis"]), np.asarray(z["cross_range"])
+        ext = [ra[0], ra[-1], cr[0], cr[-1]]
+        im = ax.imshow(img, aspect="auto", origin="lower", cmap="viridis",
+                       extent=ext, vmin=np.percentile(img, 1),
+                       vmax=np.percentile(img, 99))
+        if zoom is not None:
+            ax.set_xlim(*zoom[0])
+            ax.set_ylim(*zoom[1])
+        ax.set_title(f"{label}\n{float(z['ship_speed']):.0f} m/s @ "
+                     f"{float(z['ship_heading']):.0f} deg", fontsize=9)
+        ax.set_xlabel("Range (m)")
+    axes[0][0].set_ylabel("Cross range (m)")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path

@@ -78,3 +78,85 @@ class TestAtiDpcaViewer:
         v.set_product("ati_phase")
         v.set_mask(0.2)
         assert v.mask_threshold == 0.2
+
+
+@pytest.fixture
+def scenario_dir(tmp_path):
+    rng = np.random.default_rng(2)
+    names = ["stationary", "0deg", "45deg", "90deg", "135deg"]
+    for i, name in enumerate(names):
+        img = np.abs(rng.standard_normal((40, 56))) + 0.01
+        img[8 + 2 * i, 20 + i] = 50.0          # per-scenario bright spot
+        phi = np.radians(45.0 * max(0, i - 1))
+        spd = 0.0 if i == 0 else 15.0
+        np.savez(tmp_path / f"sar_satellite_moving_scen_{name}.npz",
+                 final_image=img,
+                 range_axis=np.linspace(-300.0, 300.0, 56),
+                 cross_range=np.linspace(-200.0, 200.0, 40),
+                 orbit_alt=514e3, orbit_vel=7610.0, look_ang=35.0,
+                 inc_ang=38.0, r0=507e3, v_eff=7400.0, prf=6000.0,
+                 scen_name=name, ship_speed=spd,
+                 ship_heading=np.degrees(phi),
+                 ship_vel=np.array([spd * np.cos(phi),
+                                    spd * np.sin(phi), 0.0]))
+    return str(tmp_path)
+
+
+class TestMovingScenarioViewer:
+    def test_scenarios_and_shared_zoom(self, scenario_dir):
+        v = interactive.MovingScenarioViewer(scenario_dir)
+        assert len(v.scenarios) == 5
+        assert v.index == 0
+        # zoom in scenario 0; switching scenarios must keep the zoom
+        v.ax.set_xlim(-100.0, 100.0)
+        v.ax.set_ylim(-50.0, 50.0)
+        assert v.shared_zoom is not None
+        v.set_scenario(3)
+        assert v.scenarios[v.index][0].startswith("Moving 90")
+        assert v.ax.get_xlim() == (-100.0, 100.0)
+        assert v.ax.get_ylim() == (-50.0, 50.0)
+        v.set_scenario_label("Stationary")
+        assert v.index == 0
+        assert v.ax.get_xlim() == (-100.0, 100.0)
+
+    def test_zoom_adaptive_clim_world_coords(self, scenario_dir):
+        v = interactive.MovingScenarioViewer(scenario_dir)
+        full = v.im.get_clim()
+        # zoom to a quiet region away from the bright spot
+        v.ax.set_xlim(100.0, 290.0)
+        v.ax.set_ylim(100.0, 190.0)
+        assert v.im.get_clim() != full
+        v.set_scale("linear")
+        assert v.scale == "linear"
+        assert v.im.get_clim()[0] == 0.0
+
+    def test_geometry_summary_and_mode(self, scenario_dir):
+        v = interactive.MovingScenarioViewer(scenario_dir)
+        v.set_scenario(2)
+        info = v.geometry_summary()
+        assert info["ship_speed_mps"] == 15.0
+        assert abs(info["ship_heading_deg"] - 45.0) < 1e-9
+        assert abs(np.hypot(*info["ship_vel_mps"][:2]) - 15.0) < 1e-6
+        v.toggle_geometry()
+        assert v.geo_mode and v.ax.name == "3d"
+        v.toggle_geometry()
+        assert not v.geo_mode and v.ax.name != "3d"
+
+    def test_accepts_writer_file_names(self, scenario_dir, tmp_path):
+        import os
+        import shutil
+        d2 = tmp_path / "writer_names"
+        d2.mkdir()
+        shutil.copy(
+            os.path.join(scenario_dir, "sar_satellite_moving_scen_0deg.npz"),
+            d2 / "sar_satellite_moving_scen_moving_0deg.npz")
+        v = interactive.MovingScenarioViewer(str(d2))
+        assert len(v.scenarios) == 1
+
+    def test_contact_sheet(self, scenario_dir, tmp_path):
+        from nis_sar_amtigmti_video_tpu.viz import render
+        out = render.save_moving_scenarios(
+            str(tmp_path / "sheet.png"), scenario_dir,
+            zoom=((-100.0, 100.0), (-50.0, 50.0)))
+        import os
+        assert os.path.exists(out) and os.path.getsize(out) > 0
