@@ -64,10 +64,14 @@ class EchoOpts:
     target_chunk: int = 512
     # 'jnp' (scan + XLA fusion) | 'pallas' (VMEM-resident fused kernel,
     # ops/pallas/echo_kernel.py) | 'pallas_interpret' (testing) | 'freq'
-    # (gridded-impulse FFT convolution, ops/echo_freq.py — fast for
-    # clutter-heavy scenes; requires endpoint_grid=False)
+    # (NUFFT convolution + exact gate edges, ops/echo_freq.py — golden-grade
+    # and fast for clutter-heavy scenes; requires endpoint_grid=False)
     backend: str = "jnp"
-    freq_oversample: int = 4   # delay-quantization oversampling for 'freq'
+    freq_oversample: int = 2    # spreading-grid oversampling for 'freq'
+    # raised-cosine flank width (native samples) carried by the NUFFT path;
+    # the flanks themselves are synthesized exactly. 0 = round-1 approximate
+    # mode (no exact-edge pass, ~-25 dB field floor)
+    freq_edge_taper: float = 4.0
 
     @property
     def half_width(self) -> float:
@@ -222,7 +226,8 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
                     "(endpoint_grid=False)")
             from nis_sar_amtigmti_video_tpu.ops.echo_freq import synthesize
             return synthesize(tau_all, car_all, amp_all, opts,
-                              oversample=opts.freq_oversample)
+                              oversample=opts.freq_oversample,
+                              edge_taper=opts.freq_edge_taper)
         from nis_sar_amtigmti_video_tpu.ops.pallas.echo_kernel import (
             echo_accumulate)
         return echo_accumulate(

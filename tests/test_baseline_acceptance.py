@@ -27,16 +27,28 @@ from nis_sar_amtigmti_video_tpu.utils import cplx
 C = 299792458.0
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture(scope="module", params=["jnp", "freq"])
 def both_pipelines(request):
-    """Framework and oracle runs of the same two-channel moving-ship scene."""
+    """Framework and oracle runs of the same two-channel moving-ship scene.
+
+    Parametrized over the echo backend: both the direct engine and the
+    golden-grade NUFFT 'freq' backend must meet the acceptance budget
+    against the f64 oracle. The 'freq' variant uses a physical waveform
+    (BW < fs — its stated validity domain); 'jnp' keeps the sharper aliased
+    reduced waveform for tighter focusing."""
     sc = cfg.ati_dpca()
+    bw = 120e6 if request.param == "freq" else 300e6
     sc = sc.replace(
-        radar=dataclasses.replace(sc.radar, bandwidth_hz=300e6,
+        radar=dataclasses.replace(sc.radar, bandwidth_hz=bw,
                                   pulse_width_s=2e-6, fs_hz=150e6),
-        collect=dataclasses.replace(sc.collect,
-                                    integration_time_s=192 / 6000.0,
-                                    window_length_s=640 / 150e6))
+        collect=dataclasses.replace(
+            sc.collect, echo_backend=request.param,
+            integration_time_s=192 / 6000.0,
+            window_length_s=640 / 150e6,
+            # 'freq' needs the uniform (non-endpoint) fast-time grid; both
+            # pipelines share the same grid/t0 either way
+            window_start_mode=("centered" if request.param == "freq"
+                               else sc.collect.window_start_mode)))
     ship = T.PointTargets.concatenate([
         T.point_target((0.0, 0.0, 0.0), 3000.0),
         T.point_target((30.0, -20.0, 0.0), 1500.0),

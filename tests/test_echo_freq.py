@@ -40,31 +40,43 @@ class TestFreqBackend:
                                "centered")
         return g, traj, tgts, t0
 
-    def test_peak_fidelity(self, scene):
-        """Bright pixels in an interference-rich scene: <0.3 dB amplitude,
-        <0.05 rad phase vs the direct engine (the backend's documented
-        approximate-accuracy class)."""
+    def test_peak_fidelity_golden(self, scene):
+        """Bright pixels in an interference-rich scene: <0.02 dB amplitude,
+        <2e-3 rad phase vs the direct engine — inside the BASELINE golden
+        budget (0.1 dB / 1e-3 rad applies to the focused image, where the
+        per-pixel raw error averages further down)."""
         g, traj, tgts, t0 = scene
         a = _compress(cplx.to_host(
             phase_history(traj, tgts, _opts("jnp"), t_start=t0)))
         b = _compress(cplx.to_host(
-            phase_history(traj, tgts, _opts("freq", freq_oversample=4),
-                          t_start=t0)))
+            phase_history(traj, tgts, _opts("freq"), t_start=t0)))
         bright = np.abs(a) > 0.5 * np.abs(a).max()
         ratio = 20 * np.log10(np.abs(b[bright]) / np.abs(a[bright]))
         dphi = np.angle(b[bright] * np.conj(a[bright]))
-        assert np.abs(ratio).max() < 0.3
-        assert np.abs(dphi).max() < 0.05
+        assert np.abs(ratio).max() < 0.02
+        assert np.abs(dphi).max() < 2e-3
 
     def test_field_error_floor(self, scene):
-        """Raw field RMS error < -25 dB relative to the direct field RMS."""
+        """Raw field RMS error < -55 dB (exact-edge split, os=2)."""
         g, traj, tgts, t0 = scene
         a = cplx.to_host(phase_history(traj, tgts, _opts("jnp"), t_start=t0))
         b = cplx.to_host(phase_history(
-            traj, tgts, _opts("freq", freq_oversample=4), t_start=t0))
+            traj, tgts, _opts("freq"), t_start=t0))
         err_db = 10 * np.log10(np.mean(np.abs(a - b) ** 2)
                                / np.mean(np.abs(a) ** 2))
-        assert err_db < -25.0
+        assert err_db < -55.0
+
+    def test_approximate_mode_still_available(self, scene):
+        """freq_edge_taper=0 keeps the cheaper round-1 approximate class
+        (~-25 dB floor) for bulk data generation."""
+        g, traj, tgts, t0 = scene
+        a = cplx.to_host(phase_history(traj, tgts, _opts("jnp"), t_start=t0))
+        b = cplx.to_host(phase_history(
+            traj, tgts, _opts("freq", freq_oversample=4, freq_edge_taper=0.0),
+            t_start=t0))
+        err_db = 10 * np.log10(np.mean(np.abs(a - b) ** 2)
+                               / np.mean(np.abs(a) ** 2))
+        assert -40.0 < err_db < -25.0
 
     def test_endpoint_grid_rejected(self, scene):
         g, traj, tgts, t0 = scene
