@@ -188,7 +188,7 @@ class ProcessingConfig:
     algorithm: str = "csa"        # 'csa' | 'rda' | 'bp'
     azimuth_window: str = "hamming"   # RDA azimuth taper (reference behavior)
     range_window: str = "hamming"     # RDA matched-filter taper
-    rcmc_mode: str = "exact"      # RDA RCMC: 'exact' | 'fast' | 'phase'
+    rcmc_mode: str = "exact"      # RDA RCMC: 'exact'|'fast'|'phase'|'czt'
                                   # ('phase' = gather-free TPU mode, ~11x
                                   # faster at 4k²; see ops/rda.py)
     bp_grid: int = 512            # BP pixels per side (sar_batch_sim.py:173)

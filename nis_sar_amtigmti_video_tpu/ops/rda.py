@@ -156,7 +156,36 @@ def rcmc(rd, delta_r, range_axis, mode: str = "exact"):
     (band-limited interpolation; no gathers — the TPU-fast mode). Valid when
     phase_rcmc_inrow_cells(p) << 1; edges wrap circularly over the outermost
     ~delta_R cells instead of zero-filling.
+    'czt': per-Doppler-row *affine* resample via chirp-Z evaluation
+    (ops/czt.py; ~3 extra FFT passes, still gather-free). delta_R is linear
+    in R, so the row's target positions form an arithmetic progression —
+    evaluated exactly, which lifts 'phase' mode's constant-per-row
+    restriction for squinted/wide-RCM geometries (reference semantics:
+    sar_satellite_sim.py:417-427). Edges wrap circularly like 'phase'.
     """
+    if mode == "czt":
+        from nis_sar_amtigmti_video_tpu.ops.czt import czt_eval
+
+        dr = (range_axis[1] - range_axis[0])
+        n = rd.shape[-1]
+        # delta_R(row, r) = k_row * r  ->  u(j) = j*(1 + k_row) + r0*k_row/dr
+        k_row = delta_r[..., -1] / range_axis[-1]         # (n_az,) f64
+        step = 1.0 + k_row
+        start = range_axis[0] * k_row / dr
+
+        def one_row(row, st, s0):
+            out = czt_eval(row, n, st, s0)
+            # fill-zero semantics: positions whose source lies outside the
+            # window are zeroed (computed analytically — no gathers); this
+            # also kills the trig interpolant's periodic wrap there
+            u = s0 + st * jnp.arange(n, dtype=jnp.float64)
+            return jnp.where((u >= 0.0) & (u <= n - 1.0), out, 0.0)
+
+        f = jax.vmap(one_row)
+        if rd.ndim == 2:
+            return f(rd, step, start)
+        flat = rd.reshape((-1,) + rd.shape[-2:])
+        return jax.vmap(lambda m: f(m, step, start))(flat).reshape(rd.shape)
     if mode == "phase":
         dr = (range_axis[1] - range_axis[0])
         n = rd.shape[-1]

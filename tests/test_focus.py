@@ -112,7 +112,7 @@ class TestCSA:
 
 
 class TestRDA:
-    @pytest.mark.parametrize("mode", ["exact", "fast", "phase"])
+    @pytest.mark.parametrize("mode", ["exact", "fast", "phase", "czt"])
     def test_matches_oracle(self, small_scene, mode):
         g, traj, tgts, opts, t0, raw, prf = small_scene
         p = rda_ops.RdaParams(
@@ -129,7 +129,8 @@ class TestRDA:
             prf, p.velocity_mps, p.range_ref_m)
         want_img = want[0].T  # oracle mag image is (az, rg) transposed... -> back
         peak = want_img.max()
-        tol = {"exact": 0.01, "fast": 0.05, "phase": 0.05}[mode]
+        tol = {"exact": 0.01, "fast": 0.05, "phase": 0.05,
+               "czt": 0.05}[mode]
         assert np.abs(got_img.T - want_img).max() / peak < tol
         if mode == "exact":
             # intermediates (compressed, rd_map, rd_rcmc) also match
@@ -139,6 +140,39 @@ class TestRDA:
             np.testing.assert_allclose(
                 np.abs(cplx.to_host(prod.rd_rcmc)),
                 np.abs(want[5].T), atol=5e-3 * np.abs(want[5]).max())
+
+    def test_czt_handles_wide_rcm(self, small_scene):
+        """'czt' lifts 'phase' mode's constant-per-row restriction: on a
+        geometry whose in-row RCM spread exceeds the guard, it must still
+        match the 'exact' gather path."""
+        g, traj, tgts, opts, t0, raw, prf = small_scene
+        kw = dict(
+            wavelength_m=C / opts.fc_hz, pulse_width_s=opts.pulse_width_s,
+            chirp_rate=opts.chirp_rate, fs_hz=opts.fs_hz, prf_hz=3000.0,
+            velocity_mps=80.0, range_ref_m=g.slant_range_m,
+            num_pulses=raw.shape[0], num_samples=raw.shape[1])
+        assert rda_ops.phase_rcmc_inrow_cells(
+            rda_ops.RdaParams(**kw, rcmc_mode="phase")) > 0.5
+        got = np.abs(cplx.to_host(rda_ops.focus_rda(
+            cplx.to_device(raw), rda_ops.RdaParams(**kw, rcmc_mode="czt")
+        ).image))
+        # 'fast' shares czt's target-indexed semantics (r + delta_R) but
+        # uses 2-tap linear interpolation whose error dominates any
+        # pointwise comparison at this extreme geometry; assert agreement
+        # where it is meaningful: the focused peak and the bulk field
+        want = np.abs(cplx.to_host(rda_ops.focus_rda(
+            cplx.to_device(raw), rda_ops.RdaParams(**kw, rcmc_mode="fast")
+        ).image))
+        pk_g = np.unravel_index(got.argmax(), got.shape)
+        pk_w = np.unravel_index(want.argmax(), want.shape)
+        assert abs(pk_g[0] - pk_w[0]) <= 1 and abs(pk_g[1] - pk_w[1]) <= 1
+        # czt interpolates exactly; 'fast' linear interp droops peaks,
+        # so czt reads slightly hot relative to it, never low
+        ratio_db = 20 * np.log10(got.max() / want.max())
+        assert -0.1 < ratio_db < 2.0
+        sl = (slice(None), slice(16, -16))
+        rms = np.sqrt(np.mean((got[sl] - want[sl]) ** 2)) / want.max()
+        assert rms < 0.02
 
     def test_phase_mode_guard(self, small_scene):
         """'phase' must refuse geometries whose in-row RCM spread is not
