@@ -184,13 +184,33 @@ class SceneFetcher:
         return feats
 
     def elevation_from_grid(self, elevations: np.ndarray,
-                            half_width_m: Optional[float] = None
-                            ) -> ElevationGrid:
+                            half_width_m: Optional[float] = None,
+                            smooth_sigma: float = 0.0) -> ElevationGrid:
+        """Grid -> ElevationGrid, optionally Gaussian-smoothed.
+
+        The reference smooths every fetched elevation grid with
+        ``gaussian_filter(sigma=1.0)`` to remove API quantization jags
+        (sar_scene_data.py:211-212); pass ``smooth_sigma=1.0`` for parity
+        (the fetch path does so by default)."""
         elevations = np.asarray(elevations, np.float64)
+        if smooth_sigma > 0.0:
+            from scipy.ndimage import gaussian_filter
+            elevations = gaussian_filter(elevations, sigma=smooth_sigma)
         hw = half_width_m or self.radius_m
         ny, nx = elevations.shape
         return ElevationGrid(np.linspace(-hw, hw, nx),
                              np.linspace(-hw, hw, ny), elevations)
+
+    def parse_elevation_response(self, payload: dict, n: int,
+                                 smooth_sigma: float = 1.0) -> ElevationGrid:
+        """Open-Elevation response -> smoothed grid. Payload schema:
+        {'results': [{'latitude','longitude','elevation'}, ...]} in the
+        row-major (y over x) order the query built
+        (sar_scene_data.py:192-211)."""
+        z = np.asarray([p["elevation"] for p in payload["results"]],
+                       np.float64)
+        return self.elevation_from_grid(z.reshape(n, n),
+                                        smooth_sigma=smooth_sigma)
 
     # ---- online paths (gated; zero-egress safe) ----
     def fetch_osm(self) -> List[SceneFeature]:
@@ -208,18 +228,36 @@ class SceneFetcher:
         return self.features_from_osm(r.json())
 
     def fetch_elevation(self, n: int = 16) -> ElevationGrid:
+        """Open-Elevation POST (the reference's request format,
+        sar_scene_data.py:199-205) + sigma-1 Gaussian smoothing."""
         if not self.online:
             return ElevationGrid.flat(self.radius_m)
         import requests
         lats = np.linspace(-1, 1, n) * self.radius_m / 111320.0 + self.lat0
         lons = (np.linspace(-1, 1, n) * self.radius_m
                 / (111320.0 * math.cos(math.radians(self.lat0))) + self.lon0)
-        locs = "|".join(f"{la},{lo}" for la in lats for lo in lons)
-        r = requests.get("https://api.open-elevation.com/api/v1/lookup",
-                         params={"locations": locs}, timeout=60)
+        locations = [{"latitude": float(la), "longitude": float(lo)}
+                     for la in lats for lo in lons]
+        r = requests.post("https://api.open-elevation.com/api/v1/lookup",
+                          json={"locations": locations},
+                          headers={"Content-Type": "application/json"},
+                          timeout=30)
         r.raise_for_status()
-        z = np.asarray([p["elevation"] for p in r.json()["results"]])
-        return self.elevation_from_grid(z.reshape(n, n))
+        return self.parse_elevation_response(r.json(), n)
+
+
+def delaunay_triangulate(points_2d: np.ndarray) -> np.ndarray:
+    """Delaunay triangulation of scattered 2-D points -> (M, 3) vertex
+    indices (scipy). The reference imports scipy.spatial.Delaunay for its
+    scene pipeline (sar_scene_data.py:5) — the actual capability lives here:
+    terrain meshes from non-grid elevation samples (viz/world.py consumes
+    it; grid terrains keep the cheaper regular-grid strips)."""
+    from scipy.spatial import Delaunay
+
+    pts = np.asarray(points_2d, np.float64)
+    if pts.shape[0] < 3:
+        return np.zeros((0, 3), np.int64)
+    return Delaunay(pts).simplices.astype(np.int64)
 
 
 def features_to_point_targets(features: Sequence[SceneFeature],

@@ -103,6 +103,19 @@ def terrain_mesh(elev: ElevationGrid, water_level: float | None = None
     return out
 
 
+def scatter_terrain_mesh(points_xy: np.ndarray, z: np.ndarray,
+                         kind: str = "grass") -> Mesh:
+    """Terrain mesh from *scattered* (non-grid) elevation samples via
+    Delaunay triangulation (scene.materials.delaunay_triangulate — the
+    capability behind the reference's scipy.spatial.Delaunay import,
+    sar_scene_data.py:5). Grid terrains keep :func:`terrain_mesh`."""
+    from nis_sar_amtigmti_video_tpu.scene.materials import delaunay_triangulate
+
+    pts = np.asarray(points_xy, np.float64)
+    verts = np.column_stack([pts, np.asarray(z, np.float64)])
+    return Mesh("terrain", kind, verts, delaunay_triangulate(pts))
+
+
 def build_world(features: Sequence[SceneFeature],
                 elevation: Optional[ElevationGrid] = None,
                 road_width: float = 6.0,
