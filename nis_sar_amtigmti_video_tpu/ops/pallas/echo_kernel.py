@@ -24,6 +24,16 @@ Complex is carried as separate re/im planes (Mosaic has no complex dtype).
 Used by ops/echo.py as the ``pallas`` backend; numerically identical to the
 jnp backend at f32 rounding (tests/test_pallas.py: interpret mode on CPU;
 compiled on TPU by scripts/probe_pallas.py).
+
+Status: validated STUDY, not the default. Measured on hardware (v5e,
+512p x 1024tgt x 2048ns): 95.8 ms vs the jnp scan's 75.7 ms, flat across a
+(pulse,target,block) tile sweep — the workload is VPU-transcendental-bound
+(one sin/cos pair per (pulse,target,sample) either way), so removing the
+HBM temporaries that this kernel eliminates does not help; XLA's fused scan
+already hits the same VPU ceiling. 'jnp' stays the default direct engine
+and the NUFFT 'freq' backend (ops/echo_freq.py, golden-grade) is the fast
+path for large scenes — it reduces the transcendental count itself
+(O(P*B*W) instead of O(P*B*Ns)), which is the only lever that matters here.
 """
 
 from __future__ import annotations
