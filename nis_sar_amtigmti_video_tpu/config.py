@@ -197,7 +197,7 @@ class ProcessingConfig:
                                   # presum_factor), 1 = off, N = explicit
     out_size: int = 0             # 0 = native size; else pad/crop for formation
     csa_fused: bool = True        # grid-free fused phases (ops/csa.py)
-    fft_impl: str = "xla"         # 'xla' | 'mxu' (matmul FFT, ops/fft.py)
+    fft_impl: str = "xla"         # 'xla' | 'hybrid' | 'mxu' (ops/fft.py) | 'pallas' (VMEM megakernel)
 
 
 @dataclass(frozen=True)

@@ -77,8 +77,12 @@ def focus_and_products(raw2ch, sc: ScenarioConfig, t0: float, *,
         prf_hz=r.prf_hz, velocity_mps=g.effective_velocity_mps,
         range_ref_m=g.slant_range_m, t_start_fast=t0,
         num_pulses=n_p, num_samples=n_s)
-    phases = csa_ops.csa_phases(p)
-    slc = csa_ops.apply_csa(jnp.stack([raw1, raw2]), phases)
+    # fused grid-free CSA (bit-equivalent to the grid-phase path per
+    # tests/test_fft_fused.py); sc.processing.fft_impl selects 'xla' |
+    # 'hybrid' | 'mxu' | 'pallas' (VMEM megakernel when the shape allows)
+    factors = csa_ops.csa_factors(p)
+    slc = csa_ops.apply_csa_fused(jnp.stack([raw1, raw2]), factors,
+                                  sc.processing.fft_impl)
     slc1, slc2 = slc[0], slc[1]
 
     cal = ati.channel_balance_phase(slc1, slc2)

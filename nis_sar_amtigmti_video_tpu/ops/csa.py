@@ -192,7 +192,19 @@ def _expj32(phase):
 def apply_csa_fused(phist, f: CsaFactors, fft_impl: str = "xla"):
     """Grid-free CSA: identical math to apply_csa with phases generated
     inline from the 1-D factors — XLA fuses trig+multiply into single passes
-    over the data, cutting HBM traffic by the three 2-D phase grids."""
+    over the data, cutting HBM traffic by the three 2-D phase grids.
+
+    fft_impl='pallas' runs the fully fused VMEM megakernel
+    (ops/pallas/csa_kernel.py — one HBM round trip per axis pass) when the
+    shape qualifies, falling back to 'hybrid' otherwise."""
+    if fft_impl == "pallas":
+        import jax as _jax
+
+        from nis_sar_amtigmti_video_tpu.ops.pallas import csa_kernel
+        if (csa_kernel.supported(phist.shape[-2], phist.shape[-1])
+                and _jax.default_backend() != "cpu"):   # Mosaic needs a TPU
+            return csa_kernel.apply_csa_pallas(phist, f)
+        fft_impl = "hybrid"
     from nis_sar_amtigmti_video_tpu.ops.fft import get_impl
     fft, ifft = get_impl(fft_impl)
     u, fr = f.u[None, :], f.fr[None, :]

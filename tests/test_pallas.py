@@ -54,3 +54,58 @@ class TestPallasEchoBackend:
         a = cplx.to_host(phase_history(traj, tgts, o_a, t_start=t0))
         b = cplx.to_host(phase_history(traj, tgts, o_b, t_start=t0))
         assert np.abs(a - b).max() / np.abs(b).max() < 2e-4
+
+
+class TestPallasCsaKernel:
+    def _params(self, size):
+        from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+        from nis_sar_amtigmti_video_tpu.ops.echo import window_start_time
+        sc = cfg.videosar()
+        g, r = sc.geometry, sc.radar
+        t0 = window_start_time(g.slant_range_m, None,
+                               sc.collect.window_length_s, "centered")
+        return csa_ops.CsaParams(
+            wavelength_m=r.wavelength_m, chirp_rate=r.chirp_rate,
+            fs_hz=r.fs_hz, prf_hz=r.prf_hz,
+            velocity_mps=g.effective_velocity_mps,
+            range_ref_m=g.slant_range_m, t_start_fast=t0,
+            num_pulses=size, num_samples=size)
+
+    def test_matches_fused_xla(self):
+        import jax.numpy as jnp
+        from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+        from nis_sar_amtigmti_video_tpu.ops.pallas import csa_kernel
+        p = self._params(256)
+        f = csa_ops.csa_factors(p)
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal((256, 256))
+             + 1j * rng.standard_normal((256, 256))).astype(np.complex64)
+        want = np.asarray(csa_ops.apply_csa_fused(jnp.asarray(x), f, "xla"))
+        got = np.asarray(csa_kernel.apply_csa_pallas(jnp.asarray(x), f,
+                                                     interpret=True))
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 2e-3
+
+    def test_batched(self):
+        import jax.numpy as jnp
+        from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+        from nis_sar_amtigmti_video_tpu.ops.pallas import csa_kernel
+        p = self._params(256)
+        f = csa_ops.csa_factors(p)
+        rng = np.random.default_rng(1)
+        x = (rng.standard_normal((2, 256, 256))
+             + 1j * rng.standard_normal((2, 256, 256))).astype(np.complex64)
+        want = np.asarray(csa_ops.apply_csa_fused(jnp.asarray(x), f, "xla"))
+        got = np.asarray(csa_kernel.apply_csa_pallas(jnp.asarray(x), f,
+                                                     interpret=True))
+        assert np.abs(got - want).max() / np.abs(want).max() < 2e-3
+
+    def test_unsupported_shape_raises(self):
+        import jax.numpy as jnp
+        from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+        from nis_sar_amtigmti_video_tpu.ops.pallas import csa_kernel
+        p = self._params(192)   # 192 is not a perfect square
+        f = csa_ops.csa_factors(p)
+        x = jnp.zeros((192, 192), jnp.complex64)
+        with pytest.raises(ValueError, match="square-factorable"):
+            csa_kernel.apply_csa_pallas(x, f, interpret=True)
