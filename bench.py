@@ -1,16 +1,21 @@
-"""Benchmark: VideoSAR CSA formation rate at 4096x4096 + GMTI latency per CPI.
+"""Benchmark: GMTI-inclusive VideoSAR throughput at 4096x4096 (the north star).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N, ...}
 
-value        — frames/sec of 4096x4096 CSA image formation (the BASELINE.json
-               north-star metric), sustained over a pipelined frame stream on
-               the available device(s).
-vs_baseline  — speedup over the NumPy reference pipeline (oracle CSA measured
-               here on this host; BASELINE target is >=50x, and >=30 fps).
+value        — frames/sec of the COMPLETE per-CPI GMTI pipeline: two-channel
+               4096^2 CSA formation (fused-in-VMEM pallas megakernel) +
+               channel balance + ATI phase + DPCA magnitude + CA-CFAR
+               (gmti/fused.py), measured as a chained stream with ONE final
+               sync — the streaming protocol amortizes the axon tunnel's
+               ~33 ms host-fetch RTT, which is transport latency, not chip
+               work (docs/ROUND2_NOTES.md).
+vs_baseline  — speedup over the NumPy reference doing the same GMTI step
+               (2x oracle CSA + numpy products on this host).
 
-Extra keys: gmti_latency_ms (two-channel 4096^2 CSA + ATI/DPCA/CFAR products,
-per-CPI, synchronized each call), numpy_fps, device, batch.
+Extra keys: csa_formation_fps (single-channel formation-only stream, the
+round-1 headline), bp_frame_ms (gather-free fast BP at the reference
+512^2 x 2,500-pulse VideoSAR scale), numpy_gmti_fps, device.
 """
 
 import json
@@ -25,20 +30,25 @@ import numpy as np
 
 def main():
     t_proc0 = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_TIME_BUDGET", "1800"))
+
     import jax
     import jax.numpy as jnp
 
     from nis_sar_amtigmti_video_tpu import config as cfg
-    from nis_sar_amtigmti_video_tpu.gmti import ati, cfar, dpca
+    from nis_sar_amtigmti_video_tpu.gmti import cfar
+    from nis_sar_amtigmti_video_tpu.gmti.fused import gmti_product_step
     from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+    from nis_sar_amtigmti_video_tpu.ops.echo import window_start_time
+    from nis_sar_amtigmti_video_tpu.ops.pallas import csa_kernel
 
     dev = jax.devices()[0]
     size = int(os.environ.get("BENCH_SIZE", "4096"))
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    ncpi = int(os.environ.get("BENCH_NCPI", "2"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
-    fft_impl = os.environ.get("BENCH_FFT", "hybrid")  # profiled fastest on v5e
-
-    from nis_sar_amtigmti_video_tpu.ops.echo import window_start_time
+    fft_impl = os.environ.get("BENCH_FFT", "pallas")   # fastest measured
+    if fft_impl == "pallas" and not csa_kernel.supported(size, size):
+        fft_impl = "hybrid"
 
     sc = cfg.videosar()
     g, r = sc.geometry, sc.radar
@@ -49,85 +59,85 @@ def main():
         prf_hz=r.prf_hz, velocity_mps=g.effective_velocity_mps,
         range_ref_m=g.slant_range_m, t_start_fast=t0,
         num_pulses=size, num_samples=size)
-
-    phases = csa_ops.csa_factors(p)   # fused grid-free path (ops/csa.py)
-
-    @jax.jit
-    def make_frames(key):
-        return jax.lax.complex(
-            jax.random.normal(key, (batch, size, size), jnp.float32),
-            jax.random.normal(jax.random.fold_in(key, 1),
-                              (batch, size, size), jnp.float32))
-
-    # NOTE: phases are passed as jit *arguments* — a jitted function that
-    # closes over complex device arrays embeds them as constants, which
-    # requires a device->host copy that the axon TPU runtime cannot do.
-    @jax.jit
-    def form(x, ph):
-        y = csa_ops.apply_csa_fused(x, ph, fft_impl)
-        return y, jnp.sum(jnp.abs(y[:, 0, :2]))
-
-    frames = make_frames(jax.random.PRNGKey(0))
-
-    # warmup / compile. NOTE: on the axon runtime block_until_ready returns
-    # before execution finishes — only a host fetch truly synchronizes, so all
-    # timing fences below are scalar float() fetches.
-    out, s = form(frames, phases)
-    _ = float(s)
-
-    t_start = time.perf_counter()
-    x = out
-    for _ in range(iters):
-        x, s = form(x, phases)
-    _ = float(s)   # the iteration chain forces every step to execute
-    dt = time.perf_counter() - t_start
-    fps = batch * iters / dt
-
-    # ---- GMTI latency per CPI: 2-channel formation + products, synced ----
-    # best-effort beyond this point: the headline formation number is already
-    # measured, and remote-compile queues can be slow — never lose the line.
-    budget_s = float(os.environ.get("BENCH_TIME_BUDGET", "1800"))
-    t_elapsed = time.perf_counter() - t_proc0
+    f = csa_ops.csa_factors(p)
     cfar_p = cfar.CfarParams(guard=2, train=8)
 
-    @jax.jit
-    def gmti_step(x2, ph):
-        slc = csa_ops.apply_csa_fused(x2, ph, fft_impl)
-        s1, s2 = slc[0], slc[1]
-        s2 = ati.apply_balance(s2, ati.channel_balance_phase(s1, s2))
-        phase = ati.masked_phase(s1, s2)
-        diff = dpca.dpca_difference(s1, s2)
-        det = cfar.ca_cfar(jnp.abs(diff) ** 2, cfar_p)
-        return jnp.sum(phase[:2, :2]) + jnp.sum(det.snr[:2, :2])
+    # NOTE (axon runtime): block_until_ready does not block — only a host
+    # scalar fetch synchronizes, and each fetch costs a ~33 ms tunnel RTT.
+    # All loops below chain device-resident state and sync ONCE at the end.
 
-    gmti_ms = None
+    @jax.jit
+    def mk(key):
+        return (jax.random.normal(key, (ncpi, 2, size, size), jnp.float32),
+                jax.random.normal(jax.random.fold_in(key, 1),
+                                  (ncpi, 2, size, size), jnp.float32))
+
+    def form(xr, xi):
+        if fft_impl == "pallas":
+            sr, si = csa_kernel.apply_csa_pallas_planes(
+                xr.reshape(-1, size, size), xi.reshape(-1, size, size), f)
+            return (sr.reshape(ncpi, 2, size, size),
+                    si.reshape(ncpi, 2, size, size))
+        slc = csa_ops.apply_csa_fused(
+            jax.lax.complex(xr, xi).reshape(-1, size, size), f, fft_impl)
+        return (jnp.real(slc).reshape(ncpi, 2, size, size),
+                jnp.imag(slc).reshape(ncpi, 2, size, size))
+
+    def gmti_batch(xr, xi):
+        sr, si = form(xr, xi)
+        slc = jax.lax.complex(sr, si)
+
+        def prods(s):
+            _, phase, dmag, det = gmti_product_step(s[0], s[1],
+                                                    cfar_params=cfar_p)
+            return phase, dmag, det.snr
+
+        ph, dm, snr = jax.vmap(prods)(slc)
+        return (sr, si, jnp.sum(ph[:, :1, :1]) + jnp.sum(dm[:, :1, :1])
+                + jnp.sum(snr[:, :1, :1]))
+
+    gmti_fn = jax.jit(gmti_batch, donate_argnums=(0, 1))
+    xr, xi = mk(jax.random.PRNGKey(0))
+    xr, xi, s = gmti_fn(xr, xi)
+    _ = float(s)                                   # compile + first run
+    t1 = time.perf_counter()
+    for _i in range(iters):
+        xr, xi, s = gmti_fn(xr, xi)
+    _ = float(s)
+    gmti_ms = 1000.0 * (time.perf_counter() - t1) / (iters * ncpi)
+    gmti_fps = 1000.0 / gmti_ms
+
+    # ---- single-channel formation-only stream (the round-1 metric) ----
+    form_fps = None
     try:
-        if t_elapsed < budget_s:
-            two = frames[:2]
-            _ = float(gmti_step(two, phases))
-            lat = []
-            for _ in range(5):
-                t1 = time.perf_counter()
-                _ = float(gmti_step(two, phases))
-                lat.append(time.perf_counter() - t1)
-            gmti_ms = 1000.0 * float(np.median(lat))
+        def form_only(xr_, xi_):
+            sr, si = form(xr_, xi_)
+            return sr, si, jnp.sum(jnp.abs(sr[:, :, :1, :1]))
+
+        form_fn = jax.jit(form_only, donate_argnums=(0, 1))
+        xr, xi, s = form_fn(xr, xi)
+        _ = float(s)
+        t1 = time.perf_counter()
+        for _i in range(iters):
+            xr, xi, s = form_fn(xr, xi)
+        _ = float(s)
+        form_fps = (2 * ncpi * iters) / (time.perf_counter() - t1)
     except Exception:
         pass
 
-    # ---- BP VideoSAR frame (512^2 grid, presummed aperture), best-effort ----
+    # ---- gather-free fast BP at reference VideoSAR scale, best-effort ----
     bp_ms = None
     try:
-        # BP adds a multi-minute remote compile: only attempt it with at
-        # least half the budget left, so the JSON line is never at risk
-        if (time.perf_counter() - t_proc0) < 0.5 * budget_s \
+        if (time.perf_counter() - t_proc0) < 0.6 * budget_s \
                 and os.environ.get("BENCH_SKIP_BP", "0") != "1":
             from nis_sar_amtigmti_video_tpu.geometry import orbit
             from nis_sar_amtigmti_video_tpu.models import videosar
             from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
+            from nis_sar_amtigmti_video_tpu.ops import bp_fast
 
             scv = cfg.videosar()
             rv, gv = scv.radar, scv.geometry
-            sched_pulses = 2500                     # reference CPI
+            sched_pulses = 2500
             l_ant = videosar.antenna_length_for_swath(
                 scv, scv.processing.bp_scene_size_m)
             opts = videosar.spotlight_echo_opts(scv, l_ant)
@@ -140,6 +150,8 @@ def main():
             tb = np.linspace(-sched_pulses / rv.prf_hz / 2,
                              sched_pulses / rv.prf_hz / 2, sched_pulses)
             trajb = orbit.make_trajectory(gv, tb)
+            plan_bp = bp_fast.make_plan(p_bp, np.asarray(trajb.positions),
+                                        np.asarray(trajb.times), float(t0b))
 
             @jax.jit
             def mk_bp(key):
@@ -151,18 +163,13 @@ def main():
                                       jnp.float32))
 
             raw_bp = mk_bp(jax.random.PRNGKey(1))
-            # gather-free fast BP (ops/bp_fast.py); the exact path stays
-            # available as bp_ops.focus_bp / bp_backend='exact'
-            from nis_sar_amtigmti_video_tpu.ops import bp_fast
-            plan_bp = bp_fast.make_plan(p_bp, np.asarray(trajb.positions),
-                                        np.asarray(trajb.times), float(t0b))
             fbp = jax.jit(lambda x: bp_fast.focus_bp_fast(
                 x, trajb.positions, trajb.velocities, trajb.times,
                 np.zeros(3), float(t0b), p_bp, presum=d_ps, plan=plan_bp))
             o = fbp(raw_bp)
             _ = float(jnp.sum(jnp.abs(o[:2, :2])))
             lat = []
-            for _ in range(2):
+            for _i in range(3):
                 t1 = time.perf_counter()
                 o = fbp(raw_bp)
                 _ = float(jnp.sum(jnp.abs(o[:2, :2])))
@@ -171,36 +178,50 @@ def main():
     except Exception:
         pass
 
-    # ---- NumPy reference baseline (oracle CSA, same shape, 1 rep) ----
-    numpy_fps = None
+    # ---- NumPy reference baseline: the same 2-channel GMTI step ----
+    numpy_gmti_fps = None
     try:
-      if os.environ.get("BENCH_SKIP_NUMPY", "0") != "1":
+      if os.environ.get("BENCH_SKIP_NUMPY", "0") != "1" \
+              and (time.perf_counter() - t_proc0) < 0.85 * budget_s:
         import oracle
         rng = np.random.default_rng(0)
         nsz = min(size, 4096)
-        raw = (rng.standard_normal((nsz, nsz))
-               + 1j * rng.standard_normal((nsz, nsz)))
+        s_pair = []
         t2 = time.perf_counter()
-        oracle.focus_csa(raw, p.wavelength_m, p.chirp_rate, p.fs_hz, p.prf_hz,
-                         p.velocity_mps, p.range_ref_m, p.t_start_fast)
-        numpy_dt = time.perf_counter() - t2
-        # CSA cost ~ N^2 log N: scale the measured rate to the bench size so
-        # vs_baseline stays a same-work comparison when BENCH_SIZE > 4096
+        for _c in range(2):
+            raw = (rng.standard_normal((nsz, nsz))
+                   + 1j * rng.standard_normal((nsz, nsz)))
+            s_pair.append(oracle.focus_csa(
+                raw, p.wavelength_m, p.chirp_rate, p.fs_hz, p.prf_hz,
+                p.velocity_mps, p.range_ref_m, p.t_start_fast)[0].T)
+        s1o, s2o = s_pair
+        cal = np.angle(np.mean(s1o * np.conj(s2o)))
+        s2o = s2o * np.exp(1j * cal)
+        interf = s1o * np.conj(s2o)
+        phase = np.angle(interf)
+        mag = np.abs(s1o)
+        phase = np.where(mag > 0.05 * mag.max(), phase, 0.0)
+        dmag = np.abs(s1o - s2o)
+        _ = phase.sum() + dmag.sum()           # products (CFAR omitted:
+        numpy_dt = time.perf_counter() - t2    # favours the baseline)
         work = (size * size * np.log2(size)) / (nsz * nsz * np.log2(nsz))
-        numpy_fps = (1.0 / numpy_dt) / work
+        numpy_gmti_fps = (1.0 / numpy_dt) / work
     except Exception:
         pass
 
     result = {
-        "metric": f"videosar_csa_{size}x{size}_formation",
-        "value": round(fps, 3),
+        "metric": f"videosar_gmti_{size}x{size}_stream",
+        "value": round(gmti_fps, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / numpy_fps, 2) if numpy_fps else None,
-        "gmti_latency_ms": round(gmti_ms, 2) if gmti_ms else None,
+        "vs_baseline": (round(gmti_fps / numpy_gmti_fps, 1)
+                        if numpy_gmti_fps else None),
+        "gmti_latency_ms": round(gmti_ms, 2),
+        "csa_formation_fps": round(form_fps, 2) if form_fps else None,
         "bp_frame_ms": round(bp_ms, 1) if bp_ms else None,
-        "numpy_fps": round(numpy_fps, 4) if numpy_fps else None,
+        "numpy_gmti_fps": round(numpy_gmti_fps, 5) if numpy_gmti_fps else None,
+        "fft_impl": fft_impl,
         "device": str(dev),
-        "batch": batch,
+        "ncpi": ncpi,
         "iters": iters,
     }
     print(json.dumps(result))

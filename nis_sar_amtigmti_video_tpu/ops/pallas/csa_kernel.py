@@ -74,36 +74,52 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _cdot(fr, fi, xr, xi):
-    """(A,A) complex matrix @ (A, M) complex planes, f32 MXU."""
-    d = partial(jnp.dot, preferred_element_type=jnp.float32, precision=_HI)
-    return d(fr, xr) - d(fi, xi), d(fr, xi) + d(fi, xr)
+def _blk_matrix(mr: np.ndarray, mi: np.ndarray) -> np.ndarray:
+    """Real (2A, 2A) block form [[Mr, -Mi], [Mi, Mr]] of a complex matrix:
+    one full-width MXU matmul on leading-stacked [re; im] planes computes
+    the complex product (same MACs as 4 quarter-width matmuls, but at full
+    M=K=128 systolic utilization for A=64)."""
+    top = np.concatenate([mr, -mi], axis=1)
+    bot = np.concatenate([mi, mr], axis=1)
+    return np.concatenate([top, bot], axis=0).astype(np.float32)
+
+
+def _cdot_blk(wblk, zr, zi):
+    """Leading-axis complex matmul via the block matrix: planes stacked on
+    axis 0, one (2A, 2A) @ (2A, M) dot."""
+    h = zr.shape[0]
+    x2 = jnp.concatenate([zr, zi], axis=0)
+    y2 = jnp.dot(wblk, x2, preferred_element_type=jnp.float32, precision=_HI)
+    return y2[:h], y2[h:]
 
 
 # --------------------------------------------------------------------------
 # K1: azimuth forward FFT (leading axis) + Phi1
 # --------------------------------------------------------------------------
 
-def _k1_body(xr, xi, u, c1, w, fr_m, fi_m, tr_m, ti_m, our, oui, *, a: int):
+def _fft_lead(zr, zi, wblk, tr_m, ti_m, tsgn, a: int, lane: int):
+    """Leading-axis four-step transform with one sublane swap; block-matrix
+    complex matmuls; twiddle sign ``tsgn`` (+1 fwd, -1 inv)."""
     n = a * a
+    zr = zr.reshape(a, a * lane)
+    zi = zi.reshape(a, a * lane)
+    yr, yi = _cdot_blk(wblk, zr, zi)
+    yr = yr.reshape(a, a, lane)
+    yi = yi.reshape(a, a, lane)
+    yr, yi = _cmul(yr, yi, tr_m[:][:, :, None], tsgn * ti_m[:][:, :, None])
+    yr = jnp.swapaxes(yr, 0, 1).reshape(a, a * lane)
+    yi = jnp.swapaxes(yi, 0, 1).reshape(a, a * lane)
+    sr, si = _cdot_blk(wblk, yr, yi)
+    return sr.reshape(n, lane), si.reshape(n, lane)
+
+
+def _k1_body(xr, xi, u, c1, w, wblk, tr_m, ti_m, our, oui, *, a: int):
     lane = xr.shape[-1]
-
-    def fft_lead(zr, zi, sgn):
-        zr = zr.reshape(a, a * lane)
-        zi = zi.reshape(a, a * lane)
-        yr, yi = _cdot(fr_m[:], sgn * fi_m[:], zr, zi)
-        yr = yr.reshape(a, a, lane)
-        yi = yi.reshape(a, a, lane)
-        yr, yi = _cmul(yr, yi, tr_m[:][:, :, None], sgn * ti_m[:][:, :, None])
-        yr = jnp.swapaxes(yr, 0, 1).reshape(a, a * lane)
-        yi = jnp.swapaxes(yi, 0, 1).reshape(a, a * lane)
-        sr, si = _cdot(fr_m[:], sgn * fi_m[:], yr, yi)
-        return sr.reshape(n, lane), si.reshape(n, lane)
-
-    sr, si = fft_lead(xr[:], xi[:], jnp.float32(1.0))
+    sr, si = _fft_lead(xr[:], xi[:], wblk[:], tr_m, ti_m,
+                       jnp.float32(1.0), a, lane)
     # Phi1 = exp(j * c1 * (u - w)^2) with c1, w per az frequency (natural
     # order), u per range sample
-    du = u[:] - w[:]                           # (n, 1) - broadcast? see specs
+    du = u[:] - w[:]
     ph = c1[:] * du * du
     pr, pi = jnp.cos(ph), jnp.sin(ph)
     our[:], oui[:] = _cmul(sr, si, pr, pi)
@@ -113,23 +129,25 @@ def _k1_call(xr, xi, u, c1, w, a: int, interpret: bool):
     n = a * a
     n_rg = xr.shape[-1]
     fr_m, fi_m, tr_m, ti_m = _dft_consts(a, n)
+    wblk = _blk_matrix(fr_m, fi_m)
     grid = (n_rg // _LANE,)
     bs_dat = pl.BlockSpec((n, _LANE), lambda j: (0, j))
     bs_u = pl.BlockSpec((1, _LANE), lambda j: (0, j))
     bs_az = pl.BlockSpec((n, 1), lambda j: (0, 0))
     bs_c = pl.BlockSpec((a, a), lambda j: (0, 0))
+    bs_blk = pl.BlockSpec((2 * a, 2 * a), lambda j: (0, 0))
     return pl.pallas_call(
         partial(_k1_body, a=a),
         grid=grid,
         in_specs=[bs_dat, bs_dat, bs_u, bs_az, bs_az,
-                  bs_c, bs_c, bs_c, bs_c],
+                  bs_blk, bs_c, bs_c],
         out_specs=[bs_dat, bs_dat],
         out_shape=[jax.ShapeDtypeStruct((n, n_rg), jnp.float32)] * 2,
         input_output_aliases={0: 0, 1: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(xr, xi, u, c1, w, fr_m, fi_m, tr_m, ti_m)
+    )(xr, xi, u, c1, w, wblk, tr_m, ti_m)
 
 
 # --------------------------------------------------------------------------
@@ -213,44 +231,33 @@ def _k2_call(xr, xi, f, frs, b: int, interpret: bool):
 # K3: azimuth inverse FFT (leading axis)
 # --------------------------------------------------------------------------
 
-def _k3_body(xr, xi, fr_m, fi_m, tr_m, ti_m, our, oui, *, a: int):
-    n = a * a
+def _k3_body(xr, xi, wblk, tr_m, ti_m, our, oui, *, a: int):
     lane = xr.shape[-1]
-    inv = jnp.float32(1.0 / a)
-
-    def ifft_lead(zr, zi):
-        zr = zr.reshape(a, a * lane)
-        zi = zi.reshape(a, a * lane)
-        yr, yi = _cdot(fr_m[:].T * inv, -fi_m[:].T * inv, zr, zi)
-        yr = yr.reshape(a, a, lane)
-        yi = yi.reshape(a, a, lane)
-        yr, yi = _cmul(yr, yi, tr_m[:][:, :, None], -ti_m[:][:, :, None])
-        yr = jnp.swapaxes(yr, 0, 1).reshape(a, a * lane)
-        yi = jnp.swapaxes(yi, 0, 1).reshape(a, a * lane)
-        sr, si = _cdot(fr_m[:].T * inv, -fi_m[:].T * inv, yr, yi)
-        return sr.reshape(n, lane), si.reshape(n, lane)
-
-    our[:], oui[:] = ifft_lead(xr[:], xi[:])
+    our[:], oui[:] = _fft_lead(xr[:], xi[:], wblk[:], tr_m, ti_m,
+                               jnp.float32(-1.0), a, lane)
 
 
 def _k3_call(xr, xi, a: int, interpret: bool):
     n = a * a
     n_rg = xr.shape[-1]
     fr_m, fi_m, tr_m, ti_m = _dft_consts(a, n)
+    inv = np.float32(1.0 / a)
+    wblk = _blk_matrix(fr_m.T * inv, -fi_m.T * inv)
     grid = (n_rg // _LANE,)
     bs_dat = pl.BlockSpec((n, _LANE), lambda j: (0, j))
     bs_c = pl.BlockSpec((a, a), lambda j: (0, 0))
+    bs_blk = pl.BlockSpec((2 * a, 2 * a), lambda j: (0, 0))
     return pl.pallas_call(
         partial(_k3_body, a=a),
         grid=grid,
-        in_specs=[bs_dat, bs_dat, bs_c, bs_c, bs_c, bs_c],
+        in_specs=[bs_dat, bs_dat, bs_blk, bs_c, bs_c],
         out_specs=[bs_dat, bs_dat],
         out_shape=[jax.ShapeDtypeStruct((n, n_rg), jnp.float32)] * 2,
         input_output_aliases={0: 0, 1: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(xr, xi, fr_m, fi_m, tr_m, ti_m)
+    )(xr, xi, wblk, tr_m, ti_m)
 
 
 # --------------------------------------------------------------------------

@@ -182,3 +182,51 @@ class TestReviewRegressions:
         noise = np.asarray(res.noise)
         # cells far from the target keep a ~1.0 noise estimate
         assert np.allclose(noise[40:, 40:], 1.0, atol=1e-3)
+
+
+class TestFusedStep:
+    def test_matches_composed_ops(self):
+        import jax.numpy as jnp
+        from nis_sar_amtigmti_video_tpu.gmti import ati, cfar, dpca
+        from nis_sar_amtigmti_video_tpu.gmti.fused import gmti_product_step
+        rng = np.random.default_rng(5)
+        s1 = jnp.asarray((rng.standard_normal((96, 128))
+                          + 1j * rng.standard_normal((96, 128))
+                          ).astype(np.complex64))
+        s2 = jnp.asarray(np.asarray(s1) * np.exp(1j * 0.31)
+                         + 0.05 * (rng.standard_normal((96, 128))
+                                   + 1j * rng.standard_normal((96, 128))
+                                   ).astype(np.complex64))
+        cp = cfar.CfarParams(guard=1, train=3)
+
+        cal_c = ati.channel_balance_phase(s1, s2)
+        s2b = ati.apply_balance(s2, cal_c)
+        phase_c = ati.masked_phase(s1, s2b)
+        diff_c = dpca.dpca_difference(s1, s2b)
+        det_c = cfar.ca_cfar(jnp.abs(diff_c) ** 2, cp)
+
+        cal, phase, dmag, det = gmti_product_step(s1, s2, cfar_params=cp)
+        assert abs(float(cal) - float(cal_c)) < 1e-6
+        np.testing.assert_allclose(np.asarray(phase), np.asarray(phase_c),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dmag),
+                                   np.abs(np.asarray(diff_c)), rtol=2e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(det.snr),
+                                   np.asarray(det_c.snr), rtol=2e-4,
+                                   atol=1e-4)
+
+    def test_no_balance(self):
+        import jax.numpy as jnp
+        from nis_sar_amtigmti_video_tpu.gmti import ati, dpca
+        from nis_sar_amtigmti_video_tpu.gmti.fused import gmti_product_step
+        rng = np.random.default_rng(6)
+        s1 = jnp.asarray((rng.standard_normal((64, 128))
+                          + 1j * rng.standard_normal((64, 128))
+                          ).astype(np.complex64))
+        s2 = s1 * np.complex64(np.exp(1j * 0.2))
+        cal, phase, dmag, _ = gmti_product_step(s1, s2, balance=False)
+        assert float(cal) == 0.0
+        np.testing.assert_allclose(np.asarray(dmag),
+                                   np.abs(np.asarray(s1 - s2)), rtol=2e-5,
+                                   atol=1e-6)
