@@ -374,6 +374,28 @@ def cmd_view(args):
     print(f"view: unrecognized schema (keys: {sorted(keys)})")
 
 
+def cmd_world(args):
+    """3-D world: build the demo (or fetched) scene, export OBJ + preview,
+    and fly it first-person — live with ``--interactive`` (GUI backend) or
+    as a scripted headless fly-through GIF otherwise. CLI counterpart of
+    the reference's sar_simulator_ursina.py."""
+    from nis_sar_amtigmti_video_tpu.viz import world, world_runtime
+
+    w = world_runtime.demo_world(seed=getattr(args, "seed", 0) or 0)
+    if args.interactive:
+        w.run(max_seconds=args.seconds if args.seconds > 0 else None)
+        return
+    obj = world.export_obj(os.path.join(args.out, "world.obj"), w.meshes)
+    png = world.render_preview(os.path.join(args.out, "world_preview.png"),
+                               w.meshes)
+    script = [("w", 0.6)] * 6 + [("w+left", 0.5)] * 6 + [("w+q", 0.5)] * 4 \
+        + [("down", 0.4)] * 3 + [("w", 0.6)] * 5
+    gif = os.path.join(args.out, "world_flythrough.gif")
+    frames = world_runtime.fly_sequence(w, script, path=gif)
+    print(f"world: {len(w.meshes)} meshes -> {obj}, {png}; "
+          f"{frames.shape[0]}-frame fly-through -> {gif}")
+
+
 def cmd_geometry(args):
     from nis_sar_amtigmti_video_tpu import config as cfg
     from nis_sar_amtigmti_video_tpu.viz.geometry_view import save_geometry_view
@@ -471,6 +493,13 @@ def main(argv=None):
     p.add_argument("--interactive", action="store_true",
                    help="open the widget viewer instead of writing PNGs")
     p.set_defaults(fn=cmd_view)
+
+    p = add_cmd("world")
+    p.add_argument("--interactive", action="store_true",
+                   help="open the live first-person window (GUI backend)")
+    p.add_argument("--seconds", type=float, default=0.0,
+                   help="auto-quit the live window after this many seconds")
+    p.set_defaults(fn=cmd_world)
 
     p = add_cmd("geometry")
     p.add_argument("--preset", default="satellite_stripmap",

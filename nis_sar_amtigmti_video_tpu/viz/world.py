@@ -103,6 +103,35 @@ def terrain_mesh(elev: ElevationGrid, water_level: float | None = None
     return out
 
 
+def dual_terrain_mesh(elev: ElevationGrid, water_threshold: float = 1.0
+                      ) -> List[Mesh]:
+    """Land/water dual meshes split per grid cell, the reference's dual-mesh
+    terrain (sar_simulator_ursina.py:39-112): a cell whose mean elevation is
+    below ``water_threshold`` becomes flat water at z=0; land cells keep
+    their elevations clamped to >= -0.1 (gap-closing without z-fighting)."""
+    xs, ys, z = elev.xs, elev.ys, elev.z
+    nx, ny = xs.size, ys.size
+    gx, gy = np.meshgrid(xs, ys, indexing="xy")
+    cell_mean = 0.25 * (z[:-1, :-1] + z[:-1, 1:] + z[1:, :-1] + z[1:, 1:])
+    is_water = cell_mean < water_threshold
+
+    land_verts = np.column_stack([gx.ravel(), gy.ravel(),
+                                  np.maximum(z.ravel(), -0.1)])
+    water_verts = np.column_stack([gx.ravel(), gy.ravel(),
+                                   np.zeros(nx * ny)])
+    a = (np.arange(ny - 1)[:, None] * nx + np.arange(nx - 1)[None, :])
+    quad = np.stack([a, a + 1, a + nx, a + 1, a + nx + 1, a + nx], axis=-1)
+    tris = quad.reshape(ny - 1, nx - 1, 2, 3)
+    land_faces = tris[~is_water].reshape(-1, 3)
+    water_faces = tris[is_water].reshape(-1, 3)
+    out: List[Mesh] = []
+    if land_faces.shape[0]:
+        out.append(Mesh("terrain", "grass", land_verts, land_faces))
+    if water_faces.shape[0]:
+        out.append(Mesh("water", "water", water_verts, water_faces))
+    return out
+
+
 def scatter_terrain_mesh(points_xy: np.ndarray, z: np.ndarray,
                          kind: str = "grass") -> Mesh:
     """Terrain mesh from *scattered* (non-grid) elevation samples via

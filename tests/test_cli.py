@@ -15,6 +15,12 @@ class TestFastCommands:
         main(["--out", str(tmp_path), "targets"])
         assert (tmp_path / "targets_preview.png").exists()
 
+    def test_world(self, tmp_path):
+        main(["--out", str(tmp_path), "world"])
+        for f in ("world.obj", "world.mtl", "world_preview.png",
+                  "world_flythrough.gif"):
+            assert (tmp_path / f).exists()
+
     def test_coverage_json(self, tmp_path, capsys):
         main(["--out", str(tmp_path), "coverage", "--sats", "12",
               "--duration", "1800", "--dt", "30"])

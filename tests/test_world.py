@@ -90,3 +90,70 @@ class TestWorld:
         assert v.shape == (6, 3)
         assert f.shape == (4, 3)
         np.testing.assert_allclose(np.abs(v[:, 1]).max(), 2.0)
+
+
+class TestFirstPersonRuntime:
+    def _world(self):
+        from nis_sar_amtigmti_video_tpu.viz import world_runtime
+        return world_runtime.demo_world(n_grid=12)
+
+    def test_dual_terrain_split(self):
+        xs = np.linspace(-10, 10, 5)
+        z = np.full((5, 5), 5.0)
+        z[:2, :2] = -2.0                       # a water corner
+        meshes = world.dual_terrain_mesh(ElevationGrid(xs, xs.copy(), z))
+        byname = {m.name: m for m in meshes}
+        assert set(byname) == {"terrain", "water"}
+        # water cells are flattened to z=0, land keeps elevation
+        assert np.all(byname["water"].vertices[byname["water"].faces][..., 2]
+                      == 0.0)
+        land_z = byname["terrain"].vertices[byname["terrain"].faces][..., 2]
+        assert land_z.max() == 5.0
+        # 16 cells, 2 tris each; 1 cell mean < 1 m -> water
+        assert byname["water"].faces.shape[0] == 2
+        assert byname["terrain"].faces.shape[0] == 30
+
+    def test_movement_and_bindings(self):
+        w = self._world()
+        p0 = w.camera.position.copy()
+        w.step(1.0, held={"w"})
+        assert np.linalg.norm(w.camera.position - p0) == pytest.approx(
+            w.speed, rel=1e-6)
+        w.step(0.5, held={"left"})
+        assert w.camera.yaw != 0.0
+        w.press("1")                           # reset binding
+        np.testing.assert_allclose(w.camera.position, p0)
+        w.press("f")
+        assert w.fullscreen
+        w.press("escape")
+        assert not w.alive
+
+    def test_ground_clamp(self):
+        w = self._world()
+        w.camera.position = np.array([0.0, 0.0, 2.0])
+        w.step(5.0, held={"e"})                # fly down hard
+        g = float(w.elevation.elevation_at(*w.camera.position[:2]))
+        assert w.camera.position[2] >= g + 1.0 - 1e-9
+
+    def test_render_moves_the_view(self):
+        w = self._world()
+        a = w.render_array(figsize=(3, 2), dpi=60)
+        assert a.shape == (120, 180, 3) and a.dtype == np.uint8
+        w.step(1.5, held={"w"})
+        w.step(1.0, held={"left"})
+        b = w.render_array(figsize=(3, 2), dpi=60)
+        assert (a != b).mean() > 0.01          # the view actually changed
+
+    def test_fly_sequence_gif(self, tmp_path):
+        from nis_sar_amtigmti_video_tpu.viz import world_runtime
+        w = self._world()
+        gif = str(tmp_path / "fly.gif")
+        frames = world_runtime.fly_sequence(
+            w, [("w", 0.5), ("w+left", 0.5), ("q", 0.5)], path=gif)
+        assert frames.shape[0] == 3 and os.path.exists(gif)
+
+    def test_run_loop_agg_headless(self):
+        # under Agg run() renders one frame and returns without blocking
+        w = self._world()
+        w.run(max_seconds=0.1)
+        assert w.alive
