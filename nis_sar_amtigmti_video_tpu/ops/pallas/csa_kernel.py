@@ -6,25 +6,44 @@ four FFT passes and three phase multiplies is a separate round trip over the
 THREE pallas kernels — one HBM round trip each:
 
   K1  column blocks (n_az, 128): azimuth four-step FFT + Phi1 multiply
-  K2  row blocks (128, n_rg):    range FFT -> Phi2 -> range IFFT -> Phi3,
+  K2  row blocks (rows, n_rg):   range FFT -> Phi2 -> range IFFT -> Phi3,
                                  all VMEM-resident
   K3  column blocks (n_az, 128): azimuth inverse four-step FFT
 
-FFTs are four-step factorizations N = A*A (A = sqrt(N)): two (A x A) DFT
-matmuls on the MXU with an (A, A) twiddle multiply between. Axis handling:
+FFTs are four-step factorizations N = B*B (B = sqrt(N)): two (B x B) DFT
+contractions on the MXU with a twiddle multiply between.
 
-  * K1/K3 contract the *leading* digit twice with a cheap sublane-side
-    swapaxes(0, 1) between — output frequencies land in natural fftfreq
-    order, so the CSA factor vectors need no permutation.
-  * K2 contracts the middle/minor digits with lax.dot_general (no swap on
-    the forward pass; its output is digit-swap scrambled, which only Phi2's
-    range-frequency vector sees — passed pre-permuted). The inverse ends
-    with one in-VMEM minor transpose back to natural order.
+MXU shape discipline (measured on v5e, scripts/probe_mxu_shapes.py /
+probe_dot_accuracy.py):
 
-Complex data is carried as separate re/im f32 planes (Mosaic has no complex
-dtype); phases are generated inline from the 1-D CsaFactors vectors (the
-same decomposition as apply_csa_fused, ops/csa.py:129-145), so HBM sees no
-phase grids at all.
+  * dots with K = N = 128 run at >=190 TF/s in either operand order;
+    64-wide dot_generals run at ~5 TF/s — 40x slower. Every contraction
+    here is therefore a FULL-WIDTH (2B, 2B) = (128, 128) complex
+    block-matrix dot with re/im planes stacked onto the contracted axis
+    ([re_d; im_d] sublane-side) or carried in minor halves ([re|im] lanes),
+    never a (B, B) = (64, 64) real dot.
+  * Mosaic lowers f32 jnp.dot to ONE bf16 MXU pass regardless of the
+    requested precision (measured rel-err 2.6e-3 == pure-bf16 rounding).
+    For f32-grade accuracy the dots run as a manual bf16x3 split:
+    hi@Whi + hi@Wlo + lo@Whi with f32 accumulation (measured 5e-6), at
+    ~3x the (near-free) MXU cost. ``mode='bf16'`` selects the single-pass
+    variant when bf16-class output is acceptable.
+
+K2 layout walk (range digits p, q with sample index s = p*B + q, frequency
+f = m*B + k; R = block rows):
+
+  (R,p,q) --stack--> (R,[p_re;p_im],q) --dot W--> (R,q,[k_re|k_im])
+  --twiddle (lane-roll trick)--> --restack--> (R,k,[q_re|q_im])
+  --minor dot W--> (R,k,[m_re|m_im]) --Phi2--> --minor dot Wi-->
+  (R,k,[q_re|q_im]) --conj twiddle--> --restack--> (R,q,[k_re|k_im])
+  --minor dot Wi--> (R,q,[p_re|p_im]) --Phi3--> --swapaxes--> planes (R,p,q)
+
+Complex multiplies against minor-half state use the roll-by-B identity
+  out = s*A + roll_half(s)*B',  roll_half = swap of the two lane halves,
+with host-precomputed A/B tables for the twiddles and in-kernel cos/sin for
+the azimuth-dependent Phi2/Phi3. Phases come from the 1-D CsaFactors
+vectors (same decomposition as apply_csa_fused, ops/csa.py:129-145), so
+HBM sees no phase grids at all.
 
 Every pallas_call is traced under jax.enable_x64(False): the global x64
 flag injects an i64 into the grid state that Mosaic cannot legalize (round-1
@@ -47,7 +66,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
-_HI = jax.lax.Precision.HIGHEST
+_VMEM = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _isqrt_ok(n: int) -> int:
@@ -60,63 +79,126 @@ def supported(n_az: int, n_rg: int) -> bool:
         and n_rg % _LANE == 0 and n_az % _LANE == 0
 
 
+# --------------------------------------------------------------------------
+# precision-managed complex block dots
+# --------------------------------------------------------------------------
+
+def _split_pair(m: np.ndarray):
+    """f64 matrix -> (hi, lo) bf16 numpy pair with hi + lo ~= m (f32)."""
+    import ml_dtypes
+    m32 = m.astype(np.float32)
+    hi = m32.astype(ml_dtypes.bfloat16)
+    lo = (m32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+def _wblk_rhs(mat: np.ndarray) -> np.ndarray:
+    """Complex (B, B) matrix as the RHS real block form [[Mr, Mi], [-Mi, Mr]]
+    for contractions whose lhs axis carries [re_d; im_d] of the contracted
+    digit d (stacked sublane-side or as minor halves)."""
+    top = np.concatenate([mat.real, mat.imag], axis=1)
+    bot = np.concatenate([-mat.imag, mat.real], axis=1)
+    return np.concatenate([top, bot], axis=0)
+
+
+def _dot3(z, w_hi, w_lo, axis: int, mode: str):
+    """Contraction of f32 ``z`` axis ``axis`` with a (K, N) block matrix at
+    f32-grade accuracy via bf16x3 (Mosaic's f32 dot is a single lossy bf16
+    pass — module docstring)."""
+    dn = (((axis,), (0,)), ((), ()))
+    d = partial(jax.lax.dot_general, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+    zh = z.astype(jnp.bfloat16)
+    if mode == "bf16":
+        return d(zh, w_hi)
+    zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return d(zh, w_hi) + d(zh, w_lo) + d(zl, w_hi)
+
+
+def _roll_half(x):
+    """Swap the two minor-axis halves: [re | im] -> [im | re]."""
+    b = x.shape[-1] // 2
+    return jnp.concatenate([x[..., b:], x[..., :b]], axis=-1)
+
+
+def _restack(x):
+    """(R, e, [re_d | im_d]) -> (R, d, [re_e | im_e]): swap the free digit
+    into the minor halves so the next contraction (over e) is a minor-axis
+    block dot. Composed as swapaxes + sublane slices + lane concat — the
+    direct lane-slice/sublane-concat form crashes the Mosaic compiler at
+    production shapes."""
+    b = x.shape[-1] // 2
+    t = jnp.swapaxes(x, 1, 2)                       # (R, [h, d], e)
+    return jnp.concatenate([t[:, :b, :], t[:, b:, :]], axis=2)
+
+
+def _half_sign(shape3, b: int):
+    """(1, 1, 2B) lane vector: -1 on the re half, +1 on the im half."""
+    i = jax.lax.broadcasted_iota(jnp.int32, shape3, 2)
+    return jnp.where(i >= b, jnp.float32(1.0), jnp.float32(-1.0))
+
+
+# --------------------------------------------------------------------------
+# K1/K3: azimuth four-step FFT over the leading axis (column blocks)
+# --------------------------------------------------------------------------
+
 def _dft_consts(a: int, n: int):
-    """(Fr, Fi, Tr, Ti) f32: A-point DFT matrix e^{-2pi i jk/A} and the
-    N-point four-step twiddle e^{-2pi i cb/N} (all computed in f64)."""
+    """A-point DFT matrix e^{-2pi i jk/A} and the N-point four-step twiddle
+    e^{-2pi i cb/N}, in f64."""
     j = np.arange(a)
     f = np.exp(-2j * np.pi * np.outer(j, j) / a)
     t = np.exp(-2j * np.pi * np.outer(j, j) / n)
-    return (f.real.astype(np.float32), f.imag.astype(np.float32),
-            t.real.astype(np.float32), t.imag.astype(np.float32))
+    return f, t
+
+
+def _blk_lhs(mat: np.ndarray) -> np.ndarray:
+    """Complex matrix as the LHS real block form [[Mr, -Mi], [Mi, Mr]] for
+    W @ [re; im]-stacked data (K1/K3 leading-axis contractions)."""
+    top = np.concatenate([mat.real, -mat.imag], axis=1)
+    bot = np.concatenate([mat.imag, mat.real], axis=1)
+    return np.concatenate([top, bot], axis=0)
 
 
 def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _blk_matrix(mr: np.ndarray, mi: np.ndarray) -> np.ndarray:
-    """Real (2A, 2A) block form [[Mr, -Mi], [Mi, Mr]] of a complex matrix:
-    one full-width MXU matmul on leading-stacked [re; im] planes computes
-    the complex product (same MACs as 4 quarter-width matmuls, but at full
-    M=K=128 systolic utilization for A=64)."""
-    top = np.concatenate([mr, -mi], axis=1)
-    bot = np.concatenate([mi, mr], axis=1)
-    return np.concatenate([top, bot], axis=0).astype(np.float32)
-
-
-def _cdot_blk(wblk, zr, zi):
-    """Leading-axis complex matmul via the block matrix: planes stacked on
-    axis 0, one (2A, 2A) @ (2A, M) dot."""
+def _cdot_blk(w_hi, w_lo, zr, zi, mode: str):
+    """Leading-axis complex matmul via the LHS block matrix: planes stacked
+    on axis 0, one (2A, 2A) @ (2A, M) dot (bf16x3-managed)."""
     h = zr.shape[0]
     x2 = jnp.concatenate([zr, zi], axis=0)
-    y2 = jnp.dot(wblk, x2, preferred_element_type=jnp.float32, precision=_HI)
+    xh = x2.astype(jnp.bfloat16)
+    d = partial(jnp.dot, preferred_element_type=jnp.float32)
+    if mode == "bf16":
+        y2 = d(w_hi, xh)
+    else:
+        xl = (x2 - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        y2 = d(w_hi, xh) + d(w_lo, xh) + d(w_hi, xl)
     return y2[:h], y2[h:]
 
 
-# --------------------------------------------------------------------------
-# K1: azimuth forward FFT (leading axis) + Phi1
-# --------------------------------------------------------------------------
-
-def _fft_lead(zr, zi, wblk, tr_m, ti_m, tsgn, a: int, lane: int):
-    """Leading-axis four-step transform with one sublane swap; block-matrix
-    complex matmuls; twiddle sign ``tsgn`` (+1 fwd, -1 inv)."""
+def _fft_lead(zr, zi, wh, wl, tr_m, ti_m, tsgn, a: int, lane: int, mode: str):
+    """Leading-axis four-step transform with one sublane swap; twiddle sign
+    ``tsgn`` (+1 fwd, -1 inv)."""
     n = a * a
     zr = zr.reshape(a, a * lane)
     zi = zi.reshape(a, a * lane)
-    yr, yi = _cdot_blk(wblk, zr, zi)
+    yr, yi = _cdot_blk(wh, wl, zr, zi, mode)
     yr = yr.reshape(a, a, lane)
     yi = yi.reshape(a, a, lane)
-    yr, yi = _cmul(yr, yi, tr_m[:][:, :, None], tsgn * ti_m[:][:, :, None])
+    yr, yi = _cmul(yr, yi, tr_m[:, :, None], tsgn * ti_m[:, :, None])
     yr = jnp.swapaxes(yr, 0, 1).reshape(a, a * lane)
     yi = jnp.swapaxes(yi, 0, 1).reshape(a, a * lane)
-    sr, si = _cdot_blk(wblk, yr, yi)
+    sr, si = _cdot_blk(wh, wl, yr, yi, mode)
     return sr.reshape(n, lane), si.reshape(n, lane)
 
 
-def _k1_body(xr, xi, u, c1, w, wblk, tr_m, ti_m, our, oui, *, a: int):
+def _k1_body(xr, xi, u, c1, w, wh, wl, tr_m, ti_m, our, oui,
+             *, a: int, mode: str):
     lane = xr.shape[-1]
-    sr, si = _fft_lead(xr[:], xi[:], wblk[:], tr_m, ti_m,
-                       jnp.float32(1.0), a, lane)
+    sr, si = _fft_lead(xr[:], xi[:], wh[:], wl[:], tr_m[:], ti_m[:],
+                       jnp.float32(1.0), a, lane, mode)
     # Phi1 = exp(j * c1 * (u - w)^2) with c1, w per az frequency (natural
     # order), u per range sample
     du = u[:] - w[:]
@@ -125,11 +207,13 @@ def _k1_body(xr, xi, u, c1, w, wblk, tr_m, ti_m, our, oui, *, a: int):
     our[:], oui[:] = _cmul(sr, si, pr, pi)
 
 
-def _k1_call(xr, xi, u, c1, w, a: int, interpret: bool):
+def _k1_call(xr, xi, u, c1, w, a: int, interpret: bool, mode: str):
     n = a * a
     n_rg = xr.shape[-1]
-    fr_m, fi_m, tr_m, ti_m = _dft_consts(a, n)
-    wblk = _blk_matrix(fr_m, fi_m)
+    f_m, t_m = _dft_consts(a, n)
+    wh, wl = _split_pair(_blk_lhs(f_m))
+    tr_m = t_m.real.astype(np.float32)
+    ti_m = t_m.imag.astype(np.float32)
     grid = (n_rg // _LANE,)
     bs_dat = pl.BlockSpec((n, _LANE), lambda j: (0, j))
     bs_u = pl.BlockSpec((1, _LANE), lambda j: (0, j))
@@ -137,140 +221,162 @@ def _k1_call(xr, xi, u, c1, w, a: int, interpret: bool):
     bs_c = pl.BlockSpec((a, a), lambda j: (0, 0))
     bs_blk = pl.BlockSpec((2 * a, 2 * a), lambda j: (0, 0))
     return pl.pallas_call(
-        partial(_k1_body, a=a),
+        partial(_k1_body, a=a, mode=mode),
         grid=grid,
         in_specs=[bs_dat, bs_dat, bs_u, bs_az, bs_az,
-                  bs_blk, bs_c, bs_c],
+                  bs_blk, bs_blk, bs_c, bs_c],
         out_specs=[bs_dat, bs_dat],
         out_shape=[jax.ShapeDtypeStruct((n, n_rg), jnp.float32)] * 2,
         input_output_aliases={0: 0, 1: 1},
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=_VMEM,
         interpret=interpret,
-    )(xr, xi, u, c1, w, wblk, tr_m, ti_m)
+    )(xr, xi, u, c1, w, wh, wl, tr_m, ti_m)
 
 
-# --------------------------------------------------------------------------
-# K2: range FFT -> Phi2 -> range IFFT -> Phi3 (minor axis, one round trip)
-# --------------------------------------------------------------------------
-
-def _k2_body(xr, xi, frs, alpha, beta, u, cphase, rphase, g, c3,
-             fr_m, fi_m, tr_m, ti_m, our, oui, *, b: int, rows: int):
-    def dg(m_r, m_i, zr, zi, lhs_axis):
-        """complex dot_general contracting zr/zi axis ``lhs_axis`` with the
-        (b, b) matrix's axis 0; produced digit lands minor."""
-        dn = (((lhs_axis,), (0,)), ((), ()))
-        d = partial(jax.lax.dot_general, dimension_numbers=dn,
-                    preferred_element_type=jnp.float32, precision=_HI)
-        return (d(zr, m_r) - d(zi, m_i)), (d(zr, m_i) + d(zi, m_r))
-
-    # ---- forward: (rows, Ba, Bb) -a-> (rows, b, c) -tw-> -b-> (rows, c, d)
-    zr = xr[:]                                          # (rows, b, b)
-    zi = xi[:]
-    zr, zi = dg(fr_m[:], fi_m[:], zr, zi, 1)            # contract a -> (b, c)
-    zr, zi = _cmul(zr, zi, tr_m[:][None, :, :], ti_m[:][None, :, :])
-    zr, zi = dg(fr_m[:], fi_m[:], zr, zi, 1)            # contract b -> (c, d)
-
-    # ---- Phi2 in the scrambled range-frequency order (frs pre-permuted)
-    f2 = frs[:]                                         # (1, b, b)
-    ph = (alpha[:] * f2 + beta[:]) * f2                 # (rows, b, b)
-    zr, zi = _cmul(zr, zi, jnp.cos(ph), jnp.sin(ph))
-
-    # ---- inverse: contract d -> (c, b), conj twiddle, contract c -> (b, a)
-    inv = 1.0 / b
-    zr, zi = dg(fr_m[:].T * inv, -fi_m[:].T * inv, zr, zi, 2)
-    zr, zi = _cmul(zr, zi, tr_m[:][None, :, :], -ti_m[:][None, :, :])
-    zr, zi = dg(fr_m[:].T * inv, -fi_m[:].T * inv, zr, zi, 1)
-    zr = jnp.swapaxes(zr, 1, 2)                         # (b, a) -> natural
-    zi = jnp.swapaxes(zi, 1, 2)
-
-    # ---- Phi3 = rphase(az) + cphase(rg) + g(az)*dr(rg) - c3(az)*u(rg)^2
-    dr = 0.5 * 299792458.0 * u[:]                       # (1, b, b)
-    ph3 = (rphase[:] + cphase[:] + g[:] * dr
-           - c3[:] * u[:] * u[:])
-    our[:], oui[:] = _cmul(zr, zi, jnp.cos(ph3), jnp.sin(ph3))
-
-
-def _k2_call(xr, xi, f, frs, b: int, interpret: bool):
-    n = b * b
-    n_az = xr.shape[0]
-    rows = 64
-    fr_m, fi_m, tr_m, ti_m = _dft_consts(b, n)
-    grid = (n_az // rows,)
-    # minor-dim splits are illegal inside Mosaic kernels: reshape to
-    # (n_az, b, b) OUTSIDE (a free contiguous view) and use 3-D blocks
-    bs_dat = pl.BlockSpec((rows, b, b), lambda i: (i, 0, 0))
-    bs_rg = pl.BlockSpec((1, b, b), lambda i: (0, 0, 0))
-    bs_az = pl.BlockSpec((rows, 1, 1), lambda i: (i, 0, 0))
-    bs_c = pl.BlockSpec((b, b), lambda i: (0, 0))
-
-    def sq(v):                                          # (n,) -> (1, b, b)
-        return v.reshape(1, b, b)
-
-    def col(v):                                         # (n_az,) -> (.,1,1)
-        return v.reshape(-1, 1, 1)
-
-    our, oui = pl.pallas_call(
-        partial(_k2_body, b=b, rows=rows),
-        grid=grid,
-        in_specs=[bs_dat, bs_dat, bs_rg, bs_az, bs_az, bs_rg, bs_rg,
-                  bs_az, bs_az, bs_az, bs_c, bs_c, bs_c, bs_c],
-        out_specs=[bs_dat, bs_dat],
-        out_shape=[jax.ShapeDtypeStruct((n_az, b, b), jnp.float32)] * 2,
-        input_output_aliases={0: 0, 1: 1},
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=interpret,
-    )(xr.reshape(n_az, b, b), xi.reshape(n_az, b, b), sq(frs.reshape(-1)),
-      col(f.alpha), col(f.beta), sq(f.u), sq(f.cphase),
-      col(f.rphase), col(f.g), col(f.c3), fr_m, fi_m, tr_m, ti_m)
-    return our.reshape(n_az, n), oui.reshape(n_az, n)
-
-
-# --------------------------------------------------------------------------
-# K3: azimuth inverse FFT (leading axis)
-# --------------------------------------------------------------------------
-
-def _k3_body(xr, xi, wblk, tr_m, ti_m, our, oui, *, a: int):
+def _k3_body(xr, xi, wh, wl, tr_m, ti_m, our, oui, *, a: int, mode: str):
     lane = xr.shape[-1]
-    our[:], oui[:] = _fft_lead(xr[:], xi[:], wblk[:], tr_m, ti_m,
-                               jnp.float32(-1.0), a, lane)
+    our[:], oui[:] = _fft_lead(xr[:], xi[:], wh[:], wl[:], tr_m[:], ti_m[:],
+                               jnp.float32(-1.0), a, lane, mode)
 
 
-def _k3_call(xr, xi, a: int, interpret: bool):
+def _k3_call(xr, xi, a: int, interpret: bool, mode: str):
     n = a * a
     n_rg = xr.shape[-1]
-    fr_m, fi_m, tr_m, ti_m = _dft_consts(a, n)
-    inv = np.float32(1.0 / a)
-    wblk = _blk_matrix(fr_m.T * inv, -fi_m.T * inv)
+    f_m, t_m = _dft_consts(a, n)
+    inv = np.conj(f_m).T / a
+    wh, wl = _split_pair(_blk_lhs(inv))
+    tr_m = t_m.real.astype(np.float32)
+    ti_m = t_m.imag.astype(np.float32)
     grid = (n_rg // _LANE,)
     bs_dat = pl.BlockSpec((n, _LANE), lambda j: (0, j))
     bs_c = pl.BlockSpec((a, a), lambda j: (0, 0))
     bs_blk = pl.BlockSpec((2 * a, 2 * a), lambda j: (0, 0))
     return pl.pallas_call(
-        partial(_k3_body, a=a),
+        partial(_k3_body, a=a, mode=mode),
         grid=grid,
-        in_specs=[bs_dat, bs_dat, bs_blk, bs_c, bs_c],
+        in_specs=[bs_dat, bs_dat, bs_blk, bs_blk, bs_c, bs_c],
         out_specs=[bs_dat, bs_dat],
         out_shape=[jax.ShapeDtypeStruct((n, n_rg), jnp.float32)] * 2,
         input_output_aliases={0: 0, 1: 1},
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=_VMEM,
         interpret=interpret,
-    )(xr, xi, wblk, tr_m, ti_m)
+    )(xr, xi, wh, wl, tr_m, ti_m)
+
+
+# --------------------------------------------------------------------------
+# K2: range FFT -> Phi2 -> range IFFT -> Phi3 (one round trip, full-width)
+# --------------------------------------------------------------------------
+
+def _k2_body(xr, xi, frs2, alpha, beta, cph3, dr3, usq3, rphase, g, c3,
+             wf_hi, wf_lo, wi_hi, wi_lo, a1, b1, a2, b2, our, oui,
+             *, b: int, mode: str):
+    sgn = _half_sign((1, 1, 2 * b), b)
+
+    # ---- forward range FFT: contract p, twiddle, contract q
+    z = jnp.concatenate([xr[:], xi[:]], axis=1)            # (R, 2p, q)
+    s = _dot3(z, wf_hi[:], wf_lo[:], 1, mode)              # (R, q, [k|k])
+    s = s * a1[:][None] + _roll_half(s) * b1[:][None]      # e^{-j 2pi kq/N}
+    s = _restack(s)                                        # (R, k, [q|q])
+    s = _dot3(s, wf_hi[:], wf_lo[:], 2, mode)              # (R, k, [m|m])
+
+    # ---- Phi2 = exp(j*(alpha*fr + beta)*fr), fr in the (k, [m|m]) layout
+    fv = frs2[:][None]
+    ph = (alpha[:] * fv + beta[:]) * fv                    # (R, b, 2b)
+    s = s * jnp.cos(ph) + _roll_half(s) * (jnp.sin(ph) * sgn)
+
+    # ---- inverse range FFT: contract m (minor), conj twiddle, contract k
+    s = _dot3(s, wi_hi[:], wi_lo[:], 2, mode)              # (R, k, [q|q])
+    s = s * a2[:][None] + _roll_half(s) * b2[:][None]      # e^{+j 2pi kq/N}
+    s = _restack(s)                                        # (R, q, [k|k])
+    s = _dot3(s, wi_hi[:], wi_lo[:], 2, mode)              # (R, q, [p|p])
+
+    # ---- Phi3 = rphase(az) + cphase(s) + g(az)*dr(s) - c3(az)*u(s)^2
+    ph3 = rphase[:] + cph3[:][None] + g[:] * dr3[:][None] \
+        - c3[:] * usq3[:][None]
+    s = s * jnp.cos(ph3) + _roll_half(s) * (jnp.sin(ph3) * sgn)
+
+    # ---- (R, q, [p|p]) -> natural planes (R, p, q)
+    our[:] = jnp.swapaxes(s[..., :b], 1, 2)
+    oui[:] = jnp.swapaxes(s[..., b:], 1, 2)
+
+
+def _k2_tables(f, b: int):
+    """CsaFactors range vectors re-laid for K2's internal digit layouts
+    (traced jnp ops — factors may be jit values)."""
+    def minor_halves(v, transpose):
+        m = jnp.asarray(v).reshape(b, b)
+        if transpose:
+            m = m.T
+        return jnp.tile(m, (1, 2))
+
+    # frequency f = m*B + k at layout (k, [h, m]) -> FRS2[k, hb+m] = fr[m*B+k]
+    frs2 = minor_halves(f.fr, True)
+    # sample s = p*B + q at layout (q, [h, p]) -> T3[q, hb+p] = v[p*B+q]
+    cph3 = minor_halves(f.cphase, True)
+    dr3 = minor_halves(f.dr, True)
+    usq3 = minor_halves(jnp.asarray(f.u) * jnp.asarray(f.u), True)
+    return frs2, cph3, dr3, usq3
+
+
+def _k2_consts(b: int):
+    n = b * b
+    j = np.arange(b)
+    fwd = np.exp(-2j * np.pi * np.outer(j, j) / b)
+    inv = np.exp(2j * np.pi * np.outer(j, j) / b) / b
+    wf = _split_pair(_wblk_rhs(fwd))
+    wi = _split_pair(_wblk_rhs(inv))
+    th = 2.0 * np.pi * np.outer(j, j) / n                  # theta[k, q]
+    cs, sn = np.cos(th), np.sin(th)
+    f32 = lambda x: x.astype(np.float32)
+    a1 = f32(np.tile(cs.T, (1, 2)))                        # [q, (h,k)]
+    b1 = f32(np.concatenate([sn.T, -sn.T], axis=1))
+    a2 = f32(np.tile(cs, (1, 2)))                          # [k, (h,q)]
+    b2 = f32(np.concatenate([-sn, sn], axis=1))
+    return wf, wi, a1, b1, a2, b2
+
+
+def _k2_call(xr, xi, f, b: int, interpret: bool, mode: str, rows: int = 128):
+    n = b * b
+    n_az = xr.shape[0]
+    while n_az % rows:
+        rows //= 2
+    frs2, cph3, dr3, usq3 = _k2_tables(f, b)
+    (wf_hi, wf_lo), (wi_hi, wi_lo), a1, b1, a2, b2 = _k2_consts(b)
+    grid = (n_az // rows,)
+    # minor-dim splits are illegal inside Mosaic kernels: reshape to
+    # (n_az, b, b) OUTSIDE (a free contiguous view) and use 3-D blocks
+    bs_dat = pl.BlockSpec((rows, b, b), lambda i: (i, 0, 0))
+    bs_az = pl.BlockSpec((rows, 1, 1), lambda i: (i, 0, 0))
+    bs_tab = pl.BlockSpec((b, 2 * b), lambda i: (0, 0))
+    bs_w = pl.BlockSpec((2 * b, 2 * b), lambda i: (0, 0))
+
+    def col(v):                                            # (n_az,) -> (.,1,1)
+        return jnp.asarray(v).reshape(-1, 1, 1)
+
+    our, oui = pl.pallas_call(
+        partial(_k2_body, b=b, mode=mode),
+        grid=grid,
+        in_specs=[bs_dat, bs_dat, bs_tab, bs_az, bs_az, bs_tab, bs_tab,
+                  bs_tab, bs_az, bs_az, bs_az, bs_w, bs_w, bs_w, bs_w,
+                  bs_tab, bs_tab, bs_tab, bs_tab],
+        out_specs=[bs_dat, bs_dat],
+        out_shape=[jax.ShapeDtypeStruct((n_az, b, b), jnp.float32)] * 2,
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=_VMEM,
+        interpret=interpret,
+    )(xr.reshape(n_az, b, b), xi.reshape(n_az, b, b), frs2,
+      col(f.alpha), col(f.beta), cph3, dr3, usq3,
+      col(f.rphase), col(f.g), col(f.c3),
+      wf_hi, wf_lo, wi_hi, wi_lo, a1, b1, a2, b2)
+    return our.reshape(n_az, n), oui.reshape(n_az, n)
 
 
 # --------------------------------------------------------------------------
 # public entry
 # --------------------------------------------------------------------------
 
-def _digit_swap_perm(n: int) -> np.ndarray:
-    b = int(math.isqrt(n))
-    p = np.arange(n)
-    return (p % b) * b + p // b
-
-
-def apply_csa_pallas_planes(xr, xi, f, interpret: bool = False):
+def apply_csa_pallas_planes(xr, xi, f, interpret: bool = False,
+                            mode: str = "bf16x3"):
     """Planes-native fused CSA: re/im f32 (..., n_az, n_rg) -> re/im SLC.
 
     This is the production entry: complex64<->plane conversions around the
@@ -279,6 +385,10 @@ def apply_csa_pallas_planes(xr, xi, f, interpret: bool = False):
     (8+ GB of HBM at 4096^2 batch 2 — the round-1 layout trap). Callers that
     already hold planes (the bench, the device-boundary convention of
     utils/cplx) should stay in planes end to end.
+
+    mode='bf16x3' (default) runs every MXU contraction as a hi/lo bf16
+    split (f32-grade, ~5e-6); mode='bf16' single-pass (~2.6e-3, what a raw
+    Mosaic f32 dot would silently give anyway).
     """
     n_az, n_rg = xr.shape[-2], xr.shape[-1]
     if not supported(n_az, n_rg):
@@ -290,16 +400,13 @@ def apply_csa_pallas_planes(xr, xi, f, interpret: bool = False):
     xr = xr.reshape((-1,) + xr.shape[-2:])
     xi = xi.reshape((-1,) + xi.shape[-2:])
 
-    # Phi2's range-frequency vector in K2's internally scrambled order
-    frs = jnp.asarray(f.fr)[jnp.asarray(_digit_swap_perm(n_rg))]
-
     def one(zr, zi):
         with jax.enable_x64(False):
             zr, zi = _k1_call(zr, zi, f.u.reshape(1, -1),
                               f.c1.reshape(-1, 1), f.w.reshape(-1, 1),
-                              a, interpret)
-            zr, zi = _k2_call(zr, zi, f, frs.reshape(1, -1), b, interpret)
-            return _k3_call(zr, zi, a, interpret)
+                              a, interpret, mode)
+            zr, zi = _k2_call(zr, zi, f, b, interpret, mode)
+            return _k3_call(zr, zi, a, interpret, mode)
 
     if xr.shape[0] > 1:
         # vmap (not lax.map): pallas_call's batching rule adds a grid dim
@@ -311,12 +418,12 @@ def apply_csa_pallas_planes(xr, xi, f, interpret: bool = False):
             oui.reshape(lead + (n_az, n_rg)))
 
 
-def apply_csa_pallas(phist, f, interpret: bool = False):
+def apply_csa_pallas(phist, f, interpret: bool = False, mode: str = "bf16x3"):
     """Fused-in-VMEM CSA: (..., n_az, n_rg) complex64 -> SLC, identical math
     to ops/csa.py::apply_csa_fused (f32 rounding differences only). Prefer
     :func:`apply_csa_pallas_planes` in hot paths (see its docstring)."""
     v = phist.view(jnp.float32).reshape(phist.shape + (2,))
     our, oui = apply_csa_pallas_planes(v[..., 0], v[..., 1], f,
-                                       interpret=interpret)
+                                       interpret=interpret, mode=mode)
     return jnp.stack([our, oui], axis=-1).reshape(
         our.shape[:-1] + (-1,)).view(jnp.complex64)
