@@ -168,13 +168,33 @@ def make_plan(p: BpParams, sat_pos: np.ndarray, t_slow: np.ndarray,
 # recentred presum (shared machinery with ops/bp.py, minus the un-recentre)
 # --------------------------------------------------------------------------
 
+def matched_filter_spectrum(p: BpParams, nfft: int) -> jnp.ndarray:
+    """Conjugate reference-chirp spectrum at the padded length ``nfft`` —
+    the same centered/fftshifted construction as ops/bp.py::
+    bp_range_compress (sar_batch_sim.py:180-186), evaluated once at the
+    power-of-two length so compression fuses into the recentre FFT."""
+    n_ref = int(p.pulse_width_s * p.fs_hz)
+    t_ref = np.linspace(-p.pulse_width_s / 2.0, p.pulse_width_s / 2.0, n_ref)
+    ref = np.exp(1j * np.pi * p.chirp_rate * t_ref ** 2)
+    ref_f = np.fft.fft(np.fft.fftshift(ref), n=nfft)
+    return jnp.asarray(np.conj(ref_f).astype(np.complex64))
+
+
 def recenter_presum(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
-                    d: int, t_ref: float):
+                    d: int, t_ref: float, ref_conj=None):
     """Recentre every pulse to the moving scene origin at the *fixed* delay
     ``t_ref`` and box-presum by ``d`` — identical math to
     ops/bp.py::presum_recenter (:213) but returning the *recentred* pulses
     (the fast path works in recentred coordinates, saving the un-recentre
-    FFT round trip). Returns (rc_c2[P2, nfft], pos2, vel2, t2)."""
+    FFT round trip). Returns (rc_c2[P2, nfft], pos2, vel2, t2).
+
+    ``ref_conj`` (nfft,) fuses range compression into the same FFT round
+    trip (see :func:`matched_filter_spectrum`): the matched filter becomes
+    a *linear* convolution at the padded power-of-two length instead of the
+    reference's circular convolution at the native (often non-power-of-two,
+    hence Bluestein-slow) length — identical away from the first/last
+    ``len(ref)`` samples, which the scene band never touches (the plan
+    guards the band placement)."""
     num_p = rc.shape[0]
     ns = rc.shape[1]
     dt = t_slow - jnp.mean(t_slow)
@@ -197,6 +217,8 @@ def recenter_presum(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
         return jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
 
     spec = jnp.fft.fft(rc, n=nfft, axis=-1)
+    if ref_conj is not None:
+        spec = spec * ref_conj[None, :]
     spec = spec * ramp(_TWO_PI * f_bins[None, :] * shift[:, None])
     rc_c = jnp.fft.ifft(spec, axis=-1) * ramp(car)[:, None]
 
@@ -421,9 +443,10 @@ def _resample_output(img_i, plan: FastBpPlan, p: BpParams, rdir, cdir, dy_m):
 # public entry points
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("p", "plan", "presum"))
+@partial(jax.jit, static_argnames=("p", "plan", "presum", "compress"))
 def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
-                     plan: FastBpPlan, presum: int = 1, t_mean=None):
+                     plan: FastBpPlan, presum: int = 1, t_mean=None,
+                     compress: bool = False):
     """Gather-free BP of range-compressed pulses onto the output grid.
 
     rc: (P, Ns) complex64; trajectory in f64; ``plan`` from :func:`make_plan`
@@ -431,6 +454,11 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
     ops/bp.py::backproject (with presum and high-quality interpolation) on
     (ny, nx). Scaling matches focus_bp's convention: the caller applies the
     ``presum`` rescale and droop correction.
+
+    ``compress=True`` takes *raw* pulses and fuses the range matched filter
+    into the recentre FFT round trip — at the production 22,004-sample shape
+    this removes two Bluestein FFT passes (the power-of-two padded filter is
+    the linear-convolution variant; see :func:`recenter_presum`).
     """
     pos = jnp.asarray(sat_pos, jnp.float64)
     vel = jnp.asarray(sat_vel, jnp.float64)
@@ -438,8 +466,10 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
     vf = jnp.asarray(vel_focus, jnp.float64)
     t_mean_v = jnp.mean(ts) if t_mean is None else t_mean
 
+    ref_conj = matched_filter_spectrum(p, plan.nfft) if compress else None
     rc2, pos2, vel2, t2 = recenter_presum(rc, pos, vel, ts, vf, p,
-                                          max(1, presum), plan.t_ref)
+                                          max(1, presum), plan.t_ref,
+                                          ref_conj=ref_conj)
     rdir, cdir, dy_m = _frame_geometry(pos2[pos2.shape[0] // 2], p, plan)
     u0, pa, pb, pc, b_t, c_t = _fit_coeffs(pos2, vel2, t2, vf, p, plan,
                                            t_mean_v, rdir, cdir, dy_m)
@@ -487,16 +517,17 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
 
 def focus_bp_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
                   p: BpParams, presum: int = 1, plan: FastBpPlan = None):
-    """Range compression + fast BP + presum rescale/droop (drop-in for
-    ops/bp.py::focus_bp at production scale)."""
+    """Fused range compression + fast BP + presum rescale/droop (drop-in
+    for ops/bp.py::focus_bp at production scale). The matched filter rides
+    the recentre FFT (``compress=True``), so raw pulses see exactly one
+    fast-time FFT round trip end to end."""
     from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
 
     if plan is None:
         plan = make_plan(p, np.asarray(sat_pos), np.asarray(t_slow),
                          float(t_start))
-    rc = bp_ops.bp_range_compress(raw, p)
-    img = backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p, plan,
-                           presum=presum)
+    img = backproject_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, p, plan,
+                           presum=presum, compress=True)
     if presum > 1:
         corr = bp_ops.presum_droop_correction(
             jnp.asarray(sat_pos, jnp.float64), jnp.asarray(sat_vel, jnp.float64),

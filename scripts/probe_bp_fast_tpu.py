@@ -75,7 +75,8 @@ vel = jnp.asarray(traj.velocities, jnp.float64)
 ts = jnp.asarray(traj.times, jnp.float64)
 vf = jnp.zeros(3, jnp.float64)
 
-st_rc = jax.jit(lambda x: bp_fast.compress_recenter_presum(
+st_cmp = jax.jit(lambda x: bp_ops.bp_range_compress(x, p))
+st_rc = jax.jit(lambda x: bp_fast.recenter_presum(
     x, pos, vel, ts, vf, p, d_ps, plan.t_ref))
 
 
@@ -88,14 +89,20 @@ def st_fit(pos2, vel2, t2):
 st_fit_j = jax.jit(st_fit)
 st_acc = jax.jit(lambda rc2, co: bp_fast._accumulate(rc2, *co, plan))
 
-rc2, pos2, vel2, t2 = st_rc(raw)
+rc = st_cmp(raw)
+rc2, pos2, vel2, t2 = st_rc(rc)
 co = st_fit_j(pos2, vel2, t2)
 img_i = st_acc(rc2, co)
 _ = sync(img_i)
-for name, fn, args in [("rc+recenter+presum", st_rc, (raw,)),
+for name, fn, args in [("range_compress", st_cmp, (raw,)),
+                       ("recenter+presum", st_rc, (rc,)),
                        ("fit_coeffs", st_fit_j, (pos2, vel2, t2)),
                        ("accumulate", st_acc, (rc2, co))]:
-    t1 = time.perf_counter()
+    # streaming: chain 4 dispatches, one sync
     out = fn(*args)
     _ = sync(out[0] if isinstance(out, tuple) else out)
-    print(f"{name}: {1000 * (time.perf_counter() - t1):.1f} ms")
+    t1 = time.perf_counter()
+    for _i in range(4):
+        out = fn(*args)
+    _ = sync(out[0] if isinstance(out, tuple) else out)
+    print(f"{name}: {1000 * (time.perf_counter() - t1) / 4:.1f} ms")

@@ -144,6 +144,20 @@ class TestFastBp:
             traj.times, vf, t0, p, plan=plan))
         _check(got, want)
 
+    def test_fused_compression_nonpow2(self):
+        """num_samples=1000 pads to nfft=1024: the fused matched filter is
+        a linear convolution at the padded length (the production shape's
+        Bluestein-killer), which must still meet the oracle budgets."""
+        raw, traj, p, t0 = _scene(ns=1000)
+        vf = np.zeros(3)
+        plan = bp_fast.make_plan(p, traj.positions, traj.times, t0)
+        assert plan.nfft == 1024 and plan.nfft != p.num_samples
+        want = _oracle_upsampled(raw, traj, p, t0, vf)
+        got = np.asarray(bp_fast.focus_bp_fast(
+            cplx.to_device(raw), traj.positions, traj.velocities,
+            traj.times, vf, t0, p, plan=plan))
+        _check(got, want)
+
     def test_band_does_not_fit_raises(self):
         raw, traj, p, t0 = _scene(ns=512)
         big = bp_ops.BpParams(fc_hz=p.fc_hz, chirp_rate=p.chirp_rate,
