@@ -82,13 +82,16 @@ def form_frames_bp(raw_frames, pos_frames, vel_frames, t_frames, vel_focus,
     backend: 'exact' keeps the reference-semantics per-pixel path
     (ops/bp.py); 'fast' uses the gather-free iso-range kernel
     (ops/bp_fast.py, one shared static ``plan`` for every CPI — build it
-    with bp_fast.make_plan over the whole collect's trajectory)."""
-    rc = bp_ops.bp_range_compress(raw_frames, p)
+    with bp_fast.make_plan over the whole collect's trajectory; the range
+    matched filter fuses into its recentre FFT, so raw pulses go in)."""
+    rc = raw_frames if backend == "fast" \
+        else bp_ops.bp_range_compress(raw_frames, p)
 
     def one(r_, po, ve, ts):
         if backend == "fast":
             img = bp_fast.backproject_fast(r_, po, ve, ts, vel_focus, p,
-                                           plan, presum=presum)
+                                           plan, presum=presum,
+                                           compress=True)
             if presum > 1:
                 corr = bp_ops.presum_droop_correction(po, ve, ts, vel_focus,
                                                       p, presum)

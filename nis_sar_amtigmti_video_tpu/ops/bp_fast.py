@@ -141,19 +141,25 @@ def make_plan(p: BpParams, sat_pos: np.ndarray, t_slow: np.ndarray,
         a_half = max(a_half, half * (abs(row_dir[0]) + abs(row_dir[1])))
         dy_min = min(dy_min, stride * dr_per_sample / u_g)
     margin_rows = 16
-    ny_i = 2 * (int(np.ceil(b_half / dy_min)) + margin_rows)
-    ny_i = -(-ny_i // 8) * 8
+    ny_req = 2 * (int(np.ceil(b_half / dy_min)) + margin_rows)
     nx_i = 2 * (int(np.ceil(a_half / dx_m)) + 12)
-    nx_i = -(-nx_i // 64) * 64
+    nx_i = -(-nx_i // 128) * 128          # 128-multiples: pallas tile grids
 
     nfft = 1 << (p.num_samples - 1).bit_length()
     d0 = np.linalg.norm(sat_pos, axis=1)
     t_ref = float(2.0 * np.mean(d0) / _C)
     n_org = (t_ref - float(t_start)) * p.fs_hz
-    band_start = int(round(n_org - 0.5 - ((ny_i - 1) / 2.0) * stride
-                           - w_win / 2.0))
-    n_band = stride * (ny_i - 1) + w_win
-    if band_start < 0 or band_start + n_band > nfft:
+    # prefer a 128-multiple row count (pallas tile grids); fall back to the
+    # minimal 8-multiple when the padded band would overflow the window
+    # (tiny test scenes — the pallas path then reports unsupported)
+    band_start = n_band = 0
+    for ny_i in (-(-ny_req // 128) * 128, -(-ny_req // 8) * 8):
+        band_start = int(round(n_org - 0.5 - ((ny_i - 1) / 2.0) * stride
+                               - w_win / 2.0))
+        n_band = stride * (ny_i - 1) + w_win
+        if band_start >= 0 and band_start + n_band <= nfft:
+            break
+    else:
         raise ValueError(
             f"scene band [{band_start}, {band_start + n_band}) does not fit "
             f"the receive window (nfft={nfft}); enlarge num_samples or "
@@ -177,7 +183,7 @@ def matched_filter_spectrum(p: BpParams, nfft: int) -> jnp.ndarray:
     t_ref = np.linspace(-p.pulse_width_s / 2.0, p.pulse_width_s / 2.0, n_ref)
     ref = np.exp(1j * np.pi * p.chirp_rate * t_ref ** 2)
     ref_f = np.fft.fft(np.fft.fftshift(ref), n=nfft)
-    return jnp.asarray(np.conj(ref_f).astype(np.complex64))
+    return np.conj(ref_f).astype(np.complex64)   # numpy: safe inside traces
 
 
 def recenter_presum(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
@@ -443,10 +449,11 @@ def _resample_output(img_i, plan: FastBpPlan, p: BpParams, rdir, cdir, dy_m):
 # public entry points
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("p", "plan", "presum", "compress"))
+@partial(jax.jit, static_argnames=("p", "plan", "presum", "compress",
+                                   "accumulate"))
 def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
                      plan: FastBpPlan, presum: int = 1, t_mean=None,
-                     compress: bool = False):
+                     compress: bool = False, accumulate: str = "xla"):
     """Gather-free BP of range-compressed pulses onto the output grid.
 
     rc: (P, Ns) complex64; trajectory in f64; ``plan`` from :func:`make_plan`
@@ -466,14 +473,28 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
     vf = jnp.asarray(vel_focus, jnp.float64)
     t_mean_v = jnp.mean(ts) if t_mean is None else t_mean
 
-    ref_conj = matched_filter_spectrum(p, plan.nfft) if compress else None
-    rc2, pos2, vel2, t2 = recenter_presum(rc, pos, vel, ts, vf, p,
-                                          max(1, presum), plan.t_ref,
-                                          ref_conj=ref_conj)
+    use_pallas = accumulate in ("pallas", "pallas_interpret")
+    interp = accumulate == "pallas_interpret"
+    if use_pallas and compress:
+        from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
+    if use_pallas and compress and fft_kernel.supported(plan.nfft):
+        rc2, pos2, vel2, t2 = fft_kernel.recenter_presum_pallas(
+            rc, pos, vel, ts, vf, p, max(1, presum), plan.t_ref,
+            interpret=interp)
+    else:
+        ref_conj = matched_filter_spectrum(p, plan.nfft) if compress else None
+        rc2, pos2, vel2, t2 = recenter_presum(rc, pos, vel, ts, vf, p,
+                                              max(1, presum), plan.t_ref,
+                                              ref_conj=ref_conj)
     rdir, cdir, dy_m = _frame_geometry(pos2[pos2.shape[0] // 2], p, plan)
     u0, pa, pb, pc, b_t, c_t = _fit_coeffs(pos2, vel2, t2, vf, p, plan,
                                            t_mean_v, rdir, cdir, dy_m)
-    img_i = _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan)
+    if use_pallas:
+        from nis_sar_amtigmti_video_tpu.ops.pallas import bp_kernel
+        img_i = bp_kernel.accumulate_pallas(
+            rc2, u0, pa, pb, pc, b_t, c_t, plan, interpret=interp)
+    else:
+        img_i = _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan)
 
     # The chirp-Z output resample is periodic: content in the margin
     # rows/cols (outside the requested scene footprint) would alias back
@@ -516,18 +537,23 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
 
 
 def focus_bp_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
-                  p: BpParams, presum: int = 1, plan: FastBpPlan = None):
+                  p: BpParams, presum: int = 1, plan: FastBpPlan = None,
+                  accumulate: str = "xla"):
     """Fused range compression + fast BP + presum rescale/droop (drop-in
     for ops/bp.py::focus_bp at production scale). The matched filter rides
     the recentre FFT (``compress=True``), so raw pulses see exactly one
-    fast-time FFT round trip end to end."""
+    fast-time FFT round trip end to end. ``accumulate='pallas'`` selects
+    the fused pixel-tile kernel (needs a w_win=64 plan; see
+    ops/pallas/bp_kernel.py)."""
     from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
 
     if plan is None:
         plan = make_plan(p, np.asarray(sat_pos), np.asarray(t_slow),
-                         float(t_start))
+                         float(t_start),
+                         w_win=64 if accumulate == "pallas" else 32)
     img = backproject_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, p, plan,
-                           presum=presum, compress=True)
+                           presum=presum, compress=True,
+                           accumulate=accumulate)
     if presum > 1:
         corr = bp_ops.presum_droop_correction(
             jnp.asarray(sat_pos, jnp.float64), jnp.asarray(sat_vel, jnp.float64),

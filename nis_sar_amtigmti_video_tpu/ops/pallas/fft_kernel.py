@@ -1,0 +1,257 @@
+"""Pallas TPU kernel: fused range-compress + recentre + presum for fast BP.
+
+ops/bp_fast.py::recenter_presum is three HBM round trips over the padded
+(P, nfft) pulse block (forward FFT, ramp multiply, inverse FFT) plus the
+presum reduction, with XLA's FFT running ~10x off the HBM bound
+(docs/ROUND1_NOTES.md). This kernel does the whole chain in ONE pass:
+
+  raw pulse -> four-step forward DFT (nfft = B1*B2, B1 = nfft/128 sublane
+  digit, B2 = 128 lane digit) -> matched-filter multiply -> recentre shift
+  ramp + carrier -> four-step inverse DFT -> presum accumulate,
+
+all VMEM-resident per pulse, MXU block dots at full lane width, one HBM
+read of the raw pulses and one write of the presummed output (d-times
+smaller). The digit-swapped frequency layout (k, [m|m]) never needs a
+transpose: the filter/ramp tables are host-built directly in that layout,
+exactly like the CSA megakernel's pre-permuted Phi2 vector
+(ops/pallas/csa_kernel.py).
+
+Phase exactness without f64 (Mosaic has no f64): the recentre shift is
+split host-side (f64) into integer + fractional samples. The integer part
+becomes an EXACT i32 phase index (f * si mod N in integer arithmetic); the
+fractional part satisfies |f*sf/N| <= 0.5 so f32 keeps ~1e-7 rad; the
+carrier phase is wrapped mod 2pi in f64 host-side. This reproduces
+recenter_presum's f64-wrapped ramps to f32 rounding.
+
+Reference workload: the 2,500 x 22,004-sample VideoSAR frames of
+sar_batch_sim.py:171-238.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+_TWO_PI = 2.0 * math.pi
+_C = 299792458.0
+
+
+def supported(nfft: int) -> bool:
+    b1 = nfft // _LANE
+    return nfft % _LANE == 0 and b1 * _LANE == nfft and 128 <= b1 <= 512 \
+        and (b1 & (b1 - 1)) == 0
+
+
+def _split_pair(m: np.ndarray):
+    import ml_dtypes
+    m32 = m.astype(np.float32)
+    hi = m32.astype(ml_dtypes.bfloat16)
+    lo = (m32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+def _blk_lhs(mat: np.ndarray) -> np.ndarray:
+    """[[Mr, -Mi], [Mi, Mr]] for W @ [re; im]-stacked operands."""
+    top = np.concatenate([mat.real, -mat.imag], axis=1)
+    bot = np.concatenate([mat.imag, mat.real], axis=1)
+    return np.concatenate([top, bot], axis=0)
+
+
+def _wblk_rhs(mat: np.ndarray) -> np.ndarray:
+    """[[Mr, Mi], [-Mi, Mr]] for [re|im]-minor-half operands @ W."""
+    top = np.concatenate([mat.real, mat.imag], axis=1)
+    bot = np.concatenate([-mat.imag, mat.real], axis=1)
+    return np.concatenate([top, bot], axis=0)
+
+
+def _roll_half(x):
+    b = x.shape[-1] // 2
+    return jnp.concatenate([x[..., b:], x[..., :b]], axis=-1)
+
+
+def _tables(nfft: int, ref_conj: np.ndarray | None):
+    """Host-side constants: DFT block matrices, the (k, q) four-step
+    twiddles, the (k, [m|m]) frequency-value table and filter tables."""
+    b1 = nfft // _LANE
+    b2 = _LANE
+    j1 = np.arange(b1)
+    j2 = np.arange(b2)
+    f1 = np.exp(-2j * np.pi * np.outer(j1, j1) / b1)
+    f2 = np.exp(-2j * np.pi * np.outer(j2, j2) / b2)
+    w1 = _split_pair(_blk_lhs(f1))
+    w1i = _split_pair(_blk_lhs(np.conj(f1).T / b1))
+    w2 = _split_pair(_wblk_rhs(f2))
+    w2i = _split_pair(_wblk_rhs(np.conj(f2).T / b2))
+
+    th = 2.0 * np.pi * np.outer(j1, j2) / nfft            # (k, q)
+    tw_r = np.cos(th).astype(np.float32)
+    tw_i = np.sin(th).astype(np.float32)                  # forward: e^{-j th}
+
+    # frequency layout after the forward pass: (k sublane, [m|m] lanes),
+    # f = m*B1 + k, signed fftfreq order
+    m = np.concatenate([j2, j2])[None, :]                 # (1, 2*B2)
+    fdx = m * b1 + j1[:, None]                            # (B1, 2*B2)
+    f_sgn = np.where(fdx < nfft // 2, fdx, fdx - nfft).astype(np.int32)
+
+    if ref_conj is not None:
+        rv = ref_conj[(m % b2) * b1 + j1[:, None]]
+        a_ref = np.tile(rv.real[:, :b2], (1, 2)).astype(np.float32)
+        b_ref = np.concatenate([-rv.imag[:, :b2], rv.imag[:, :b2]],
+                               axis=1).astype(np.float32)
+    else:
+        a_ref = np.ones((b1, 2 * b2), np.float32)
+        b_ref = np.zeros((b1, 2 * b2), np.float32)
+    return w1, w1i, w2, w2i, tw_r, tw_i, f_sgn, a_ref, b_ref
+
+
+def _kernel(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
+            w2ih, w2il, tw_r, tw_i, f_sgn, a_ref, b_ref, out_r, out_i,
+            *, d: int, groups: int, nfft: int, mode: str):
+    b1 = nfft // _LANE
+    b2 = _LANE
+
+    def dot_l(wh, wl_, z):
+        """Leading-axis block dot W @ z (bf16x3-managed)."""
+        dd = partial(jnp.dot, preferred_element_type=jnp.float32)
+        zh = z.astype(jnp.bfloat16)
+        if mode == "bf16":
+            return dd(wh, zh)
+        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dd(wh, zh) + dd(wl_, zh) + dd(wh, zl)
+
+    def dot_m(z, wh, wl_):
+        """Minor-axis block dot z @ W."""
+        dd = partial(jnp.dot, preferred_element_type=jnp.float32)
+        zh = z.astype(jnp.bfloat16)
+        if mode == "bf16":
+            return dd(zh, wh)
+        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dd(zh, wh) + dd(zh, wl_) + dd(zl, wh)
+
+    isgn = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * b2), 1)
+    hsgn = jnp.where(isgn >= b2, jnp.float32(1.0), jnp.float32(-1.0))
+
+    def one_pulse(t):
+        # ---- forward four-step: DFT_B1 over p, twiddle, DFT_B2 over q
+        z = jnp.concatenate([xr[t], xi[t]], axis=0)        # (2B1, B2)
+        y = dot_l(w1h[:], w1l[:], z)                       # [k_re; k_im], q
+        yr, yi = y[:b1], y[b1:]
+        zr = yr * tw_r[:] + yi * tw_i[:]       # x e^{-j th}
+        zi = yi * tw_r[:] - yr * tw_i[:]
+        s = jnp.concatenate([zr, zi], axis=1)              # (B1, [q|q])
+        s = dot_m(s, w2h[:], w2l[:])                       # (B1=k, [m|m])
+
+        # ---- matched filter (host table) then recentre ramp + carrier
+        s = s * a_ref[:] + _roll_half(s) * b_ref[:]
+        ph_i = (f_sgn[:] * si[t, 0]) % nfft                # exact i32
+        ph = (_TWO_PI / nfft) * (ph_i.astype(jnp.float32)
+                                 + f_sgn[:].astype(jnp.float32) * sf[t, 0]) \
+            + car[t, 0]
+        cs = jnp.cos(ph)
+        sn = jnp.sin(ph)
+        s = s * cs + _roll_half(s) * (sn * hsgn)
+
+        # ---- inverse four-step: iDFT_B2 over m, conj twiddle, iDFT_B1
+        s = dot_m(s, w2ih[:], w2il[:])                     # (k, [q|q])
+        a2 = jnp.concatenate([tw_r[:], tw_r[:]], axis=1)
+        b2t = jnp.concatenate([tw_i[:], tw_i[:]], axis=1) * hsgn
+        s = s * a2 + _roll_half(s) * b2t                   # e^{+j th}
+        z2 = jnp.concatenate([s[:, :b2], s[:, b2:]], axis=0)   # (2B1, q)
+        y2 = dot_l(w1ih[:], w1il[:], z2)                   # [p_re; p_im], q
+        w = wl[t, 0] / d
+        return y2[:b1] * w, y2[b1:] * w
+
+    for g in range(groups):
+        def body(j, acc):
+            pr, pi_ = one_pulse(g * d + j)
+            return acc[0] + pr, acc[1] + pi_
+        z0 = jnp.zeros((b1, b2), jnp.float32)
+        accr, acci = jax.lax.fori_loop(0, d, body, (z0, z0))
+        out_r[g] = accr
+        out_i[g] = acci
+
+
+def recenter_presum_pallas(rc, sat_pos, sat_vel, t_slow, vel_focus, p, d: int,
+                           t_ref: float, filter_compress: bool = True,
+                           mode: str = "bf16x3", groups: int = 2,
+                           interpret: bool = False):
+    """Drop-in for ops/bp_fast.py::recenter_presum (optionally with the
+    matched filter fused, the ``ref_conj`` path) running as one pallas
+    kernel. Returns the same (rc2[P2, nfft] complex64, pos2, vel2, t2)."""
+    from nis_sar_amtigmti_video_tpu.ops.bp_fast import matched_filter_spectrum
+
+    num_p, ns = rc.shape
+    nfft = 1 << (ns - 1).bit_length()
+    if not supported(nfft):
+        raise ValueError(f"recenter_presum_pallas: nfft={nfft} unsupported")
+    b1 = nfft // _LANE
+
+    dt = t_slow - jnp.mean(t_slow)
+    org = vel_focus[None, :] * dt[:, None]
+    d0 = jnp.linalg.norm(sat_pos - org, axis=1)            # (P,) f64
+
+    # pulse padding to whole presum groups x kernel blocks
+    blk = d * groups
+    p_pad = -(-num_p // blk) * blk
+    wl = jnp.pad(jnp.ones((num_p,), jnp.float32),
+                 (0, p_pad - num_p)).reshape(-1, 1)
+    rc_p = jnp.pad(rc, ((0, p_pad - num_p), (0, nfft - ns)))
+    d0_p = jnp.pad(d0, (0, p_pad - num_p), mode="edge")
+
+    # f64 host-side phase decomposition (tiny (P,) arrays)
+    shift = (2.0 * d0_p / _C - t_ref) * p.fs_hz
+    si = jnp.round(shift)
+    sf = (shift - si).astype(jnp.float32).reshape(-1, 1)
+    si = jnp.mod(si, nfft).astype(jnp.int32).reshape(-1, 1)
+    car = _TWO_PI * (2.0 * p.fc_hz / _C) * d0_p
+    car = (car - _TWO_PI * jnp.round(car / _TWO_PI)
+           ).astype(jnp.float32).reshape(-1, 1)
+
+    ref = None
+    if filter_compress:
+        ref = matched_filter_spectrum(p, nfft)
+    (w1h, w1l), (w1ih, w1il), (w2h, w2l), (w2ih, w2il), tw_r, tw_i, \
+        f_sgn, a_ref, b_ref = _tables(nfft, ref)
+
+    xr = jnp.real(rc_p).astype(jnp.float32).reshape(p_pad, b1, _LANE)
+    xi = jnp.imag(rc_p).astype(jnp.float32).reshape(p_pad, b1, _LANE)
+
+    n_out = p_pad // d
+    grid = (p_pad // blk,)
+    bs_in = pl.BlockSpec((blk, b1, _LANE), lambda i: (i, 0, 0))
+    bs_sc = pl.BlockSpec((blk, 1), lambda i: (i, 0))
+    bs_w1 = pl.BlockSpec((2 * b1, 2 * b1), lambda i: (0, 0))
+    bs_w2 = pl.BlockSpec((2 * _LANE, 2 * _LANE), lambda i: (0, 0))
+    bs_tw = pl.BlockSpec((b1, _LANE), lambda i: (0, 0))
+    bs_f = pl.BlockSpec((b1, 2 * _LANE), lambda i: (0, 0))
+    bs_out = pl.BlockSpec((groups, b1, _LANE), lambda i: (i, 0, 0))
+
+    with jax.enable_x64(False):
+        our, oui = pl.pallas_call(
+            partial(_kernel, d=d, groups=groups, nfft=nfft, mode=mode),
+            grid=grid,
+            in_specs=[bs_in, bs_in, bs_sc, bs_sc, bs_sc, bs_sc,
+                      bs_w1, bs_w1, bs_w1, bs_w1, bs_w2, bs_w2, bs_w2, bs_w2,
+                      bs_tw, bs_tw, bs_f, bs_f, bs_f],
+            out_specs=[bs_out, bs_out],
+            out_shape=[jax.ShapeDtypeStruct((n_out, b1, _LANE), jnp.float32)]
+            * 2,
+            compiler_params=_VMEM,
+            interpret=interpret,
+        )(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
+          w2ih, w2il, tw_r, tw_i, f_sgn, a_ref, b_ref)
+
+    rc_b = jax.lax.complex(our, oui).reshape(n_out, nfft)
+    rc_b = rc_b[: -(-num_p // d)]
+
+    ci = jnp.arange(rc_b.shape[0]) * d + (d // 2)
+    ci = jnp.minimum(ci, num_p - 1)
+    return rc_b, sat_pos[ci], sat_vel[ci], t_slow[ci]

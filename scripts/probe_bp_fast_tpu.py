@@ -106,3 +106,38 @@ for name, fn, args in [("range_compress", st_cmp, (raw,)),
         out = fn(*args)
     _ = sync(out[0] if isinstance(out, tuple) else out)
     print(f"{name}: {1000 * (time.perf_counter() - t1) / 4:.1f} ms")
+
+# ---- pallas pixel-tile accumulate (w=64 plan) ----
+plan64 = bp_fast.make_plan(p, traj.positions, traj.times, float(t0), w_win=64)
+print("plan64:", plan64.ny_i, plan64.nx_i, plan64.stride, plan64.band_start)
+fbp_pl = jax.jit(lambda x: bp_fast.focus_bp_fast(
+    x, traj.positions, traj.velocities, traj.times, np.zeros(3), float(t0),
+    p, presum=d_ps, plan=plan64, accumulate="pallas"))
+t1 = time.perf_counter()
+o2 = fbp_pl(raw)
+s2 = sync(o2)
+print(f"pallas compile+first: {time.perf_counter() - t1:.1f} s (sum {s2:.4e}, "
+      f"xla sum {sync(fbp(raw)):.4e})")
+for it in range(4):
+    t1 = time.perf_counter()
+    o2 = fbp_pl(raw)
+    _ = sync(o2)
+    print(f"pallas full frame: {1000 * (time.perf_counter() - t1):.1f} ms")
+
+st_acc_pl = jax.jit(lambda rc2, co: __import__(
+    'nis_sar_amtigmti_video_tpu.ops.pallas.bp_kernel',
+    fromlist=['x']).accumulate_pallas(rc2, *co, plan64))
+# recompute coefficients on the w=64 plan for the stage timing
+def st_fit64(pos2, vel2, t2):
+    rdir, cdir, dy = bp_fast._frame_geometry(pos2[pos2.shape[0] // 2], p,
+                                             plan64)
+    return bp_fast._fit_coeffs(pos2, vel2, t2, vf, p, plan64, jnp.mean(ts),
+                               rdir, cdir, dy)
+co64 = jax.jit(st_fit64)(pos2, vel2, t2)
+img64 = st_acc_pl(rc2, co64)
+_ = sync(img64)
+t1 = time.perf_counter()
+for _i in range(4):
+    img64 = st_acc_pl(rc2, co64)
+_ = sync(img64)
+print(f"pallas accumulate: {1000 * (time.perf_counter() - t1) / 4:.1f} ms")

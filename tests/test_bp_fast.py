@@ -158,6 +158,86 @@ class TestFastBp:
             traj.times, vf, t0, p, plan=plan))
         _check(got, want)
 
+    def test_pallas_accumulate_matches_xla(self):
+        """Interpret-mode pixel-tile kernel vs _accumulate on the same
+        synthetic operands and w_win=64 plan."""
+        from nis_sar_amtigmti_video_tpu.ops.pallas import bp_kernel
+
+        plan = bp_fast.FastBpPlan(ny_i=128, nx_i=128, w_win=64, stride=1,
+                                  band_start=7, nfft=512, dx_m=1.0,
+                                  t_ref=1e-3, n_org=100.0)
+        rng = np.random.default_rng(3)
+        n_p = 5
+        rc2 = jnp.asarray(rng.standard_normal((n_p, 512))
+                          + 1j * rng.standard_normal((n_p, 512)),
+                          jnp.complex64)
+        u0 = jnp.asarray(30.0 + 2.0 * rng.standard_normal((n_p, 128)),
+                         jnp.float32)
+        pa = jnp.asarray(rng.uniform(-3, 3, (n_p, 128)), jnp.float32)
+        pb = jnp.asarray(0.01 * rng.standard_normal((n_p, 128)), jnp.float32)
+        pc = jnp.asarray(1e-4 * rng.standard_normal((n_p, 128)), jnp.float32)
+        b_t = jnp.asarray(0.05 * rng.standard_normal(n_p), jnp.float32)
+        c_t = jnp.asarray(1e-4 * rng.standard_normal(n_p), jnp.float32)
+        want = np.asarray(bp_fast._accumulate(rc2, u0, pa, pb, pc, b_t, c_t,
+                                              plan))
+        got = np.asarray(bp_kernel.accumulate_pallas(
+            rc2, u0, pa, pb, pc, b_t, c_t, plan, interpret=True))
+        err = np.abs(got - want).max() / np.abs(want).max()
+        assert err < 2e-4, err
+
+    def test_pallas_path_meets_oracle(self):
+        """focus_bp_fast with the pallas accumulate (interpret mode, w=64
+        plan) against the upsampled f64 oracle."""
+        raw, traj, p, t0 = _scene()
+        vf = np.zeros(3)
+        plan = bp_fast.make_plan(p, traj.positions, traj.times, t0, w_win=64)
+        from nis_sar_amtigmti_video_tpu.ops.pallas import bp_kernel
+        assert bp_kernel.supported(plan)
+        want = _oracle_upsampled(raw, traj, p, t0, vf)
+        got = np.asarray(bp_fast.focus_bp_fast(
+            cplx.to_device(raw), traj.positions, traj.velocities,
+            traj.times, vf, t0, p, plan=plan,
+            accumulate="pallas_interpret"))
+        _check(got, want)
+
+    def test_pallas_recenter_presum_matches_xla(self):
+        """Fused compress+recentre+presum four-step FFT kernel (interpret)
+        vs recenter_presum with the same fused matched filter."""
+        from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
+
+        rng = np.random.default_rng(7)
+        n_p, ns = 6, 10000                    # nfft = 16384 (B1 = 128)
+        sc = cfg.videosar()
+        g = sc.geometry
+        times = orbit.slow_time_grid(n_p / 5000.0, n_p)
+        traj = orbit.make_trajectory(g, times)
+        p = bp_ops.BpParams(fc_hz=9.65e9, chirp_rate=150e6 / 2e-6,
+                            fs_hz=180e6, pulse_width_s=2e-6,
+                            num_samples=ns, nx=64, ny=64,
+                            scene_size_m=400.0)
+        t_ref = float(2.0 * np.linalg.norm(traj.positions, axis=1).mean()
+                      / C)
+        rc = jnp.asarray(rng.standard_normal((n_p, ns))
+                         + 1j * rng.standard_normal((n_p, ns)),
+                         jnp.complex64)
+        pos = jnp.asarray(traj.positions)
+        vel = jnp.asarray(traj.velocities)
+        ts = jnp.asarray(traj.times)
+        vf = jnp.zeros(3, jnp.float64)
+        d = 3
+        ref_conj = bp_fast.matched_filter_spectrum(p, 16384)
+        want = bp_fast.recenter_presum(rc, pos, vel, ts, vf, p, d, t_ref,
+                                       ref_conj=ref_conj)
+        got = fft_kernel.recenter_presum_pallas(rc, pos, vel, ts, vf, p, d,
+                                                t_ref, interpret=True)
+        w0 = np.asarray(want[0])
+        g0 = np.asarray(got[0])
+        assert g0.shape == w0.shape
+        err = np.abs(g0 - w0).max() / np.abs(w0).max()
+        assert err < 3e-4, err
+        for a, b in zip(want[1:], got[1:]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
     def test_band_does_not_fit_raises(self):
         raw, traj, p, t0 = _scene(ns=512)
         big = bp_ops.BpParams(fc_hz=p.fc_hz, chirp_rate=p.chirp_rate,
