@@ -150,8 +150,15 @@ def main():
             tb = np.linspace(-sched_pulses / rv.prf_hz / 2,
                              sched_pulses / rv.prf_hz / 2, sched_pulses)
             trajb = orbit.make_trajectory(gv, tb)
+            from nis_sar_amtigmti_video_tpu.ops.pallas import bp_kernel
             plan_bp = bp_fast.make_plan(p_bp, np.asarray(trajb.positions),
-                                        np.asarray(trajb.times), float(t0b))
+                                        np.asarray(trajb.times), float(t0b),
+                                        w_win=64)
+            bp_acc = "pallas" if bp_kernel.supported(plan_bp) else "xla"
+            if bp_acc == "xla":
+                plan_bp = bp_fast.make_plan(
+                    p_bp, np.asarray(trajb.positions),
+                    np.asarray(trajb.times), float(t0b))
 
             @jax.jit
             def mk_bp(key):
@@ -165,7 +172,8 @@ def main():
             raw_bp = mk_bp(jax.random.PRNGKey(1))
             fbp = jax.jit(lambda x: bp_fast.focus_bp_fast(
                 x, trajb.positions, trajb.velocities, trajb.times,
-                np.zeros(3), float(t0b), p_bp, presum=d_ps, plan=plan_bp))
+                np.zeros(3), float(t0b), p_bp, presum=d_ps, plan=plan_bp,
+                accumulate=bp_acc))
             o = fbp(raw_bp)
             _ = float(jnp.sum(jnp.abs(o[:2, :2])))
             lat = []

@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from nis_sar_amtigmti_video_tpu.ops.bp_fast import FastBpPlan
 
 _LANE = 128
-_VMEM = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 _TWO_PI = 2.0 * math.pi
 
 
@@ -76,6 +76,8 @@ def _roll_half(x):
 
 def _kernel(win, u0, pa, pb, pc, bt, ct, m_hi, m_lo, out_r, out_i,
             *, bp: int, w: int, taper_pow: int, mode: str):
+    import os
+    ablate = os.environ.get("BP_ABLATE", "")   # study knob (scripts/)
     ty = win.shape[1]
     nx = out_r.shape[1]
     ip = pl.program_id(1)
@@ -103,8 +105,10 @@ def _kernel(win, u0, pa, pb, pc, bt, ct, m_hi, m_lo, out_r, out_i,
         # window-offset ramp e^{+j 2pi f_m u0}
         u0_t = u0[t][:, None]                        # (TY, 1)
         ang = _TWO_PI * u0_t * f_m                   # (TY, W)
-        ca = jnp.cos(ang)
-        sa = jnp.sin(ang)
+        if ablate == "no_ramp":
+            ca, sa = ang * 0.0 + 1.0, ang * 0.0
+        else:
+            ca, sa = jnp.cos(ang), jnp.sin(ang)
         a2 = jnp.concatenate([ca, ca], axis=1)
         b2 = jnp.concatenate([-sa, sa], axis=1)
         g = wh * a2 + _roll_half(wh) * b2            # (TY, [m_re|m_im])
@@ -131,16 +135,21 @@ def _kernel(win, u0, pa, pb, pc, bt, ct, m_hi, m_lo, out_r, out_i,
 
         # taper division at the true evaluation points
         u = u0_t + e_x                               # (TY, NX)
-        tap = jnp.sin(jnp.pi * (u + 0.5) / w)
-        tap = tap * tap
-        tap = tap * tap if taper_pow == 4 else tap ** (taper_pow // 2)
-        inv = 1.0 / jnp.maximum(tap, 1e-4)
+        if ablate == "no_taper":
+            inv = u * 0.0 + 1.0
+        else:
+            tap = jnp.sin(jnp.pi * (u + 0.5) / w)
+            tap = tap * tap
+            tap = tap * tap if taper_pow == 4 else tap ** (taper_pow // 2)
+            inv = 1.0 / jnp.maximum(tap, 1e-4)
 
         # focusing phase quadratic
         ph = (pa[t][:, None] + pb[t][:, None] * xi_full
               + pc[t][:, None] * (xi_full * xi_full))
-        cp = jnp.cos(ph)
-        sp = jnp.sin(ph)
+        if ablate == "no_phase":
+            cp, sp = ph * 0.0 + 1.0, ph * 0.0
+        else:
+            cp, sp = jnp.cos(ph), jnp.sin(ph)
         return (acc_r + (v_re * cp - v_im * sp) * inv,
                 acc_i + (v_re * sp + v_im * cp) * inv)
 
