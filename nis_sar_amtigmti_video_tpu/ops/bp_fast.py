@@ -187,7 +187,7 @@ def matched_filter_spectrum(p: BpParams, nfft: int) -> jnp.ndarray:
 
 
 def recenter_presum(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
-                    d: int, t_ref: float, ref_conj=None):
+                    d: int, t_ref: float, ref_conj=None, t_mean=None):
     """Recentre every pulse to the moving scene origin at the *fixed* delay
     ``t_ref`` and box-presum by ``d`` — identical math to
     ops/bp.py::presum_recenter (:213) but returning the *recentred* pulses
@@ -203,7 +203,7 @@ def recenter_presum(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
     guards the band placement)."""
     num_p = rc.shape[0]
     ns = rc.shape[1]
-    dt = t_slow - jnp.mean(t_slow)
+    dt = t_slow - (jnp.mean(t_slow) if t_mean is None else t_mean)
     org = vel_focus[None, :] * dt[:, None]
     d0 = jnp.linalg.norm(sat_pos - org, axis=1)
 
@@ -480,12 +480,13 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
     if use_pallas and compress and fft_kernel.supported(plan.nfft):
         rc2, pos2, vel2, t2 = fft_kernel.recenter_presum_pallas(
             rc, pos, vel, ts, vf, p, max(1, presum), plan.t_ref,
-            interpret=interp)
+            interpret=interp, t_mean=t_mean_v)
     else:
         ref_conj = matched_filter_spectrum(p, plan.nfft) if compress else None
         rc2, pos2, vel2, t2 = recenter_presum(rc, pos, vel, ts, vf, p,
                                               max(1, presum), plan.t_ref,
-                                              ref_conj=ref_conj)
+                                              ref_conj=ref_conj,
+                                              t_mean=t_mean_v)
     rdir, cdir, dy_m = _frame_geometry(pos2[pos2.shape[0] // 2], p, plan)
     u0, pa, pb, pc, b_t, c_t = _fit_coeffs(pos2, vel2, t2, vf, p, plan,
                                            t_mean_v, rdir, cdir, dy_m)
@@ -495,6 +496,17 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
             rc2, u0, pa, pb, pc, b_t, c_t, plan, interpret=interp)
     else:
         img_i = _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan)
+
+    return _finalize(img_i, (pa, pb, pc), pos2, vel2, t2, vf, t_mean_v,
+                     p, plan, rdir, cdir, dy_m)
+
+
+def _finalize(img_i, phase_coeffs, pos2, vel2, t2, vf, t_mean_v, p: BpParams,
+              plan: FastBpPlan, rdir, cdir, dy_m):
+    """Post-accumulation pipeline shared by the single-device and sharded
+    paths: margin mask -> centre-pulse carrier demodulation -> chirp-Z
+    output resample -> analytic output-grid remodulation."""
+    pa, pb, pc = phase_coeffs
 
     # The chirp-Z output resample is periodic: content in the margin
     # rows/cols (outside the requested scene footprint) would alias back

@@ -182,7 +182,7 @@ def _kernel(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
 def recenter_presum_pallas(rc, sat_pos, sat_vel, t_slow, vel_focus, p, d: int,
                            t_ref: float, filter_compress: bool = True,
                            mode: str = "bf16x3", groups: int = 2,
-                           interpret: bool = False):
+                           interpret: bool = False, t_mean=None):
     """Drop-in for ops/bp_fast.py::recenter_presum (optionally with the
     matched filter fused, the ``ref_conj`` path) running as one pallas
     kernel. Returns the same (rc2[P2, nfft] complex64, pos2, vel2, t2)."""
@@ -194,7 +194,7 @@ def recenter_presum_pallas(rc, sat_pos, sat_vel, t_slow, vel_focus, p, d: int,
         raise ValueError(f"recenter_presum_pallas: nfft={nfft} unsupported")
     b1 = nfft // _LANE
 
-    dt = t_slow - jnp.mean(t_slow)
+    dt = t_slow - (jnp.mean(t_slow) if t_mean is None else t_mean)
     org = vel_focus[None, :] * dt[:, None]
     d0 = jnp.linalg.norm(sat_pos - org, axis=1)            # (P,) f64
 

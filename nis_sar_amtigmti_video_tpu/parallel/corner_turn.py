@@ -110,7 +110,6 @@ def bp_sharded(rc, sat_pos, sat_vel, t_slow, vel_focus, t_start, p,
                                  t0_l[0], p, t_mean=t_mean)
         return jax.lax.psum(img, axis)[None]
 
-    other = [ax for ax in mesh.axis_names if ax != axis]
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P_(axis, None), P_(axis, None), P_(axis, None), P_(axis),
@@ -120,3 +119,64 @@ def bp_sharded(rc, sat_pos, sat_vel, t_slow, vel_focus, t_start, p,
     out = fn(rc, sat_pos, sat_vel, t_slow, vel_focus[None, :],
              t_start[None])
     return out[0]
+
+
+def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
+                    p, plan, mesh, axis: str = "seq", presum: int = 1):
+    """Pulse-sharded *fast* backprojection: each device runs the fused
+    compress+recentre+presum and iso-range accumulation on its slow-time
+    shard, partial internal images psum over ``axis``, and the (cheap)
+    carrier demodulation + chirp-Z output resample run replicated — the
+    fast-path analog of :func:`bp_sharded` (SURVEY §5 "BP accumulation over
+    pulse shards = psum"; reference pulse loop: sar_batch_sim.py:207-235).
+
+    raw: (P, Ns) *uncompressed* pulses; P must split evenly into shards and
+    each shard into whole presum groups, so sharded group boundaries match
+    the single-device ones. Returns the (ny, nx) image, replicated (matches
+    ops/bp_fast.py::backproject_fast(compress=True) to f32 reduction
+    order).
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P_
+
+    from nis_sar_amtigmti_video_tpu.ops import bp_fast as bf
+
+    d = max(1, presum)
+    n_sh = mesh.shape[axis]
+    num_p = raw.shape[0]
+    if num_p % n_sh or (num_p // n_sh) % d:
+        raise ValueError(
+            f"bp_fast_sharded needs pulses ({num_p}) divisible into "
+            f"{n_sh} shards of whole presum-{d} groups")
+
+    pos = jnp.asarray(sat_pos, jnp.float64)
+    vel = jnp.asarray(sat_vel, jnp.float64)
+    ts = jnp.asarray(t_slow, jnp.float64)
+    vf = jnp.asarray(vel_focus, jnp.float64)
+    t_mean = jnp.mean(ts)
+
+    # global presummed trajectory + coefficients (light; replicated)
+    ci = jnp.arange(num_p // d) * d + d // 2
+    pos2, vel2, t2 = pos[ci], vel[ci], ts[ci]
+    rdir, cdir, dy_m = bf._frame_geometry(pos2[pos2.shape[0] // 2], p, plan)
+    u0, pa, pb, pc, b_t, c_t = bf._fit_coeffs(pos2, vel2, t2, vf, p, plan,
+                                              t_mean, rdir, cdir, dy_m)
+    ref_conj = bf.matched_filter_spectrum(p, plan.nfft)
+
+    def body(raw_l, pos_l, vel_l, ts_l, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l):
+        rc2, _, _, _ = bf.recenter_presum(raw_l, pos_l, vel_l, ts_l, vf, p,
+                                          d, plan.t_ref, ref_conj=ref_conj,
+                                          t_mean=t_mean)
+        img = bf._accumulate(rc2, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l, plan)
+        return jax.lax.psum(img, axis)[None]
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P_(axis, None), P_(axis, None), P_(axis, None), P_(axis),
+                  P_(axis, None), P_(axis, None), P_(axis, None),
+                  P_(axis, None), P_(axis), P_(axis)),
+        out_specs=P_(None, None, None),
+        check_vma=False)
+    img_i = fn(raw, pos, vel, ts, u0, pa, pb, pc, b_t, c_t)[0]
+    return bf._finalize(img_i, (pa, pb, pc), pos2, vel2, t2, vf, t_mean,
+                        p, plan, rdir, cdir, dy_m)

@@ -215,3 +215,64 @@ class TestShardedBP:
         got = cplx.to_host(corner_turn.bp_sharded(
             rc, pos, ve, ts, vf, jnp.float64(t0), p, m, axis="seq"))
         np.testing.assert_allclose(got, want, atol=2e-4 * np.abs(want).max())
+
+    def test_fast_bp_pulse_sharded_equals_local(self):
+        """Pulse-sharded fast BP (fused compress + local accumulate + psum
+        of internal images) == single-device backproject_fast, mBP grid."""
+        from nis_sar_amtigmti_video_tpu.geometry import orbit
+        from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
+        from nis_sar_amtigmti_video_tpu.ops import bp_fast
+        from nis_sar_amtigmti_video_tpu.ops.echo import (
+            EchoOpts, phase_history, window_start_time)
+        from nis_sar_amtigmti_video_tpu.scene import targets as T
+
+        sc = cfg.videosar()
+        g = sc.geometry
+        n_p, n_s = 64, 1024
+        traj = orbit.make_trajectory(g, orbit.slow_time_grid(n_p / 5000.0,
+                                                             n_p))
+        opts = EchoOpts(fc_hz=9.65e9, chirp_rate=150e6 / 2e-6,
+                        pulse_width_s=2e-6, fs_hz=180e6, num_samples=n_s,
+                        endpoint_grid=False, chirp_centering="centered",
+                        amplitude="rcs", stop_and_go=True)
+        t0 = window_start_time(g.slant_range_m, opts, n_s / opts.fs_hz,
+                               "centered")
+        vel = np.array([10.0, 0.0, 0.0])
+        raw = phase_history(traj, T.point_target((0.0, 0.0, 0.0), 50.0),
+                            opts, t_start=t0, target_velocity=vel)
+        p = bp_ops.BpParams(fc_hz=opts.fc_hz, chirp_rate=opts.chirp_rate,
+                            fs_hz=opts.fs_hz,
+                            pulse_width_s=opts.pulse_width_s,
+                            num_samples=n_s, nx=32, ny=32,
+                            scene_size_m=200.0)
+        plan = bp_fast.make_plan(p, np.asarray(traj.positions),
+                                 np.asarray(traj.times), float(t0))
+        pos = jnp.asarray(traj.positions)
+        ve = jnp.asarray(traj.velocities)
+        ts = jnp.asarray(traj.times)
+        vf = jnp.asarray(vel, jnp.float64)
+        want = cplx.to_host(bp_fast.backproject_fast(
+            raw, pos, ve, ts, vf, p, plan, presum=2, compress=True))
+        m = mesh_mod.make_mesh((1, 1, 8))
+        got = cplx.to_host(corner_turn.bp_fast_sharded(
+            raw, pos, ve, ts, vf, jnp.float64(t0), p, plan, m, axis="seq",
+            presum=2))
+        np.testing.assert_allclose(got, want, atol=2e-4 * np.abs(want).max())
+
+    def test_fast_bp_sharded_rejects_ragged(self):
+        from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
+        from nis_sar_amtigmti_video_tpu.ops import bp_fast
+
+        p = bp_ops.BpParams(fc_hz=9.65e9, chirp_rate=150e6 / 2e-6,
+                            fs_hz=180e6, pulse_width_s=2e-6,
+                            num_samples=1024, nx=32, ny=32,
+                            scene_size_m=200.0)
+        plan = bp_fast.FastBpPlan(ny_i=128, nx_i=128, w_win=32, stride=1,
+                                  band_start=7, nfft=1024, dx_m=1.0,
+                                  t_ref=1e-3, n_org=100.0)
+        m = mesh_mod.make_mesh((1, 1, 8))
+        with pytest.raises(ValueError, match="divisible"):
+            corner_turn.bp_fast_sharded(
+                jnp.zeros((60, 1024), jnp.complex64), jnp.zeros((60, 3)),
+                jnp.zeros((60, 3)), jnp.zeros(60), jnp.zeros(3),
+                jnp.float64(0.0), p, plan, m, presum=2)
