@@ -475,27 +475,32 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
 
     use_pallas = accumulate in ("pallas", "pallas_interpret")
     interp = accumulate == "pallas_interpret"
+    scope = jax.named_scope
     if use_pallas and compress:
         from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
-    if use_pallas and compress and fft_kernel.supported(plan.nfft):
-        rc2, pos2, vel2, t2 = fft_kernel.recenter_presum_pallas(
-            rc, pos, vel, ts, vf, p, max(1, presum), plan.t_ref,
-            interpret=interp, t_mean=t_mean_v)
-    else:
-        ref_conj = matched_filter_spectrum(p, plan.nfft) if compress else None
-        rc2, pos2, vel2, t2 = recenter_presum(rc, pos, vel, ts, vf, p,
-                                              max(1, presum), plan.t_ref,
-                                              ref_conj=ref_conj,
-                                              t_mean=t_mean_v)
-    rdir, cdir, dy_m = _frame_geometry(pos2[pos2.shape[0] // 2], p, plan)
-    u0, pa, pb, pc, b_t, c_t = _fit_coeffs(pos2, vel2, t2, vf, p, plan,
-                                           t_mean_v, rdir, cdir, dy_m)
-    if use_pallas:
-        from nis_sar_amtigmti_video_tpu.ops.pallas import bp_kernel
-        img_i = bp_kernel.accumulate_pallas(
-            rc2, u0, pa, pb, pc, b_t, c_t, plan, interpret=interp)
-    else:
-        img_i = _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan)
+    with scope("bp_compress_recentre_presum"):
+        if use_pallas and compress and fft_kernel.supported(plan.nfft):
+            rc2, pos2, vel2, t2 = fft_kernel.recenter_presum_pallas(
+                rc, pos, vel, ts, vf, p, max(1, presum), plan.t_ref,
+                interpret=interp, t_mean=t_mean_v)
+        else:
+            ref_conj = (matched_filter_spectrum(p, plan.nfft)
+                        if compress else None)
+            rc2, pos2, vel2, t2 = recenter_presum(rc, pos, vel, ts, vf, p,
+                                                  max(1, presum), plan.t_ref,
+                                                  ref_conj=ref_conj,
+                                                  t_mean=t_mean_v)
+    with scope("bp_fit_coefficients"):
+        rdir, cdir, dy_m = _frame_geometry(pos2[pos2.shape[0] // 2], p, plan)
+        u0, pa, pb, pc, b_t, c_t = _fit_coeffs(pos2, vel2, t2, vf, p, plan,
+                                               t_mean_v, rdir, cdir, dy_m)
+    with scope("bp_accumulate"):
+        if use_pallas:
+            from nis_sar_amtigmti_video_tpu.ops.pallas import bp_kernel
+            img_i = bp_kernel.accumulate_pallas(
+                rc2, u0, pa, pb, pc, b_t, c_t, plan, interpret=interp)
+        else:
+            img_i = _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan)
 
     return _finalize(img_i, (pa, pb, pc), pos2, vel2, t2, vf, t_mean_v,
                      p, plan, rdir, cdir, dy_m)
@@ -562,7 +567,7 @@ def focus_bp_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
     if plan is None:
         plan = make_plan(p, np.asarray(sat_pos), np.asarray(t_slow),
                          float(t_start),
-                         w_win=64 if accumulate == "pallas" else 32)
+                         w_win=64 if accumulate.startswith("pallas") else 32)
     img = backproject_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, p, plan,
                            presum=presum, compress=True,
                            accumulate=accumulate)

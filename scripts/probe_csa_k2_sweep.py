@@ -57,8 +57,10 @@ def stream_time(fn, n=16):
 
 # K2 alone at several row blocks
 for rows in (64, 128, 256, 512):
-    fn = jax.jit(lambda zr, zi, rows=rows: ck._k2_call(
-        zr, zi, f, b, False, "bf16x3", rows=rows))
+    def k2(zr, zi, rows=rows):
+        with jax.enable_x64(False):
+            return ck._k2_call(zr, zi, f, b, False, "bf16x3", rows=rows)
+    fn = jax.jit(k2)
     try:
         ms = stream_time(fn)
         print(f"K2 rows={rows}: {ms:.2f} ms")
