@@ -79,11 +79,14 @@ def focus_and_products(raw2ch, sc: ScenarioConfig, t0: float, *,
         num_pulses=n_p, num_samples=n_s)
     # fused grid-free CSA (bit-equivalent to the grid-phase path per
     # tests/test_fft_fused.py); sc.processing.fft_impl selects 'xla' |
-    # 'hybrid' | 'mxu' | 'pallas' (VMEM megakernel when the shape allows)
+    # 'hybrid' | 'mxu' | 'pallas' (VMEM megakernel when the shape allows).
+    # Channels are focused per-array: stacking two full-scale odd-size
+    # channels into one (2, P, Ns) complex64 hits a catastrophic 64x
+    # tile-padded layout on TPU (ops/pallas/csa_kernel.py docstring);
+    # raw2ch may therefore also be a (ch1, ch2) tuple.
     factors = csa_ops.csa_factors(p)
-    slc = csa_ops.apply_csa_fused(jnp.stack([raw1, raw2]), factors,
-                                  sc.processing.fft_impl)
-    slc1, slc2 = slc[0], slc[1]
+    slc1 = csa_ops.apply_csa_fused(raw1, factors, sc.processing.fft_impl)
+    slc2 = csa_ops.apply_csa_fused(raw2, factors, sc.processing.fft_impl)
 
     cal = ati.channel_balance_phase(slc1, slc2)
     if balance:

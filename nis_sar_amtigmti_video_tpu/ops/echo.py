@@ -290,11 +290,21 @@ def multi_channel_phase_history(trajectory, targets, opts: EchoOpts, *,
     t = jnp.asarray(trajectory.times, jnp.float64)
     p = jnp.asarray(trajectory.positions, jnp.float64)
     v = jnp.asarray(trajectory.velocities, jnp.float64)
-    f = jax.vmap(
-        lambda off: _phase_history(
+
+    def one(off):
+        return _phase_history(
             t, p, v,
             jnp.asarray(targets.positions, jnp.float64),
             jnp.asarray(targets.rcs, jnp.float64),
             jnp.asarray(target_velocity, jnp.float64),
-            off, jnp.float64(t_start), opts))
-    return f(jnp.asarray(rx_offsets, jnp.float64))
+            off, jnp.float64(t_start), opts)
+
+    if opts.backend == "freq":
+        # per-channel dispatches + host-side stack: a vmapped 'freq' graph
+        # lets XLA pick a channel-minor {0,2,1} layout for the stacked
+        # output, tile-padding the size-2 axis 64x (97 GB at the reference
+        # 2 x 7,200 x 13,200 shape — the round-1 layout trap, see
+        # ops/pallas/csa_kernel.py docstring)
+        offs = np.asarray(rx_offsets, np.float64)
+        return jnp.stack([one(jnp.float64(o)) for o in offs])
+    return jax.vmap(one)(jnp.asarray(rx_offsets, jnp.float64))

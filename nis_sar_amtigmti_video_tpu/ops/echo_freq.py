@@ -60,20 +60,13 @@ _BETA = 2.30 * _W           # ES-kernel beta (FINUFFT's rule of thumb)
 
 
 def _next_fast_len(n: int) -> int:
-    """Next 2^a * 3^b * 5^c >= n (small search)."""
-    best = 1 << (n - 1).bit_length()
-    p5 = 1
-    while p5 < best:
-        p3 = p5
-        while p3 < best:
-            p2 = p3
-            while p2 < n:
-                p2 *= 2
-            if p2 < best:
-                best = p2
-            p3 *= 3
-        p5 *= 5
-    return best
+    """Next power of two >= n.
+
+    XLA:TPU only runs power-of-two FFT lengths on the fast path; a 5-smooth
+    length that CPU FFT libraries love (e.g. 150,000 at the reference
+    two-channel scale) lowers to a DENSE DFT matmul on TPU — a 90 GB
+    allocation. The <=2x extra padding is far cheaper."""
+    return 1 << (n - 1).bit_length()
 
 
 def _es_kernel(u):

@@ -100,6 +100,8 @@ def _kernel(win, u0, pa, pb, pc, bt, ct, m_hi, m_lo, out_r, out_i,
     def one_pulse(t, acc):
         acc_r, acc_i = acc
         s = jnp.swapaxes(win[t], 0, 1)               # (TY, [re|im]) lanes
+        if ablate == "min_body":                     # read+transpose floor
+            return (acc_r + s[:, :1] * 1e-6, acc_i + s[:, 1:2] * 1e-6)
         wh = dot3(s, m_hi[:], m_lo[:])               # (TY, [m_re|m_im])
 
         # window-offset ramp e^{+j 2pi f_m u0}

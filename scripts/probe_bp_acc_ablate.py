@@ -95,3 +95,10 @@ for knob in ("no_phase", "no_taper", "no_ramp"):
 time_variant("tile_y=1536 block=8", tile_y=1536, block=8)
 time_variant("tile_y=1536 block=16", tile_y=1536, block=16)
 time_variant("tile_y=768 block=16", tile_y=768, block=16)
+
+for knob in ("min_body",):
+    os.environ["BP_ABLATE"] = knob
+    try:
+        time_variant(f"ablate {knob}")
+    finally:
+        del os.environ["BP_ABLATE"]
