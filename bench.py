@@ -186,6 +186,51 @@ def main():
     except Exception:
         pass
 
+    # ---- full-reference-scale echo synthesis (one clutter channel pass:
+    # 5,035 targets x 7,200 x 13,200, golden 'freq' NUFFT backend) ----
+    sim_pass_s = None
+    try:
+        if (time.perf_counter() - t_proc0) < 0.55 * budget_s \
+                and os.environ.get("BENCH_SKIP_SIM", "0") != "1":
+            import dataclasses
+
+            from nis_sar_amtigmti_video_tpu.geometry import orbit
+            from nis_sar_amtigmti_video_tpu.models.stripmap import (
+                echo_opts_for)
+            from nis_sar_amtigmti_video_tpu.ops.echo import phase_history
+            from nis_sar_amtigmti_video_tpu.scene import targets as T_
+            from nis_sar_amtigmti_video_tpu.scene.clutter import (
+                ocean_clutter_field)
+
+            sc_s = cfg.ati_dpca()
+            sc_s = dataclasses.replace(
+                sc_s, collect=dataclasses.replace(
+                    sc_s.collect, echo_backend="freq",
+                    window_start_mode="centered"))
+            rs, gs, cs = sc_s.radar, sc_s.geometry, sc_s.collect
+            opts_s = dataclasses.replace(echo_opts_for(sc_s),
+                                         max_elements=2 ** 25)
+            t0s = window_start_time(gs.slant_range_m, opts_s,
+                                    cs.window_length_s,
+                                    cs.window_start_mode)
+            ship = T_.destroyer().rotate_z(90.0)
+            clut = ocean_clutter_field(np.random.default_rng(0))
+            scene = T_.PointTargets.concatenate([ship, clut])
+            n_ps = cs.num_pulses(rs.prf_hz)
+            traj_s = orbit.make_trajectory(
+                gs, orbit.slow_time_grid(cs.integration_time_s, n_ps))
+            off0 = sc_s.channels.rx_offsets()[0]
+            a = phase_history(traj_s, scene, opts_s, t_start=t0s,
+                              rx_offset=off0)
+            _ = float(jnp.sum(jnp.abs(a[:1, :1])))   # compile + first
+            t1 = time.perf_counter()
+            a = phase_history(traj_s, scene, opts_s, t_start=t0s,
+                              rx_offset=off0)
+            _ = float(jnp.sum(jnp.abs(a[:1, :1])))
+            sim_pass_s = time.perf_counter() - t1
+    except Exception:
+        pass
+
     # ---- NumPy reference baseline: the same 2-channel GMTI step ----
     numpy_gmti_fps = None
     try:
@@ -226,6 +271,7 @@ def main():
         "gmti_latency_ms": round(gmti_ms, 2),
         "csa_formation_fps": round(form_fps, 2) if form_fps else None,
         "bp_frame_ms": round(bp_ms, 1) if bp_ms else None,
+        "sim_pass_s": round(sim_pass_s, 2) if sim_pass_s else None,
         "numpy_gmti_fps": round(numpy_gmti_fps, 5) if numpy_gmti_fps else None,
         "fft_impl": fft_impl,
         "device": str(dev),

@@ -179,7 +179,8 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
         """Exact native-rate samples of chirp*(rect - taper) at both gate
         flanks, scatter-added into a (pc, ns) correction field."""
         tau64 = tau.astype(jnp.float64)
-        corr = jnp.zeros((pc * ns,), jnp.complex64)
+        corr_r = jnp.zeros((pc * ns,), jnp.float32)
+        corr_i = jnp.zeros((pc * ns,), jnp.float32)
         rows = jnp.arange(pc, dtype=jnp.int32)[:, None, None]
         offs = jnp.arange(n_edge)[None, None, :]
         for edge_off in (0.0, opts.pulse_width_s - t_edge_s):
@@ -195,15 +196,19 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
             ph64 = math.pi * opts.chirp_rate * arg * arg
             ph = (ph64 - 2.0 * math.pi * jnp.round(ph64 / (2.0 * math.pi))
                   ).astype(jnp.float32)
-            val = (jnp.where(gate, tap, 0.0).astype(jnp.float32)
-                   * expj(ph)) * a_cplx[:, :, None]
             ok = (nidx >= 0) & (nidx < ns)
+            t_ok = jnp.where(gate & ok, tap, 0.0).astype(jnp.float32)
+            cs, sn = jnp.cos(ph), jnp.sin(ph)
+            ar = jnp.real(a_cplx)[:, :, None]
+            ai = jnp.imag(a_cplx)[:, :, None]
+            vr = t_ok * (cs * ar - sn * ai)
+            vi = t_ok * (cs * ai + sn * ar)
             pos = jnp.clip(nidx, 0, ns - 1).astype(jnp.int32)
             flat = (jnp.broadcast_to(rows, pos.shape).reshape(-1) * ns
                     + pos.reshape(-1))
-            corr = corr.at[flat].add(
-                jnp.where(ok, val, 0.0).reshape(-1))
-        return corr.reshape(pc, ns)
+            corr_r = corr_r.at[flat].add(vr.reshape(-1))
+            corr_i = corr_i.at[flat].add(vi.reshape(-1))
+        return jax.lax.complex(corr_r, corr_i).reshape(pc, ns)
 
     def chunk(carry, x):
         tau, car, am = x
@@ -221,11 +226,16 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
                       jnp.exp(beta * (jnp.sqrt(z2) - 1.0)), 0.0)
         ok = (pos >= 0) & (pos < l_imp)
         pos = jnp.clip(pos, 0, l_imp - 1)
-        vals = jnp.where(ok, w, 0.0) * a_cplx[:, :, None]
+        wv = jnp.where(ok, w, 0.0)
         flat = (jnp.broadcast_to(rows, pos.shape).reshape(-1) * l_imp
                 + pos.reshape(-1))
-        field = jnp.zeros((pc * l_imp,), jnp.complex64
-                          ).at[flat].add(vals.reshape(-1)).reshape(pc, l_imp)
+        # separate f32 re/im scatters: complex64 scatter-adds at the
+        # reference scale (10M+ updates) fault the TPU runtime
+        fr = jnp.zeros((pc * l_imp,), jnp.float32).at[flat].add(
+            (wv * jnp.real(a_cplx)[:, :, None]).reshape(-1))
+        fi = jnp.zeros((pc * l_imp,), jnp.float32).at[flat].add(
+            (wv * jnp.imag(a_cplx)[:, :, None]).reshape(-1))
+        field = jax.lax.complex(fr, fi).reshape(pc, l_imp)
         spec = jnp.fft.fft(field, n=l_fft, axis=-1) * filt_j
         conv = jnp.fft.ifft(spec, axis=-1)
         out_c = conv[:, lead:lead + ns * os_:os_]
