@@ -186,7 +186,8 @@ def cmd_videosar(args):
     out = videosar.run(sc, T.destroyer(), heading_deg=args.heading,
                        speed_mps=args.speed, algorithm=args.algo,
                        frames_per_batch=args.frames_per_batch, key=key,
-                       avg_rcs=5000.0, num_frames=args.frames or None)
+                       avg_rcs=5000.0, num_frames=args.frames or None,
+                       bp_backend=args.bp_backend)
     n = out.images.shape[0]
     run_id = f"Destroyer_{int(args.speed)}_{int(args.heading)}_{args.algo}"
     frame_dir = os.path.join(args.out, f"frames_{run_id}")
@@ -456,6 +457,8 @@ def main(argv=None):
 
     p = add_cmd("videosar")
     p.add_argument("--algo", default="mbp", choices=["mbp", "stdbp", "csa"])
+    p.add_argument("--bp-backend", default="fast",
+                   choices=["fast", "fast_pallas", "exact"])
     p.add_argument("--heading", type=float, default=0.0)
     p.add_argument("--speed", type=float, default=15.0)
     p.add_argument("--frames", type=int, default=0)

@@ -84,14 +84,15 @@ def form_frames_bp(raw_frames, pos_frames, vel_frames, t_frames, vel_focus,
     (ops/bp_fast.py, one shared static ``plan`` for every CPI — build it
     with bp_fast.make_plan over the whole collect's trajectory; the range
     matched filter fuses into its recentre FFT, so raw pulses go in)."""
-    rc = raw_frames if backend == "fast" \
-        else bp_ops.bp_range_compress(raw_frames, p)
+    fast = backend in ("fast", "fast_pallas")
+    rc = raw_frames if fast else bp_ops.bp_range_compress(raw_frames, p)
 
     def one(r_, po, ve, ts):
-        if backend == "fast":
-            img = bp_fast.backproject_fast(r_, po, ve, ts, vel_focus, p,
-                                           plan, presum=presum,
-                                           compress=True)
+        if fast:
+            img = bp_fast.backproject_fast(
+                r_, po, ve, ts, vel_focus, p, plan, presum=presum,
+                compress=True,
+                accumulate="pallas" if backend == "fast_pallas" else "xla")
             if presum > 1:
                 corr = bp_ops.presum_droop_correction(po, ve, ts, vel_focus,
                                                       p, presum)
@@ -146,7 +147,9 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
     recovery path: see :func:`resume`); determinism holds because noise keys
     fold the *schedule* frame index, not the batch position.
 
-    bp_backend: 'fast' (default — gather-free iso-range BP, ops/bp_fast.py)
+    bp_backend: 'fast' (default — gather-free iso-range BP, ops/bp_fast.py),
+    'fast_pallas' (the pixel-tile + fused-FFT pallas kernels, fastest on
+    TPU hardware; falls back to 'fast' when the plan shape is unsupported),
     or 'exact' (reference-semantics per-pixel path, ops/bp.py).
     """
     r, g, v = sc.radar, sc.geometry, sc.video
@@ -186,10 +189,18 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
         p_bp, r.prf_hz, r.wavelength_m, g.slant_range_m,
         g.effective_velocity_mps)
     bp_plan = None
-    if algorithm in ("mbp", "stdbp") and bp_backend == "fast":
+    if algorithm in ("mbp", "stdbp") and bp_backend in ("fast",
+                                                        "fast_pallas"):
         # one static plan for the whole collect (per-CPI geometry is traced)
-        bp_plan = bp_fast.make_plan(p_bp, traj.positions, traj.times,
-                                    float(t0))
+        bp_plan = bp_fast.make_plan(
+            p_bp, traj.positions, traj.times, float(t0),
+            w_win=64 if bp_backend == "fast_pallas" else 32)
+        if bp_backend == "fast_pallas":
+            from nis_sar_amtigmti_video_tpu.ops.pallas import bp_kernel
+            if not bp_kernel.supported(bp_plan):
+                bp_backend = "fast"
+                bp_plan = bp_fast.make_plan(p_bp, traj.positions,
+                                            traj.times, float(t0))
 
     # Overlapped CPIs share pulses: synthesize the stream once, in step-sized
     # segments, and assemble each frame from its cached segments (the default

@@ -106,6 +106,17 @@ class TestVideoSar:
             img = np.abs(out.images[f])
             assert img.max() / (img.mean() + 1e-30) > 50.0
 
+    def test_fast_pallas_backend_falls_back_on_small_plans(self):
+        # the reduced scene's receive window cannot fit a w=64 plan, so
+        # bp_backend='fast_pallas' must quietly use the XLA fast path
+        sc = self._reduced()
+        out = videosar.run(sc, T.point_target((0.0, 0.0, 0.0), 50.0),
+                           heading_deg=90.0, speed_mps=30.0,
+                           algorithm="mbp", frames_per_batch=2,
+                           bp_backend="fast_pallas")
+        img = np.abs(out.images[0])
+        assert img.max() / (img.mean() + 1e-30) > 50.0
+
     def test_mbp_beats_stdbp_for_mover(self):
         sc = self._reduced()
         # heading 45 gives a radial component: in StdBP the mover displaces
