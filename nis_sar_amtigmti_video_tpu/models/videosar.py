@@ -197,7 +197,8 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
             w_win=64 if bp_backend == "fast_pallas" else 32)
         if bp_backend == "fast_pallas":
             from nis_sar_amtigmti_video_tpu.ops.pallas import bp_kernel
-            if not bp_kernel.supported(bp_plan):
+            if (not bp_kernel.supported(bp_plan)
+                    or jax.default_backend() != "tpu"):
                 bp_backend = "fast"
                 bp_plan = bp_fast.make_plan(p_bp, traj.positions,
                                             traj.times, float(t0))

@@ -106,8 +106,8 @@ class TestVideoSar:
             img = np.abs(out.images[f])
             assert img.max() / (img.mean() + 1e-30) > 50.0
 
-    def test_fast_pallas_backend_falls_back_on_small_plans(self):
-        # the reduced scene's receive window cannot fit a w=64 plan, so
+    def test_fast_pallas_backend_falls_back(self):
+        # off-TPU (and for plans the kernel doesn't support),
         # bp_backend='fast_pallas' must quietly use the XLA fast path
         sc = self._reduced()
         out = videosar.run(sc, T.point_target((0.0, 0.0, 0.0), 50.0),
