@@ -47,7 +47,8 @@ def main():
     ncpi = int(os.environ.get("BENCH_NCPI", "2"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     fft_impl = os.environ.get("BENCH_FFT", "pallas")   # fastest measured
-    if fft_impl == "pallas" and not csa_kernel.supported(size, size):
+    if fft_impl == "pallas" and (not csa_kernel.supported(size, size)
+                                 or jax.default_backend() != "tpu"):
         fft_impl = "hybrid"
 
     sc = cfg.videosar()
@@ -154,7 +155,8 @@ def main():
             plan_bp = bp_fast.make_plan(p_bp, np.asarray(trajb.positions),
                                         np.asarray(trajb.times), float(t0b),
                                         w_win=64)
-            bp_acc = "pallas" if bp_kernel.supported(plan_bp) else "xla"
+            bp_acc = ("pallas" if bp_kernel.supported(plan_bp)
+                      and jax.default_backend() == "tpu" else "xla")
             if bp_acc == "xla":
                 plan_bp = bp_fast.make_plan(
                     p_bp, np.asarray(trajb.positions),

@@ -40,7 +40,9 @@ class GmtiProducts(NamedTuple):
 
 def simulate_two_channel(sc: ScenarioConfig, moving: PointTargets,
                          target_velocity, static: Optional[PointTargets] = None):
-    """Raw phase histories for both channels: (2, P, Ns) complex64.
+    """Raw phase histories for both channels: a (2, P, Ns) complex64 array
+    (direct backends) or a per-channel tuple (backend='freq' — see
+    ops/echo.py::multi_channel_phase_history on the TPU layout trap).
 
     Moving and stationary scatterer sets are simulated separately (each with
     its own rigid velocity) and summed — the reference's 4-pass structure
@@ -57,8 +59,12 @@ def simulate_two_channel(sc: ScenarioConfig, moving: PointTargets,
                                       rx_offsets=offs,
                                       target_velocity=target_velocity)
     if static is not None and static.num > 0:
-        raw = raw + multi_channel_phase_history(traj, static, opts,
-                                                t_start=t0, rx_offsets=offs)
+        raw_s = multi_channel_phase_history(traj, static, opts,
+                                            t_start=t0, rx_offsets=offs)
+        if isinstance(raw, tuple):              # 'freq': per-channel arrays
+            raw = tuple(a + b for a, b in zip(raw, raw_s))
+        else:
+            raw = raw + raw_s
     return raw, traj, t0
 
 

@@ -202,7 +202,7 @@ def apply_csa_fused(phist, f: CsaFactors, fft_impl: str = "xla"):
 
         from nis_sar_amtigmti_video_tpu.ops.pallas import csa_kernel
         if (csa_kernel.supported(phist.shape[-2], phist.shape[-1])
-                and _jax.default_backend() != "cpu"):   # Mosaic needs a TPU
+                and _jax.default_backend() == "tpu"):   # Mosaic needs a TPU
             return csa_kernel.apply_csa_pallas(phist, f)
         fft_impl = "hybrid"
     from nis_sar_amtigmti_video_tpu.ops.fft import get_impl

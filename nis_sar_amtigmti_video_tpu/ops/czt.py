@@ -62,9 +62,12 @@ def czt_eval(x, n_out: int, step, start, axis: int = -1):
     out_chirp = expj(_wrap32(0.5 * theta * k * k - theta * (n // 2) * k))
 
     # linear convolution a (len n) with the even chirp b(d)=e^{-j theta d^2/2}
-    # over lags d = k - j in [-(n-1), n_out-1]; nfft >= 2n keeps the
-    # symmetric circular fill alias-free (b is even in d).
-    nfft = 1 << (max(n + n_out - 1, 2 * n) - 1).bit_length()
+    # over lags d = k - j in [-(n-1), n_out-1]; the symmetric circular fill
+    # interprets indices > nfft/2 as negative lags, so BOTH halves must
+    # cover their side: nfft >= 2n for the negative lags and nfft >= 2*n_out
+    # for the positive ones (an upsampling ratio with n_out > n would
+    # otherwise alias outputs past k = nfft/2 - n).
+    nfft = 1 << (max(n + n_out - 1, 2 * n, 2 * n_out) - 1).bit_length()
     d = jnp.arange(nfft, dtype=jnp.float64)
     d = jnp.where(d > nfft // 2, d - nfft, d)                 # circular lag
     b = expj(_wrap32(-0.5 * theta * d * d))

@@ -282,10 +282,13 @@ def multi_channel_phase_history(trajectory, targets, opts: EchoOpts, *,
                                 t_start: float,
                                 rx_offsets,
                                 target_velocity=(0.0, 0.0, 0.0)):
-    """Simulate all receive channels: returns (num_channels, P, Ns) complex64.
+    """Simulate all receive channels.
 
-    The channel axis is a leading batch axis — shard it over the mesh 'chan'
-    axis for multichannel GMTI/HRWS collections.
+    Returns a (num_channels, P, Ns) complex64 array for the direct
+    backends (the channel axis is a leading batch axis — shard it over the
+    mesh 'chan' axis for multichannel GMTI/HRWS collections), or a TUPLE
+    of per-channel (P, Ns) arrays for backend='freq' (big stacked channel
+    arrays hit a catastrophic padded layout on TPU; see the branch below).
     """
     t = jnp.asarray(trajectory.times, jnp.float64)
     p = jnp.asarray(trajectory.positions, jnp.float64)
@@ -300,11 +303,12 @@ def multi_channel_phase_history(trajectory, targets, opts: EchoOpts, *,
             off, jnp.float64(t_start), opts)
 
     if opts.backend == "freq":
-        # per-channel dispatches + host-side stack: a vmapped 'freq' graph
-        # lets XLA pick a channel-minor {0,2,1} layout for the stacked
-        # output, tile-padding the size-2 axis 64x (97 GB at the reference
-        # 2 x 7,200 x 13,200 shape — the round-1 layout trap, see
-        # ops/pallas/csa_kernel.py docstring)
+        # per-channel dispatches, returned as a TUPLE: at the reference
+        # 2 x 7,200 x 13,200 scale ANY (C, P, Ns) complex64 construction
+        # (vmapped, stacked, lax.complex of stacked planes) gets a 64x
+        # tile-padded {0,2,1} layout on TPU — 97 GB (the round-1 layout
+        # trap; docs/ARCHITECTURE.md TPU constraints). Consumers index
+        # channels, so the tuple is a drop-in.
         offs = np.asarray(rx_offsets, np.float64)
-        return jnp.stack([one(jnp.float64(o)) for o in offs])
+        return tuple(one(jnp.float64(o)) for o in offs)
     return jax.vmap(one)(jnp.asarray(rx_offsets, jnp.float64))

@@ -39,6 +39,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nis_sar_amtigmti_video_tpu.ops.bp_fast import FastBpPlan
+from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import (roll_half as
+                                                          _roll_half)
+from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import (split_pair as
+                                                          _split_pair)
 
 _LANE = 128
 _VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -48,14 +52,6 @@ _TWO_PI = 2.0 * math.pi
 def supported(plan: FastBpPlan) -> bool:
     return (plan.w_win == 64 and plan.nx_i % _LANE == 0
             and plan.ny_i % _LANE == 0)
-
-
-def _split_pair(m: np.ndarray):
-    import ml_dtypes
-    m32 = m.astype(np.float32)
-    hi = m32.astype(ml_dtypes.bfloat16)
-    lo = (m32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    return hi, lo
 
 
 def _dft_tables(w: int, taper_pow: int):
@@ -69,15 +65,12 @@ def _dft_tables(w: int, taper_pow: int):
     return _split_pair(np.concatenate([top, bot], axis=0))
 
 
-def _roll_half(x):
-    b = x.shape[-1] // 2
-    return jnp.concatenate([x[..., b:], x[..., :b]], axis=-1)
-
-
 def _kernel(win, u0, pa, pb, pc, bt, ct, m_hi, m_lo, out_r, out_i,
-            *, bp: int, w: int, taper_pow: int, mode: str):
-    import os
-    ablate = os.environ.get("BP_ABLATE", "")   # study knob (scripts/)
+            *, bp: int, w: int, taper_pow: int, mode: str,
+            ablate: str = ""):
+    # ``ablate`` is a study knob (scripts/probe_bp_acc_ablate.py) that
+    # replaces one stage with identity to attribute kernel time; never set
+    # in production paths.
     ty = win.shape[1]
     nx = out_r.shape[1]
     ip = pl.program_id(1)
@@ -171,7 +164,8 @@ def _kernel(win, u0, pa, pb, pc, bt, ct, m_hi, m_lo, out_r, out_i,
 
 def accumulate_pallas(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
                       block: int = 16, tile_y: int = 512,
-                      mode: str = "bf16x3", interpret: bool = False):
+                      mode: str = "bf16x3", interpret: bool = False,
+                      ablate: str = ""):
     """Drop-in for ops/bp_fast.py::_accumulate (same operands, same output)
     running the fused pixel-tile kernel. Requires ``supported(plan)``."""
     if not supported(plan):
@@ -219,7 +213,7 @@ def accumulate_pallas(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
     with jax.enable_x64(False):
         our, oui = pl.pallas_call(
             partial(_kernel, bp=block, w=w, taper_pow=plan.taper_pow,
-                    mode=mode),
+                    mode=mode, ablate=ablate),
             grid=grid,
             in_specs=[bs_win, bs_row, bs_row, bs_row, bs_row,
                       bs_sc, bs_sc, bs_tab, bs_tab],

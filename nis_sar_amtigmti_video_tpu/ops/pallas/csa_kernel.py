@@ -83,22 +83,13 @@ def supported(n_az: int, n_rg: int) -> bool:
 # precision-managed complex block dots
 # --------------------------------------------------------------------------
 
-def _split_pair(m: np.ndarray):
-    """f64 matrix -> (hi, lo) bf16 numpy pair with hi + lo ~= m (f32)."""
-    import ml_dtypes
-    m32 = m.astype(np.float32)
-    hi = m32.astype(ml_dtypes.bfloat16)
-    lo = (m32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    return hi, lo
-
-
-def _wblk_rhs(mat: np.ndarray) -> np.ndarray:
-    """Complex (B, B) matrix as the RHS real block form [[Mr, Mi], [-Mi, Mr]]
-    for contractions whose lhs axis carries [re_d; im_d] of the contracted
-    digit d (stacked sublane-side or as minor halves)."""
-    top = np.concatenate([mat.real, mat.imag], axis=1)
-    bot = np.concatenate([-mat.imag, mat.real], axis=1)
-    return np.concatenate([top, bot], axis=0)
+from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import (roll_half as
+                                                           _roll_half)
+from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import (split_pair as
+                                                          _split_pair)
+from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import (wblk_rhs as
+                                                          _wblk_rhs)
+from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import blk_lhs as _blk_lhs
 
 
 def _dot3(z, w_hi, w_lo, axis: int, mode: str):
@@ -113,12 +104,6 @@ def _dot3(z, w_hi, w_lo, axis: int, mode: str):
         return d(zh, w_hi)
     zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
     return d(zh, w_hi) + d(zh, w_lo) + d(zl, w_hi)
-
-
-def _roll_half(x):
-    """Swap the two minor-axis halves: [re | im] -> [im | re]."""
-    b = x.shape[-1] // 2
-    return jnp.concatenate([x[..., b:], x[..., :b]], axis=-1)
 
 
 def _restack(x):
@@ -149,14 +134,6 @@ def _dft_consts(a: int, n: int):
     f = np.exp(-2j * np.pi * np.outer(j, j) / a)
     t = np.exp(-2j * np.pi * np.outer(j, j) / n)
     return f, t
-
-
-def _blk_lhs(mat: np.ndarray) -> np.ndarray:
-    """Complex matrix as the LHS real block form [[Mr, -Mi], [Mi, Mr]] for
-    W @ [re; im]-stacked data (K1/K3 leading-axis contractions)."""
-    top = np.concatenate([mat.real, -mat.imag], axis=1)
-    bot = np.concatenate([mat.imag, mat.real], axis=1)
-    return np.concatenate([top, bot], axis=0)
 
 
 def _cmul(ar, ai, br, bi):

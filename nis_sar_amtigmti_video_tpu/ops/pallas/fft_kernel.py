@@ -50,31 +50,13 @@ def supported(nfft: int) -> bool:
         and (b1 & (b1 - 1)) == 0
 
 
-def _split_pair(m: np.ndarray):
-    import ml_dtypes
-    m32 = m.astype(np.float32)
-    hi = m32.astype(ml_dtypes.bfloat16)
-    lo = (m32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    return hi, lo
-
-
-def _blk_lhs(mat: np.ndarray) -> np.ndarray:
-    """[[Mr, -Mi], [Mi, Mr]] for W @ [re; im]-stacked operands."""
-    top = np.concatenate([mat.real, -mat.imag], axis=1)
-    bot = np.concatenate([mat.imag, mat.real], axis=1)
-    return np.concatenate([top, bot], axis=0)
-
-
-def _wblk_rhs(mat: np.ndarray) -> np.ndarray:
-    """[[Mr, Mi], [-Mi, Mr]] for [re|im]-minor-half operands @ W."""
-    top = np.concatenate([mat.real, mat.imag], axis=1)
-    bot = np.concatenate([-mat.imag, mat.real], axis=1)
-    return np.concatenate([top, bot], axis=0)
-
-
-def _roll_half(x):
-    b = x.shape[-1] // 2
-    return jnp.concatenate([x[..., b:], x[..., :b]], axis=-1)
+from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import (roll_half as
+                                                           _roll_half)
+from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import (split_pair as
+                                                          _split_pair)
+from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import (wblk_rhs as
+                                                          _wblk_rhs)
+from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import blk_lhs as _blk_lhs
 
 
 def _tables(nfft: int, ref_conj: np.ndarray | None):

@@ -84,21 +84,12 @@ def time_variant(name, **kw):
 time_variant("baseline bf16x3")
 time_variant("mode=bf16", mode="bf16")
 
-# ablations: patch the kernel body pieces via env knob
+# ablations: replace one kernel stage with identity
 for knob in ("no_phase", "no_taper", "no_ramp"):
-    os.environ["BP_ABLATE"] = knob
-    try:
-        time_variant(f"ablate {knob}")
-    finally:
-        del os.environ["BP_ABLATE"]
+    time_variant(f"ablate {knob}", ablate=knob)
 
 time_variant("tile_y=1536 block=8", tile_y=1536, block=8)
 time_variant("tile_y=1536 block=16", tile_y=1536, block=16)
 time_variant("tile_y=768 block=16", tile_y=768, block=16)
 
-for knob in ("min_body",):
-    os.environ["BP_ABLATE"] = knob
-    try:
-        time_variant(f"ablate {knob}")
-    finally:
-        del os.environ["BP_ABLATE"]
+time_variant("ablate min_body", ablate="min_body")

@@ -51,3 +51,21 @@ def test_integer_positions_return_samples():
     x = _bandlimited(128).astype(np.complex64)
     got = np.asarray(czt_eval(jnp.asarray(x), 64, 2.0, 1.0))
     assert np.abs(got - x[1:128:2]).max() < 1e-5
+
+
+def test_large_upsample_ratio_no_alias():
+    """n_out >> n: positive Bluestein lags beyond nfft/2 aliased before the
+    2*n_out bound was added (code-review finding: n=32, n_out=300 gave O(1)
+    errors from k=257)."""
+    rng = np.random.default_rng(5)
+    n, n_out, step, start = 32, 300, 0.1, 0.0
+    x = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n),
+                    jnp.complex64)
+    got = np.asarray(czt_eval(x, n_out, step, start))
+    xf = np.fft.fft(np.asarray(x)) / n
+    f = np.fft.fftfreq(n)
+    pos = start + step * np.arange(n_out)
+    want = (xf[None, :] * np.exp(2j * np.pi * f[None, :] * pos[:, None])
+            ).sum(axis=1)
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 1e-5, err
