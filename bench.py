@@ -126,6 +126,30 @@ def main():
     except Exception:
         pass
 
+    # ---- single-pass-bf16 formation stream (accuracy class ~2.6e-3 —
+    # what a raw Mosaic f32 dot silently gives; labeled separately) ----
+    form_bf16_fps = None
+    try:
+        if fft_impl == "pallas":
+            def form_bf16(xr_, xi_):
+                sr, si = csa_kernel.apply_csa_pallas_planes(
+                    xr_.reshape(-1, size, size), xi_.reshape(-1, size, size),
+                    f, mode="bf16")
+                return (sr.reshape(ncpi, 2, size, size),
+                        si.reshape(ncpi, 2, size, size),
+                        jnp.sum(jnp.abs(sr[:1, :1, :1])))
+
+            fb16 = jax.jit(form_bf16, donate_argnums=(0, 1))
+            xr, xi, s = fb16(xr, xi)
+            _ = float(s)
+            t1 = time.perf_counter()
+            for _i in range(iters):
+                xr, xi, s = fb16(xr, xi)
+            _ = float(s)
+            form_bf16_fps = (2 * ncpi * iters) / (time.perf_counter() - t1)
+    except Exception:
+        pass
+
     # ---- gather-free fast BP at reference VideoSAR scale, best-effort ----
     bp_ms = None
     try:
@@ -271,6 +295,8 @@ def main():
                         if numpy_gmti_fps else None),
         "gmti_latency_ms": round(gmti_ms, 2),
         "csa_formation_fps": round(form_fps, 2) if form_fps else None,
+        "csa_formation_bf16_fps": (round(form_bf16_fps, 2)
+                                   if form_bf16_fps else None),
         "bp_frame_ms": round(bp_ms, 1) if bp_ms else None,
         "sim_pass_s": round(sim_pass_s, 2) if sim_pass_s else None,
         "numpy_gmti_fps": round(numpy_gmti_fps, 5) if numpy_gmti_fps else None,
