@@ -114,7 +114,10 @@ def save_pipeline_steps(path: str, prod, sc=None):
     if n == 1:
         axes = [axes]
     for ax, (title, data) in zip(axes, steps):
-        d = to_db(np.asarray(np.abs(data)))
+        # complex-safe host fetch FIRST: np.abs on a complex64 device array
+        # makes numpy fetch the complex array itself, which the axon TPU
+        # runtime cannot transfer
+        d = to_db(np.abs(prod_mag(data)))
         vmin, vmax = percentile_clim(d)
         ax.imshow(d, aspect="auto", origin="lower", cmap="viridis",
                   vmin=vmin, vmax=vmax)
@@ -172,7 +175,7 @@ def save_gif(path: str, frames: np.ndarray, fps: float = 10.0,
     """VideoSAR GIF assembly (sar_batch_sim.py:333-355): global max
     normalization across frames, grayscale."""
     from PIL import Image
-    mags = np.abs(frames)
+    mags = np.abs(prod_mag(frames))     # complex-safe fetch (axon TPU)
     gmax = mags.max() if normalize == "global" else None
     imgs = []
     for f in mags:
