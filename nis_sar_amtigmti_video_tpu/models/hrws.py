@@ -85,11 +85,16 @@ def reconstruct(raw_channels, p: HrwsParams):
     """Unfold the aliased azimuth spectrum of a K-channel collection.
 
     raw_channels: (K, P, Ns) complex64 — per-channel raw (or range-compressed)
-    data at the *system* PRF.
+    data at the *system* PRF — or a tuple/list of K (P, Ns) arrays (the
+    echo engine's backend='freq' return form; stacked here, which is fine at
+    reconstruction scales — the TPU channel-stack layout trap only bites at
+    the full 7,200 x 13,200 synthesis shape).
     Returns (M*P, Ns) complex64 — the reconstructed single-channel-equivalent
     slow-time signal at PRF_eff = M*PRF (uniform grid, natural fft order in
     azimuth restored by the inverse FFT).
     """
+    if isinstance(raw_channels, (tuple, list)):
+        raw_channels = jnp.stack(raw_channels, axis=0)
     k, n_az, n_rg = raw_channels.shape
     m = p.bands
     if k < m:

@@ -152,13 +152,38 @@ def make_plan(p: BpParams, sat_pos: np.ndarray, t_slow: np.ndarray,
     # prefer a 128-multiple row count (pallas tile grids); fall back to the
     # minimal 8-multiple when the padded band would overflow the window
     # (tiny test scenes — the pallas path then reports unsupported)
-    band_start = n_band = 0
-    for ny_i in (-(-ny_req // 128) * 128, -(-ny_req // 8) * 8):
-        band_start = int(round(n_org - 0.5 - ((ny_i - 1) / 2.0) * stride
-                               - w_win / 2.0))
-        n_band = stride * (ny_i - 1) + w_win
-        if band_start >= 0 and band_start + n_band <= nfft:
-            break
+    # The fused matched filter (compress=True) is a circular convolution at
+    # nfft, identical to the reference's linear variant only where the band
+    # stays a chirp length clear of the window edges: band_start >= n_ref and
+    # band end <= num_samples. Prefer placements meeting that strict bound;
+    # fall back to the loose in-window bound with a warning (compression
+    # semantics then differ near the edges from the exact path).
+    n_ref = int(p.pulse_width_s * p.fs_hz)
+    candidates = (-(-ny_req // 128) * 128, -(-ny_req // 8) * 8)
+
+    def _placement(ny_i):
+        bs = int(round(n_org - 0.5 - ((ny_i - 1) / 2.0) * stride
+                       - w_win / 2.0))
+        return bs, stride * (ny_i - 1) + w_win
+
+    band_start = n_band = ny_i = 0
+    for strict in (True, False):
+        for ny_i in candidates:
+            band_start, n_band = _placement(ny_i)
+            lo, hi = (n_ref, p.num_samples) if strict else (0, nfft)
+            if band_start >= lo and band_start + n_band <= hi:
+                break
+        else:
+            continue
+        if not strict:
+            import warnings
+            warnings.warn(
+                f"fast-BP band [{band_start}, {band_start + n_band}) is "
+                f"within a chirp length ({n_ref} samples) of the receive-"
+                f"window edges [0, {p.num_samples}); the fused matched "
+                "filter (compress=True) deviates from linear-convolution "
+                "semantics there", stacklevel=2)
+        break
     else:
         raise ValueError(
             f"scene band [{band_start}, {band_start + n_band}) does not fit "
@@ -473,6 +498,9 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
     vf = jnp.asarray(vel_focus, jnp.float64)
     t_mean_v = jnp.mean(ts) if t_mean is None else t_mean
 
+    if accumulate == "pallas" and jax.default_backend() != "tpu":
+        accumulate = "xla"   # Mosaic needs a TPU (csa.py guard pattern);
+        # 'pallas_interpret' stays available for tests on any backend
     use_pallas = accumulate in ("pallas", "pallas_interpret")
     interp = accumulate == "pallas_interpret"
     scope = jax.named_scope

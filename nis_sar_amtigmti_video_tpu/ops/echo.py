@@ -281,7 +281,8 @@ def phase_history(trajectory, targets, opts: EchoOpts, *,
 def multi_channel_phase_history(trajectory, targets, opts: EchoOpts, *,
                                 t_start: float,
                                 rx_offsets,
-                                target_velocity=(0.0, 0.0, 0.0)):
+                                target_velocity=(0.0, 0.0, 0.0),
+                                channels_as_tuple: Optional[bool] = None):
     """Simulate all receive channels.
 
     Returns a (num_channels, P, Ns) complex64 array for the direct
@@ -289,6 +290,13 @@ def multi_channel_phase_history(trajectory, targets, opts: EchoOpts, *,
     mesh 'chan' axis for multichannel GMTI/HRWS collections), or a TUPLE
     of per-channel (P, Ns) arrays for backend='freq' (big stacked channel
     arrays hit a catastrophic padded layout on TPU; see the branch below).
+
+    ``channels_as_tuple`` pins the return form for consumers that need one
+    contract across backends: True always returns the per-channel tuple;
+    False always returns the stacked (C, P, Ns) array (for 'freq' the stack
+    happens post-synthesis — safe at small/medium shapes, but avoid at the
+    full 7,200 x 13,200 scale where the stacked layout costs ~97 GB);
+    None (default) keeps the backend-dependent auto behavior above.
     """
     t = jnp.asarray(trajectory.times, jnp.float64)
     p = jnp.asarray(trajectory.positions, jnp.float64)
@@ -310,5 +318,9 @@ def multi_channel_phase_history(trajectory, targets, opts: EchoOpts, *,
         # trap; docs/ARCHITECTURE.md TPU constraints). Consumers index
         # channels, so the tuple is a drop-in.
         offs = np.asarray(rx_offsets, np.float64)
-        return tuple(one(jnp.float64(o)) for o in offs)
-    return jax.vmap(one)(jnp.asarray(rx_offsets, jnp.float64))
+        chans = tuple(one(jnp.float64(o)) for o in offs)
+        return jnp.stack(chans, axis=0) if channels_as_tuple is False \
+            else chans
+    out = jax.vmap(one)(jnp.asarray(rx_offsets, jnp.float64))
+    return tuple(out[i] for i in range(out.shape[0])) \
+        if channels_as_tuple is True else out

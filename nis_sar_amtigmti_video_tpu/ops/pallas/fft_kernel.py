@@ -46,6 +46,12 @@ _C = 299792458.0
 
 def supported(nfft: int) -> bool:
     b1 = nfft // _LANE
+    # b1 <= 512 is ALSO an i32-overflow bound: the kernel's exact integer
+    # recentre phase computes f_sgn * si with |f_sgn| <= nfft/2 and
+    # |si| <= nfft-1, so b1=512 (nfft=65536) peaks at 32768*65535 =
+    # 2,147,450,880 — only ~32k below INT32_MAX. Widening b1 past 512 would
+    # silently overflow and corrupt the phase; move ph_i to i64 first.
+    assert (512 * _LANE // 2) * (512 * _LANE - 1) <= 2**31 - 1
     return nfft % _LANE == 0 and b1 * _LANE == nfft and 128 <= b1 <= 512 \
         and (b1 & (b1 - 1)) == 0
 
