@@ -80,6 +80,11 @@ class FastBpPlan:
     t_ref: float           # fixed recentre delay (s): origin bin position
     n_org: float           # (t_ref - t_start) * fs, the origin's sample index
     taper_pow: int = 4     # cos^p window taper power
+    # factorized (sub-aperture) accumulation: raw pulses per sub-aperture and
+    # coarse column count for the inner sums (0 = not planned; see
+    # :func:`make_plan` factorize= and :func:`_accumulate_factor`)
+    sub_raw: int = 0
+    nx_c: int = 0
 
 
 def _look_geometry(p: BpParams, pos_c: np.ndarray):
@@ -113,12 +118,95 @@ def _frame_geometry(pos_c, p: BpParams, plan: FastBpPlan):
     return rdir, cdir, dy_m
 
 
+def _factor_bounds(p: BpParams, sat_pos: np.ndarray, ny_i: int, nx_i: int,
+                   dy_m: float, dx_m: float):
+    """Host-side bandwidth bounds for the factorized accumulate sizing.
+
+    Evaluates the exact monostatic two-way phase/index at the aperture
+    start/centre/end for the internal grid's corner pixels (the moving-org
+    and stop-and-go corrections are orders of magnitude below these bounds)
+    and returns
+
+      f_val    — x-bandwidth of the *value* field [cycles/pixel]: range
+                 signal (<=0.5 cyc/sample) advected at the migration slope,
+      dpb_raw  — max |d pb / d raw pulse| [rad/pixel/pulse]: the Doppler
+                 (phase-slope) rate that sets how far a sub-aperture may
+                 extend before its content exceeds the coarse-grid band,
+      dpcx_raw — same for the quadratic term's edge contribution
+                 |d (2 pc xi_max) / d pulse|.
+    """
+    pos_c = sat_pos[len(sat_pos) // 2]
+    rdir, cdir, u_g = _look_geometry(p, pos_c)
+    xi_max = (nx_i - 1) / 2.0
+    a_max = xi_max * dx_m
+    k_ph = 4.0 * math.pi * p.fc_hz / _C
+    k_ix = 2.0 * p.fs_hz / _C
+
+    pb_t, pcx_t = [], []
+    f_val = 0.0
+    for ci in (0, len(sat_pos) // 2, len(sat_pos) - 1):
+        pos = sat_pos[ci]
+        d0 = np.linalg.norm(pos)
+        pb_y, pcx_y, bt_y, ctx_y = [], [], [], []
+        for b in (-(ny_i - 1) / 2.0 * dy_m, 0.0, (ny_i - 1) / 2.0 * dy_m):
+            g = (b * cdir[None, :]
+                 + np.array([-a_max, 0.0, a_max])[:, None] * rdir[None, :])
+            delta = np.linalg.norm(g - pos[None, :], axis=1) - d0
+            ph = k_ph * delta
+            ix = k_ix * delta
+            pb_y.append((ph[2] - ph[0]) / (2.0 * xi_max))
+            pcx_y.append((ph[2] + ph[0] - 2.0 * ph[1]) / (2.0 * xi_max ** 2)
+                         * 2.0 * xi_max)
+            bt_y.append((ix[2] - ix[0]) / (2.0 * xi_max))
+            ctx_y.append((ix[2] + ix[0] - 2.0 * ix[1]) / (2.0 * xi_max ** 2)
+                         * 2.0 * xi_max)
+        pb_t.append(pb_y)
+        pcx_t.append(pcx_y)
+        f_val = max(f_val, 0.5 * (max(abs(v) for v in bt_y)
+                                  + max(abs(v) for v in ctx_y)))
+    n_half = max(1, (len(sat_pos) - 1) // 2)
+    pb_t, pcx_t = np.asarray(pb_t), np.asarray(pcx_t)
+    dpb_raw = float(np.abs(np.diff(pb_t, axis=0)).max() / n_half)
+    dpcx_raw = float(np.abs(np.diff(pcx_t, axis=0)).max() / n_half)
+    return f_val, dpb_raw, dpcx_raw
+
+
+# merge-stage interpolation kernel (continuous Kaiser-windowed sinc): for
+# inner-sum content held under 0.8 * coarse Nyquist these constants measure
+# ~-100 dB reconstruction error (probe in this module's round-3 notes)
+_UPS_FC = 0.4      # lowpass cutoff [cycles / coarse sample]
+_UPS_D = 10        # one-sided support [coarse samples]
+_UPS_BETA = 10.0   # Kaiser shape
+
+
+def _upsample_matrix(plan: FastBpPlan) -> np.ndarray:
+    """(nx_c, nx_i) f32 band-limited interpolation matrix taking the coarse
+    inner-sum columns to the fine internal grid (host/numpy; plan-static)."""
+    nx, nxc = plan.nx_i, plan.nx_c
+    h = nx / nxc
+    xf = np.arange(nx) - (nx - 1) / 2.0
+    xc = (np.arange(nxc) - (nxc - 1) / 2.0) * h
+    d = (xf[None, :] - xc[:, None]) / h
+    w = np.zeros_like(d)
+    m = np.abs(d) < _UPS_D
+    w[m] = (np.i0(_UPS_BETA * np.sqrt(1.0 - (d[m] / _UPS_D) ** 2))
+            / np.i0(_UPS_BETA))
+    return (2.0 * _UPS_FC * np.sinc(2.0 * _UPS_FC * d) * w).astype(np.float32)
+
+
 def make_plan(p: BpParams, sat_pos: np.ndarray, t_slow: np.ndarray,
-              t_start: float, w_win: int = 32) -> FastBpPlan:
+              t_start: float, w_win: int = 32,
+              factorize: bool = False) -> FastBpPlan:
     """Build the static plan from *concrete* (numpy) trajectory geometry.
 
     ``sat_pos``/``t_slow`` may span a whole VideoSAR collect; sizing covers
     the worst-case look rotation across it.
+
+    ``factorize=True`` additionally sizes the sub-aperture (factorized)
+    accumulation: coarse column count ``nx_c`` and the largest raw-pulse
+    sub-aperture length ``sub_raw`` whose Doppler span keeps the inner sums
+    inside the coarse grid's alias-free band (with the extra column margin
+    the merge interpolator needs). See :func:`_accumulate_factor`.
     """
     sat_pos = np.asarray(sat_pos, np.float64)
     t_slow = np.asarray(t_slow, np.float64)
@@ -141,8 +229,12 @@ def make_plan(p: BpParams, sat_pos: np.ndarray, t_slow: np.ndarray,
         a_half = max(a_half, half * (abs(row_dir[0]) + abs(row_dir[1])))
         dy_min = min(dy_min, stride * dr_per_sample / u_g)
     margin_rows = 16
+    # factorized merge: the Kaiser-sinc interpolator reaches _UPS_D coarse
+    # samples (~_UPS_D * h fine px) past each fine pixel, so give the
+    # columns that much extra margin to keep edge truncation off the scene
+    margin_cols = 12 + (64 if factorize else 0)
     ny_req = 2 * (int(np.ceil(b_half / dy_min)) + margin_rows)
-    nx_i = 2 * (int(np.ceil(a_half / dx_m)) + 12)
+    nx_i = 2 * (int(np.ceil(a_half / dx_m)) + margin_cols)
     nx_i = -(-nx_i // 128) * 128          # 128-multiples: pallas tile grids
 
     nfft = 1 << (p.num_samples - 1).bit_length()
@@ -153,12 +245,14 @@ def make_plan(p: BpParams, sat_pos: np.ndarray, t_slow: np.ndarray,
     # minimal 8-multiple when the padded band would overflow the window
     # (tiny test scenes — the pallas path then reports unsupported)
     # The fused matched filter (compress=True) is a circular convolution at
-    # nfft, identical to the reference's linear variant only where the band
-    # stays a chirp length clear of the window edges: band_start >= n_ref and
-    # band end <= num_samples. Prefer placements meeting that strict bound;
-    # fall back to the loose in-window bound with a warning (compression
-    # semantics then differ near the edges from the exact path).
+    # nfft. The linear convolution of the ns-sample window with the
+    # n_ref-sample chirp spans ns + n_ref - 1 samples, so the circular wrap
+    # contaminates exactly [0, ns + n_ref - 1 - nfft) — prefer placements
+    # keeping the band clear of it; fall back to the loose in-window bound
+    # with a warning (compression near the wrap interval then deviates from
+    # linear-convolution semantics).
     n_ref = int(p.pulse_width_s * p.fs_hz)
+    wrap_end = max(0, p.num_samples + n_ref - 1 - nfft)
     candidates = (-(-ny_req // 128) * 128, -(-ny_req // 8) * 8)
 
     def _placement(ny_i):
@@ -167,32 +261,47 @@ def make_plan(p: BpParams, sat_pos: np.ndarray, t_slow: np.ndarray,
         return bs, stride * (ny_i - 1) + w_win
 
     band_start = n_band = ny_i = 0
-    for strict in (True, False):
-        for ny_i in candidates:
-            band_start, n_band = _placement(ny_i)
-            lo, hi = (n_ref, p.num_samples) if strict else (0, nfft)
-            if band_start >= lo and band_start + n_band <= hi:
-                break
-        else:
-            continue
-        if not strict:
-            import warnings
-            warnings.warn(
-                f"fast-BP band [{band_start}, {band_start + n_band}) is "
-                f"within a chirp length ({n_ref} samples) of the receive-"
-                f"window edges [0, {p.num_samples}); the fused matched "
-                "filter (compress=True) deviates from linear-convolution "
-                "semantics there", stacklevel=2)
-        break
+    for ny_i in candidates:
+        band_start, n_band = _placement(ny_i)
+        if band_start >= 0 and band_start + n_band <= nfft:
+            break
     else:
         raise ValueError(
             f"scene band [{band_start}, {band_start + n_band}) does not fit "
             f"the receive window (nfft={nfft}); enlarge num_samples or "
             "reduce scene_size_m")
+    if band_start < wrap_end:
+        import warnings
+        warnings.warn(
+            f"fast-BP band [{band_start}, {band_start + n_band}) overlaps "
+            f"the circular-convolution wrap interval [0, {wrap_end}) of "
+            "the fused matched filter (compress=True); compression "
+            "semantics deviate from the linear variant there",
+            stacklevel=2)
+
+    sub_raw = nx_c = 0
+    if factorize:
+        # coarse columns: lane-multiple, ~4-6x coarser than the fine grid
+        nx_c = 128 if nx_i >= 512 else max(32, nx_i // 4)
+        h = nx_i / nx_c
+        row_dir_c, col_dir_c, u_gc = _look_geometry(
+            p, sat_pos[sat_pos.shape[0] // 2])
+        dy_c = stride * dr_per_sample / u_gc
+        f_val, dpb_raw, dpcx_raw = _factor_bounds(p, sat_pos, ny_i, nx_i,
+                                                  dy_c, dx_m)
+        # inner-sum content budget: 80% of the coarse Nyquist, minus the
+        # value field's own bandwidth; the rest is Doppler span
+        avail = 0.8 * 0.25 / h - f_val
+        rate = dpb_raw + dpcx_raw            # rad/px per raw pulse
+        if avail > 0.1 * 0.25 / h and rate > 0.0:
+            sub_raw = int(2.0 * avail * _TWO_PI / rate)
+            sub_raw = max(1, min(sub_raw, sat_pos.shape[0]))
+        if sub_raw == 0:
+            nx_c = 0                         # bounds refuse: fall back
     return FastBpPlan(
         ny_i=ny_i, nx_i=nx_i, w_win=w_win, stride=stride,
         band_start=band_start, nfft=nfft, dx_m=float(dx_m),
-        t_ref=t_ref, n_org=float(n_org))
+        t_ref=t_ref, n_org=float(n_org), sub_raw=sub_raw, nx_c=nx_c)
 
 
 # --------------------------------------------------------------------------
@@ -299,16 +408,49 @@ def _idx_phase_exact(g, pos, vel, vf, p: BpParams, plan: FastBpPlan):
     return idx, phase
 
 
+def _anchor_plan(num_p: int, h: int):
+    """Static (host) anchor layout for the t-interpolated fit: per-pulse
+    window starts, needed anchor indices, per-group anchor row triples and
+    per-pulse quadratic Lagrange weights on the uniform {0, h, 2h} nodes."""
+    n_grp = -(-num_p // h)
+    starts = [min(j * h, max(0, num_p - 1 - 2 * h)) for j in range(n_grp)]
+    needed = sorted({s + k * h for s in starts for k in (0, 1, 2)})
+    row = {ix: i for i, ix in enumerate(needed)}
+    trip = np.asarray([[row[s], row[s + h], row[s + 2 * h]] for s in starts])
+    t_idx = np.arange(num_p)
+    r = (t_idx - np.asarray(starts)[t_idx // h]).astype(np.float64)
+    w = np.stack([(r - h) * (r - 2 * h) / (2.0 * h * h),
+                  r * (2 * h - r) / (h * h),
+                  r * (r - h) / (2.0 * h * h)], axis=1)       # (P, 3)
+    return (np.asarray(needed), trip[t_idx // h], w)
+
+
 def _fit_coeffs(pos2, vel2, t2, vel_focus, p: BpParams, plan: FastBpPlan,
-                t_mean, rdir, cdir, dy_m):
+                t_mean, rdir, cdir, dy_m, fit_stride: int = 0):
     """Per-(t,y) window offset u0 and phase quadratic (Pa, Pb, Pc); per-t
-    index quadratic (B, C). xi is the centred column index."""
+    index quadratic (B, C). xi is the centred column index.
+
+    ``fit_stride`` > 0 evaluates the exact f64 physics only at anchor
+    pulses every ``fit_stride`` rows and quadratically interpolates the
+    unwrapped (index, phase) fields in slow time — the emulated-f64
+    geometry is the fit's whole cost, and the fields' cubic-in-t residual
+    over a 2*stride window is ~1e-5 rad / ~1e-6 samples at the reference
+    geometry (phase jerk ~700 rad/s^3), far inside the oracle budgets.
+    """
     ny, nx = plan.ny_i, plan.nx_i
     b = (jnp.arange(ny, dtype=jnp.float64) - (ny - 1) / 2.0) * dy_m
     xi_max = (nx - 1) / 2.0
     a_max = xi_max * plan.dx_m
 
-    dt = (t2 - t_mean)
+    num_p = pos2.shape[0]
+    use_anchor = fit_stride > 1 and num_p > 3 * fit_stride
+    if use_anchor:
+        needed, trip, w_np = _anchor_plan(num_p, fit_stride)
+        pos2_a, vel2_a, t2_a = pos2[needed], vel2[needed], t2[needed]
+    else:
+        pos2_a, vel2_a, t2_a = pos2, vel2, t2
+
+    dt = (t2_a - t_mean)
     org = vel_focus[None, :] * dt[:, None]                    # (P,3) moving grid
 
     # Work in origin-relative coordinates: the recentre removed the delay and
@@ -320,9 +462,19 @@ def _fit_coeffs(pos2, vel2, t2, vel_focus, p: BpParams, plan: FastBpPlan,
     xoff = (jnp.asarray([-a_max, 0.0, a_max])[None, None, :, None]
             * rdir[None, None, None, :])
     g = base + xoff
-    pos = (pos2 - org)[:, None, None, :]
-    vel = vel2[:, None, None, :]
+    pos = (pos2_a - org)[:, None, None, :]
+    vel = vel2_a[:, None, None, :]
     idx, ph = _idx_phase_exact(g, pos, vel, vel_focus, p, plan)
+
+    if use_anchor:
+        w = jnp.asarray(w_np)                                 # (P, 3) f64
+        a0, a1, a2 = (jnp.asarray(trip[:, k]) for k in range(3))
+        idx = (w[:, 0, None, None] * idx[a0]
+               + w[:, 1, None, None] * idx[a1]
+               + w[:, 2, None, None] * idx[a2])
+        ph = (w[:, 0, None, None] * ph[a0]
+              + w[:, 1, None, None] * ph[a1]
+              + w[:, 2, None, None] * ph[a2])
 
     # phase quadratic per (t, y) in centred column units
     pa = ph[..., 1]
@@ -415,6 +567,108 @@ def _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
     return img
 
 
+def _accumulate_factor(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
+                       sub_p: int):
+    """Factorized (sub-aperture) accumulation — the algorithmic answer to
+    the per-pulse-per-pixel trig floor (docs/ROUND2_NOTES.md §14).
+
+    Within a sub-aperture of ``sub_p`` presummed pulses, split each pulse's
+    focusing phase against the sub-aperture *anchor* (centre) pulse:
+
+        exp(j ph_t(x)) = exp(j ph_c(x)) * exp(j (ph_t - ph_c)(x))
+
+    The residual's x-slope is the pulse's Doppler offset from the anchor —
+    bounded by the sub-aperture's Doppler span — so the inner sum
+
+        J_s(y, xc) = sum_t val * exp(j d_ph)          (coarse columns xc)
+
+    is band-limited and needs only ``plan.nx_c`` columns (~4-6x fewer
+    pixels, hence that much less trig and matmul). Each J_s is brought to
+    the fine grid by one banded interpolation matmul (Kaiser-sinc,
+    ~-100 dB) and multiplied by its anchor carrier, evaluated once per
+    sub-aperture instead of once per pulse:
+
+        img = sum_s carrier_s * (J_s @ U)
+
+    Trig count drops from P*ny*nx to P*ny*nx_c + S*ny*nx. Phase totals are
+    exact (anchor + exact-fit residual); the only new approximation is the
+    band-limited merge, sized by :func:`make_plan`'s measured Doppler-rate
+    bounds. Same operand contract as :func:`_accumulate`. Reference
+    semantics covered: sar_batch_sim.py:171-238.
+    """
+    num_p = rc2.shape[0]
+    w = plan.w_win
+    ny, nx, nxc = plan.ny_i, plan.nx_i, plan.nx_c
+    h = nx / nxc
+    f_m = jnp.fft.fftfreq(w).astype(jnp.float32)
+    tap = _taper(jnp.arange(w, dtype=jnp.float32), w, plan.taper_pow)
+    xi = (jnp.arange(nx, dtype=jnp.float32) - (nx - 1) / 2.0)
+    xic = (jnp.arange(nxc, dtype=jnp.float32) - (nxc - 1) / 2.0
+           ) * jnp.float32(h)
+    u_mat = jnp.asarray(_upsample_matrix(plan))
+
+    band = jax.lax.slice_in_dim(
+        rc2, plan.band_start,
+        plan.band_start + plan.stride * (ny - 1) + w, 1, axis=1)
+
+    n_sub = -(-num_p // sub_p)
+    p_pad = n_sub * sub_p
+
+    def padp(x, edge=False):
+        cfg = [(0, p_pad - num_p)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, mode="edge" if edge else "constant").reshape(
+            (n_sub, sub_p) + x.shape[1:])
+
+    # anchor (centre-pulse) coefficient rows per sub-aperture; clipped so a
+    # ragged final sub-aperture anchors on a live pulse
+    ci = jnp.minimum(jnp.arange(n_sub) * sub_p + sub_p // 2, num_p - 1)
+    pa_c, pb_c, pc_c = pa[ci], pb[ci], pc[ci]
+
+    w_live = jnp.pad(jnp.ones((num_p,), jnp.float32), (0, p_pad - num_p))
+    xs = (padp(band), padp(u0, edge=True), padp(pa, edge=True),
+          padp(pb, edge=True), padp(pc, edge=True), padp(b_t, edge=True),
+          padp(c_t, edge=True), w_live.reshape(n_sub, sub_p),
+          pa_c, pb_c, pc_c)
+
+    def step(img, x):
+        (band_b, u0_b, pa_b, pb_b, pc_b, bt_b, ct_b, wl_b,
+         pac, pbc, pcc) = x
+        win = _extract_windows(band_b, plan)                 # (sub, ny, W)
+        w_hat = jnp.fft.fft(win * tap[None, None, :].astype(jnp.complex64),
+                            axis=-1) / jnp.float32(w)
+        g = w_hat * expj(_TWO_PI * f_m[None, None, :] * u0_b[:, :, None])
+        e_t = bt_b[:, None] * xic[None, :] + ct_b[:, None] * xic[None, :] ** 2
+        kern = expj(_TWO_PI * f_m[None, :, None] * e_t[:, None, :])
+        val = jnp.einsum("tym,tmx->tyx", g, kern,
+                         precision=jax.lax.Precision.HIGHEST)
+        # taper division at u = u0[t,y] + e_t[t,x] via the angle-sum
+        # identity: trig on the (t,y) and (t,x) marginals only, never on
+        # the full (t,y,x) field (the plain path's single biggest trig bill)
+        if plan.taper_pow % 2 == 0:
+            aa = (jnp.pi / w) * (u0_b + 0.5)                 # (sub, ny)
+            bb = (jnp.pi / w) * e_t                          # (sub, nxc)
+            s_u = (jnp.sin(aa)[:, :, None] * jnp.cos(bb)[:, None, :]
+                   + jnp.cos(aa)[:, :, None] * jnp.sin(bb)[:, None, :])
+            t2_ = s_u * s_u
+            tp = t2_ * t2_ if plan.taper_pow == 4 \
+                else t2_ ** (plan.taper_pow // 2)
+        else:
+            tp = _taper(u0_b[:, :, None] + e_t[:, None, :], w, plan.taper_pow)
+        val = val / jnp.maximum(tp, 1e-4)
+        d_ph = ((pa_b - pac[None])[:, :, None]
+                + (pb_b - pbc[None])[:, :, None] * xic[None, None, :]
+                + (pc_b - pcc[None])[:, :, None] * xic[None, None, :] ** 2)
+        j_s = jnp.sum(val * expj(d_ph) * wl_b[:, None, None], axis=0)
+        j_up = j_s @ u_mat                                   # (ny, nx)
+        carrier = expj(pac[:, None] + pbc[:, None] * xi[None, :]
+                       + pcc[:, None] * xi[None, :] ** 2)
+        return img + carrier * j_up, None
+
+    img0 = jnp.zeros((ny, nx), jnp.complex64)
+    img, _ = jax.lax.scan(step, img0, xs)
+    return img
+
+
 # --------------------------------------------------------------------------
 # internal -> output grid resample (gather-free: FFT shears + sinc matmuls)
 # --------------------------------------------------------------------------
@@ -475,10 +729,11 @@ def _resample_output(img_i, plan: FastBpPlan, p: BpParams, rdir, cdir, dy_m):
 # --------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("p", "plan", "presum", "compress",
-                                   "accumulate"))
+                                   "accumulate", "fit_stride"))
 def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
                      plan: FastBpPlan, presum: int = 1, t_mean=None,
-                     compress: bool = False, accumulate: str = "xla"):
+                     compress: bool = False, accumulate: str = "xla",
+                     fit_stride: int = 0):
     """Gather-free BP of range-compressed pulses onto the output grid.
 
     rc: (P, Ns) complex64; trajectory in f64; ``plan`` from :func:`make_plan`
@@ -498,16 +753,19 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
     vf = jnp.asarray(vel_focus, jnp.float64)
     t_mean_v = jnp.mean(ts) if t_mean is None else t_mean
 
-    if accumulate == "pallas" and jax.default_backend() != "tpu":
-        accumulate = "xla"   # Mosaic needs a TPU (csa.py guard pattern);
-        # 'pallas_interpret' stays available for tests on any backend
+    if jax.default_backend() != "tpu":   # Mosaic needs a TPU (csa.py guard
+        if accumulate == "pallas":       # pattern); '*_interpret' modes stay
+            accumulate = "xla"           # available for tests anywhere
+        elif accumulate == "factor_pallas":
+            accumulate = "factor"
     use_pallas = accumulate in ("pallas", "pallas_interpret")
+    use_pfft = use_pallas or accumulate == "factor_pallas"
     interp = accumulate == "pallas_interpret"
     scope = jax.named_scope
-    if use_pallas and compress:
+    if use_pfft and compress:
         from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
     with scope("bp_compress_recentre_presum"):
-        if use_pallas and compress and fft_kernel.supported(plan.nfft):
+        if use_pfft and compress and fft_kernel.supported(plan.nfft):
             rc2, pos2, vel2, t2 = fft_kernel.recenter_presum_pallas(
                 rc, pos, vel, ts, vf, p, max(1, presum), plan.t_ref,
                 interpret=interp, t_mean=t_mean_v)
@@ -521,12 +779,17 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
     with scope("bp_fit_coefficients"):
         rdir, cdir, dy_m = _frame_geometry(pos2[pos2.shape[0] // 2], p, plan)
         u0, pa, pb, pc, b_t, c_t = _fit_coeffs(pos2, vel2, t2, vf, p, plan,
-                                               t_mean_v, rdir, cdir, dy_m)
+                                               t_mean_v, rdir, cdir, dy_m,
+                                               fit_stride=fit_stride)
     with scope("bp_accumulate"):
         if use_pallas:
             from nis_sar_amtigmti_video_tpu.ops.pallas import bp_kernel
             img_i = bp_kernel.accumulate_pallas(
                 rc2, u0, pa, pb, pc, b_t, c_t, plan, interpret=interp)
+        elif accumulate.startswith("factor") and plan.sub_raw > 0:
+            sub_p = max(1, plan.sub_raw // max(1, presum))
+            img_i = _accumulate_factor(rc2, u0, pa, pb, pc, b_t, c_t, plan,
+                                       sub_p)
         else:
             img_i = _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan)
 
@@ -583,7 +846,7 @@ def _finalize(img_i, phase_coeffs, pos2, vel2, t2, vf, t_mean_v, p: BpParams,
 
 def focus_bp_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
                   p: BpParams, presum: int = 1, plan: FastBpPlan = None,
-                  accumulate: str = "xla"):
+                  accumulate: str = "xla", fit_stride: int = 0):
     """Fused range compression + fast BP + presum rescale/droop (drop-in
     for ops/bp.py::focus_bp at production scale). The matched filter rides
     the recentre FFT (``compress=True``), so raw pulses see exactly one
@@ -595,10 +858,11 @@ def focus_bp_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
     if plan is None:
         plan = make_plan(p, np.asarray(sat_pos), np.asarray(t_slow),
                          float(t_start),
-                         w_win=64 if accumulate.startswith("pallas") else 32)
+                         w_win=64 if accumulate.startswith("pallas") else 32,
+                         factorize=accumulate.startswith("factor"))
     img = backproject_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, p, plan,
                            presum=presum, compress=True,
-                           accumulate=accumulate)
+                           accumulate=accumulate, fit_stride=fit_stride)
     if presum > 1:
         corr = bp_ops.presum_droop_correction(
             jnp.asarray(sat_pos, jnp.float64), jnp.asarray(sat_vel, jnp.float64),

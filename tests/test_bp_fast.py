@@ -158,6 +158,57 @@ class TestFastBp:
             traj.times, vf, t0, p, plan=plan))
         _check(got, want)
 
+    @pytest.mark.parametrize("case", ["static", "mbp", "squint", "stride2",
+                                      "presum"])
+    def test_factorized_meets_oracle(self, case):
+        """Factorized (sub-aperture) accumulation under the same oracle
+        budgets as the plain fast path, across the geometry matrix."""
+        kw = dict(static={}, mbp=dict(vel=(12.0, 5.0, 0.0)),
+                  squint=dict(t_offset=0.08), stride2=dict(fs=360e6, ns=2048),
+                  presum=dict(n_p=251))[case]
+        raw, traj, p, t0 = _scene(**kw)
+        vf = np.asarray(kw.get("vel", (0.0, 0.0, 0.0)), float)
+        plan = bp_fast.make_plan(p, traj.positions, traj.times, t0,
+                                 factorize=True)
+        assert plan.sub_raw > 0 and plan.nx_c > 0
+        presum = 1
+        ck = {}
+        if case == "presum":
+            presum = bp_ops.presum_factor(
+                p, 5000.0, C / 9.65e9, cfg.videosar().geometry.slant_range_m,
+                cfg.videosar().geometry.effective_velocity_mps)
+            ck = dict(peak_db=0.15, peak_phase=0.02, field=0.015)
+        elif case == "squint":
+            ck = dict(peak_db=0.12, peak_phase=0.02, field=0.012)
+        want = _oracle_upsampled(raw, traj, p, t0, vf)
+        got = np.asarray(bp_fast.focus_bp_fast(
+            cplx.to_device(raw), traj.positions, traj.velocities,
+            traj.times, vf, t0, p, presum=presum, plan=plan,
+            accumulate="factor"))
+        _check(got, want, **ck)
+
+    def test_factorized_multi_subaperture_matches_plain(self):
+        """Force several small sub-apertures (sub_p exercised > 1 anchor)
+        and compare against the plain accumulate on the same operands: the
+        only difference allowed is the band-limited merge error."""
+        raw, traj, p, t0 = _scene()
+        vf = np.zeros(3)
+        plan0 = bp_fast.make_plan(p, traj.positions, traj.times, t0,
+                                  factorize=True)
+        # shrink sub-apertures well below the planned bound (more anchors,
+        # still inside the coarse band budget)
+        import dataclasses
+        plan = dataclasses.replace(plan0, sub_raw=max(8, plan0.sub_raw // 8))
+        assert -(-raw.shape[0] // plan.sub_raw) >= 4
+        want = np.asarray(bp_fast.focus_bp_fast(
+            cplx.to_device(raw), traj.positions, traj.velocities,
+            traj.times, vf, t0, p, plan=plan, accumulate="xla"))
+        got = np.asarray(bp_fast.focus_bp_fast(
+            cplx.to_device(raw), traj.positions, traj.velocities,
+            traj.times, vf, t0, p, plan=plan, accumulate="factor"))
+        err = np.abs(got - want).max() / np.abs(want).max()
+        assert err < 2e-3, err
+
     def test_pallas_accumulate_matches_xla(self):
         """Interpret-mode pixel-tile kernel vs _accumulate on the same
         synthetic operands and w_win=64 plan."""
