@@ -46,12 +46,13 @@ _C = 299792458.0
 
 def supported(nfft: int) -> bool:
     b1 = nfft // _LANE
-    # b1 <= 512 is ALSO an i32-overflow bound: the kernel's exact integer
-    # recentre phase computes f_sgn * si with |f_sgn| <= nfft/2 and
-    # |si| <= nfft-1, so b1=512 (nfft=65536) peaks at 32768*65535 =
-    # 2,147,450,880 — only ~32k below INT32_MAX. Widening b1 past 512 would
-    # silently overflow and corrupt the phase; move ph_i to i64 first.
-    assert (512 * _LANE // 2) * (512 * _LANE - 1) <= 2**31 - 1
+    # i32-overflow audit of the factored recentre phase: the kernel's
+    # exact integer products are k*si (peak (b1-1)*(nfft-1)) and
+    # m*si (peak 127*(nfft-1), the m*B1*si term is pre-reduced mod B2) —
+    # both must stay below INT32_MAX at the largest supported b1 = 512
+    # (nfft = 65536); widening past that needs i64 phase accumulation.
+    assert (512 - 1) * (512 * _LANE - 1) <= 2**31 - 1
+    assert (_LANE - 1) * (512 * _LANE - 1) <= 2**31 - 1
     return nfft % _LANE == 0 and b1 * _LANE == nfft and 128 <= b1 <= 512 \
         and (b1 & (b1 - 1)) == 0
 
@@ -86,8 +87,6 @@ def _tables(nfft: int, ref_conj: np.ndarray | None):
     # frequency layout after the forward pass: (k sublane, [m|m] lanes),
     # f = m*B1 + k, signed fftfreq order
     m = np.concatenate([j2, j2])[None, :]                 # (1, 2*B2)
-    fdx = m * b1 + j1[:, None]                            # (B1, 2*B2)
-    f_sgn = np.where(fdx < nfft // 2, fdx, fdx - nfft).astype(np.int32)
 
     if ref_conj is not None:
         rv = ref_conj[(m % b2) * b1 + j1[:, None]]
@@ -97,11 +96,11 @@ def _tables(nfft: int, ref_conj: np.ndarray | None):
     else:
         a_ref = np.ones((b1, 2 * b2), np.float32)
         b_ref = np.zeros((b1, 2 * b2), np.float32)
-    return w1, w1i, w2, w2i, tw_r, tw_i, f_sgn, a_ref, b_ref
+    return w1, w1i, w2, w2i, tw_r, tw_i, a_ref, b_ref
 
 
 def _kernel(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
-            w2ih, w2il, tw_r, tw_i, f_sgn, a_ref, b_ref, out_r, out_i,
+            w2ih, w2il, tw_r, tw_i, a_ref, b_ref, out_r, out_i,
             *, d: int, groups: int, nfft: int, mode: str):
     b1 = nfft // _LANE
     b2 = _LANE
@@ -126,9 +125,13 @@ def _kernel(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
 
     isgn = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * b2), 1)
     hsgn = jnp.where(isgn >= b2, jnp.float32(1.0), jnp.float32(-1.0))
+    # lane m-digit (same value on both [m|m] halves) for the factored ramp
+    m_tab = jnp.where(isgn >= b2, isgn - b2, isgn)                # (1, 2B2)
+    wrap_mask = m_tab >= b2 // 2          # f = m*B1 + k >= nfft/2 iff m >= 64
 
-    def one_pulse(t):
-        # ---- forward four-step: DFT_B1 over p, twiddle, DFT_B2 over q
+    def forward_spec(t):
+        """Forward four-step + matched filter + recentre ramp/carrier;
+        returns the pulse's processed spectrum in (k, [m|m]) layout."""
         z = jnp.concatenate([xr[t], xi[t]], axis=0)        # (2B1, B2)
         y = dot_l(w1h[:], w1l[:], z)                       # [k_re; k_im], q
         yr, yi = y[:b1], y[b1:]
@@ -137,15 +140,46 @@ def _kernel(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
         s = jnp.concatenate([zr, zi], axis=1)              # (B1, [q|q])
         s = dot_m(s, w2h[:], w2l[:])                       # (B1=k, [m|m])
 
-        # ---- matched filter (host table) then recentre ramp + carrier
+        # ---- matched filter (host table) ----
         s = s * a_ref[:] + _roll_half(s) * b_ref[:]
-        ph_i = (f_sgn[:] * si[t, 0]) % nfft                # exact i32
-        ph = (_TWO_PI / nfft) * (ph_i.astype(jnp.float32)
-                                 + f_sgn[:].astype(jnp.float32) * sf[t, 0]) \
+
+        # ---- recentre ramp + carrier, FACTORED: the linear-in-f phase
+        # theta*f_sgn + car splits over the digits f = m*B1 + k into
+        # A(k) (carries the carrier) x B(m) x C^[f >= nfft/2], each with the
+        # exact i32 + fractional decomposition — (B1 + B2 + 1) trig pairs
+        # per pulse instead of B1*B2 (the round-2 kernel's dominant cost).
+        si_t = si[t, 0]
+        sf_t = sf[t, 0]
+        k_io = jax.lax.broadcasted_iota(jnp.int32, (b1, 1), 0)
+        pha_i = (k_io * si_t) % nfft                       # exact i32
+        pha = (_TWO_PI / nfft) * (pha_i.astype(jnp.float32)
+                                  + sf_t * k_io.astype(jnp.float32)) \
             + car[t, 0]
-        cs = jnp.cos(ph)
-        sn = jnp.sin(ph)
-        s = s * cs + _roll_half(s) * (sn * hsgn)
+        ar, ai = jnp.cos(pha), jnp.sin(pha)                # (B1, 1)
+        mb = m_tab * b1                                    # (1, 2B2) i32
+        # (m*B1*si) mod nfft = B1*((m*si) mod B2): peak m*si = 127*(nfft-1)
+        # = 8.3e6 — i32-safe for every supported nfft (the direct product
+        # m*B1*si would overflow at nfft=65536)
+        phb_i = b1 * ((m_tab * si_t) % b2)
+        phb = (_TWO_PI / nfft) * (phb_i.astype(jnp.float32)
+                                  + sf_t * mb.astype(jnp.float32))
+        br, bi = jnp.cos(phb), jnp.sin(phb)                # (1, 2B2)
+        cs = ar * br - ai * bi                             # (B1, 2B2)
+        sn = ar * bi + ai * br
+        # wrap factor C = e^{-j 2 pi sf} where f_sgn went negative
+        phc = -_TWO_PI * sf_t
+        cr, ci_ = jnp.cos(phc), jnp.sin(phc)
+        cs, sn = (jnp.where(wrap_mask, cs * cr - sn * ci_, cs),
+                  jnp.where(wrap_mask, cs * ci_ + sn * cr, sn))
+        return (s * cs + _roll_half(s) * (sn * hsgn)) * (wl[t, 0] / d)
+
+    for g in range(groups):
+        # presum in the FREQUENCY domain (linear), so the inverse four-step
+        # runs once per group instead of once per pulse
+        def body(j, acc):
+            return acc + forward_spec(g * d + j)
+        s = jax.lax.fori_loop(0, d, body,
+                              jnp.zeros((b1, 2 * b2), jnp.float32))
 
         # ---- inverse four-step: iDFT_B2 over m, conj twiddle, iDFT_B1
         s = dot_m(s, w2ih[:], w2il[:])                     # (k, [q|q])
@@ -154,17 +188,8 @@ def _kernel(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
         s = s * a2 + _roll_half(s) * b2t                   # e^{+j th}
         z2 = jnp.concatenate([s[:, :b2], s[:, b2:]], axis=0)   # (2B1, q)
         y2 = dot_l(w1ih[:], w1il[:], z2)                   # [p_re; p_im], q
-        w = wl[t, 0] / d
-        return y2[:b1] * w, y2[b1:] * w
-
-    for g in range(groups):
-        def body(j, acc):
-            pr, pi_ = one_pulse(g * d + j)
-            return acc[0] + pr, acc[1] + pi_
-        z0 = jnp.zeros((b1, b2), jnp.float32)
-        accr, acci = jax.lax.fori_loop(0, d, body, (z0, z0))
-        out_r[g] = accr
-        out_i[g] = acci
+        out_r[g] = y2[:b1]
+        out_i[g] = y2[b1:]
 
 
 def recenter_presum_pallas(rc, sat_pos, sat_vel, t_slow, vel_focus, p, d: int,
@@ -207,7 +232,7 @@ def recenter_presum_pallas(rc, sat_pos, sat_vel, t_slow, vel_focus, p, d: int,
     if filter_compress:
         ref = matched_filter_spectrum(p, nfft)
     (w1h, w1l), (w1ih, w1il), (w2h, w2l), (w2ih, w2il), tw_r, tw_i, \
-        f_sgn, a_ref, b_ref = _tables(nfft, ref)
+        a_ref, b_ref = _tables(nfft, ref)
 
     xr = jnp.real(rc_p).astype(jnp.float32).reshape(p_pad, b1, _LANE)
     xi = jnp.imag(rc_p).astype(jnp.float32).reshape(p_pad, b1, _LANE)
@@ -228,14 +253,14 @@ def recenter_presum_pallas(rc, sat_pos, sat_vel, t_slow, vel_focus, p, d: int,
             grid=grid,
             in_specs=[bs_in, bs_in, bs_sc, bs_sc, bs_sc, bs_sc,
                       bs_w1, bs_w1, bs_w1, bs_w1, bs_w2, bs_w2, bs_w2, bs_w2,
-                      bs_tw, bs_tw, bs_f, bs_f, bs_f],
+                      bs_tw, bs_tw, bs_f, bs_f],
             out_specs=[bs_out, bs_out],
             out_shape=[jax.ShapeDtypeStruct((n_out, b1, _LANE), jnp.float32)]
             * 2,
             compiler_params=_VMEM,
             interpret=interpret,
         )(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
-          w2ih, w2il, tw_r, tw_i, f_sgn, a_ref, b_ref)
+          w2ih, w2il, tw_r, tw_i, a_ref, b_ref)
 
     rc_b = jax.lax.complex(our, oui).reshape(n_out, nfft)
     rc_b = rc_b[: -(-num_p // d)]
