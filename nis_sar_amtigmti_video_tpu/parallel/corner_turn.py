@@ -43,10 +43,13 @@ def corner_turn_local(x, axis_name: str, *, to_range_sharded: bool):
 
 
 def csa_local(phist_local, phi1_cols, phi2_rows, phi3_rows, axis_name: str,
-              fft_impl: str = "xla"):
+              fft_impl: str = "xla", input_layout: str = "pulse"):
     """Per-device body of the distributed CSA (see module docstring).
 
-    phist_local: (..., P/n, Ns) — pulse-sharded raw data
+    phist_local: (..., P/n, Ns) — pulse-sharded raw data (input_layout=
+                 'pulse'), or (..., P, Ns/n) already range-sharded
+                 (input_layout='range': the HRWS reconstruction's output
+                 layout — the first corner turn is skipped)
     phi1_cols:   (P, Ns/n)      — Phi1 sliced along range
     phi2_rows, phi3_rows: (P/n, Ns) — Phi2/Phi3 sliced along azimuth
     fft_impl: 'xla' | 'mxu' | 'hybrid' (ops/fft.py) — the azimuth passes
@@ -55,7 +58,9 @@ def csa_local(phist_local, phi1_cols, phi2_rows, phi3_rows, axis_name: str,
     """
     from nis_sar_amtigmti_video_tpu.ops.fft import get_impl
     fft, ifft = get_impl(fft_impl)
-    s = corner_turn_local(phist_local, axis_name, to_range_sharded=True)
+    s = phist_local
+    if input_layout == "pulse":
+        s = corner_turn_local(s, axis_name, to_range_sharded=True)
     s = fft(s, axis=-2) * phi1_cols
     s = corner_turn_local(s, axis_name, to_range_sharded=False)
     s = fft(s, axis=-1) * phi2_rows
@@ -65,21 +70,25 @@ def csa_local(phist_local, phi1_cols, phi2_rows, phi3_rows, axis_name: str,
 
 
 def csa_sharded(phist, phases: CsaPhases, mesh: Mesh, axis: str = "seq",
-                fft_impl: str = "xla"):
+                fft_impl: str = "xla", input_layout: str = "pulse"):
     """Sequence-parallel CSA: raw (..., P, Ns) sharded on the pulse axis over
-    ``axis``; returns SLC (..., P, Ns) sharded on the range axis.
+    ``axis`` (or on the range axis with input_layout='range', skipping the
+    first corner turn — the layout HRWS reconstruction hands over); returns
+    SLC (..., P, Ns) sharded on the range axis.
 
     P and Ns must both divide by the axis size. Phases are sliced to each
     device by shard_map's in_specs — no replication of the phase grids.
     """
     nbatch = phist.ndim - 2
     lead = [None] * nbatch
-    body = partial(csa_local, axis_name=axis, fft_impl=fft_impl)
+    body = partial(csa_local, axis_name=axis, fft_impl=fft_impl,
+                   input_layout=input_layout)
     spec_pulse = P(*lead, axis, None)
     spec_range = P(*lead, None, axis)
     f = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(spec_pulse, P(None, axis), P(axis, None), P(axis, None)),
+        in_specs=(spec_range if input_layout == "range" else spec_pulse,
+                  P(None, axis), P(axis, None), P(axis, None)),
         out_specs=spec_range)
     return f(phist, phases.phi1, phases.phi2, phases.phi3)
 
@@ -122,7 +131,8 @@ def bp_sharded(rc, sat_pos, sat_vel, t_slow, vel_focus, t_start, p,
 
 
 def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
-                    p, plan, mesh, axis: str = "seq", presum: int = 1):
+                    p, plan, mesh, axis: str = "seq", presum: int = 1,
+                    accumulate: str = "xla"):
     """Pulse-sharded *fast* backprojection: each device runs the fused
     compress+recentre+presum and iso-range accumulation on its slow-time
     shard, partial internal images psum over ``axis``, and the (cheap)
@@ -135,12 +145,22 @@ def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
     the single-device ones. Returns the (ny, nx) image, replicated (matches
     ops/bp_fast.py::backproject_fast(compress=True) to f32 reduction
     order).
+
+    ``accumulate`` selects the per-shard accumulation exactly as in
+    :func:`ops.bp_fast.backproject_fast`: 'xla' (scan), 'pallas' /
+    'pallas_interpret' (fused pixel-tile kernel — the path that makes
+    single-chip BP 111 ms; needs a w_win=64 plan), or 'factor' (the
+    sub-aperture factorization; needs a factorize=True plan). Sub-aperture
+    anchors are then per-shard, which changes only the band-limited merge's
+    ~-100 dB interpolation error, not the exact phase totals.
     """
     import jax
     from jax.sharding import PartitionSpec as P_
 
     from nis_sar_amtigmti_video_tpu.ops import bp_fast as bf
 
+    if accumulate == "pallas" and jax.default_backend() != "tpu":
+        accumulate = "xla"   # Mosaic needs a TPU; mirrors backproject_fast
     d = max(1, presum)
     n_sh = mesh.shape[axis]
     num_p = raw.shape[0]
@@ -167,7 +187,18 @@ def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
         rc2, _, _, _ = bf.recenter_presum(raw_l, pos_l, vel_l, ts_l, vf, p,
                                           d, plan.t_ref, ref_conj=ref_conj,
                                           t_mean=t_mean)
-        img = bf._accumulate(rc2, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l, plan)
+        if accumulate in ("pallas", "pallas_interpret"):
+            from nis_sar_amtigmti_video_tpu.ops.pallas import bp_kernel
+            img = bp_kernel.accumulate_pallas(
+                rc2, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l, plan,
+                interpret=(accumulate == "pallas_interpret"))
+        elif accumulate == "factor" and plan.sub_raw > 0:
+            img = bf._accumulate_factor(rc2, u0_l, pa_l, pb_l, pc_l, bt_l,
+                                        ct_l, plan,
+                                        max(1, plan.sub_raw // d))
+        else:
+            img = bf._accumulate(rc2, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l,
+                                 plan)
         return jax.lax.psum(img, axis)[None]
 
     fn = jax.shard_map(

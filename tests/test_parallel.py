@@ -259,6 +259,82 @@ class TestShardedBP:
             presum=2))
         np.testing.assert_allclose(got, want, atol=2e-4 * np.abs(want).max())
 
+    def _bp_scene(self, w_win=32, factorize=False):
+        from nis_sar_amtigmti_video_tpu.geometry import orbit
+        from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
+        from nis_sar_amtigmti_video_tpu.ops import bp_fast
+        from nis_sar_amtigmti_video_tpu.ops.echo import (
+            EchoOpts, phase_history, window_start_time)
+        from nis_sar_amtigmti_video_tpu.scene import targets as T
+
+        sc = cfg.videosar()
+        g = sc.geometry
+        n_p, n_s = 64, 1024
+        traj = orbit.make_trajectory(g, orbit.slow_time_grid(n_p / 5000.0,
+                                                             n_p))
+        opts = EchoOpts(fc_hz=9.65e9, chirp_rate=150e6 / 2e-6,
+                        pulse_width_s=2e-6, fs_hz=180e6, num_samples=n_s,
+                        endpoint_grid=False, chirp_centering="centered",
+                        amplitude="rcs", stop_and_go=True)
+        t0 = window_start_time(g.slant_range_m, opts, n_s / opts.fs_hz,
+                               "centered")
+        vel = np.array([10.0, 0.0, 0.0])
+        raw = phase_history(traj, T.point_target((0.0, 0.0, 0.0), 50.0),
+                            opts, t_start=t0, target_velocity=vel)
+        p = bp_ops.BpParams(fc_hz=opts.fc_hz, chirp_rate=opts.chirp_rate,
+                            fs_hz=opts.fs_hz,
+                            pulse_width_s=opts.pulse_width_s,
+                            num_samples=n_s, nx=32, ny=32,
+                            scene_size_m=200.0)
+        plan = bp_fast.make_plan(p, np.asarray(traj.positions),
+                                 np.asarray(traj.times), float(t0),
+                                 w_win=w_win, factorize=factorize)
+        return raw, traj, p, plan, float(t0), vel
+
+    def test_fast_bp_sharded_pallas_accumulate(self):
+        """The distributed fast-BP path with the pixel-tile pallas kernel
+        (interpret mode) must match the single-device pallas path — the
+        round-2 gap where bp_fast_sharded bypassed the kernel."""
+        from nis_sar_amtigmti_video_tpu.ops import bp_fast
+        from nis_sar_amtigmti_video_tpu.ops.pallas import bp_kernel
+
+        raw, traj, p, plan, t0, vel = self._bp_scene(w_win=64)
+        assert bp_kernel.supported(plan)
+        pos = jnp.asarray(traj.positions)
+        ve = jnp.asarray(traj.velocities)
+        ts = jnp.asarray(traj.times)
+        vf = jnp.asarray(vel, jnp.float64)
+        want = cplx.to_host(bp_fast.backproject_fast(
+            raw, pos, ve, ts, vf, p, plan, presum=2, compress=True,
+            accumulate="pallas_interpret"))
+        m = mesh_mod.make_mesh((1, 1, 8))
+        got = cplx.to_host(corner_turn.bp_fast_sharded(
+            raw, pos, ve, ts, vf, jnp.float64(t0), p, plan, m, axis="seq",
+            presum=2, accumulate="pallas_interpret"))
+        np.testing.assert_allclose(got, want, atol=2e-4 * np.abs(want).max())
+
+    def test_fast_bp_sharded_factor_accumulate(self):
+        """Sharded factorized (sub-aperture) accumulate vs the single-device
+        factorized path: per-shard anchors change only the band-limited
+        merge's ~-100 dB interpolation error, so a loose-but-tight bound
+        holds."""
+        from nis_sar_amtigmti_video_tpu.ops import bp_fast
+
+        raw, traj, p, plan, t0, vel = self._bp_scene(factorize=True)
+        assert plan.sub_raw > 0
+        pos = jnp.asarray(traj.positions)
+        ve = jnp.asarray(traj.velocities)
+        ts = jnp.asarray(traj.times)
+        vf = jnp.asarray(vel, jnp.float64)
+        want = cplx.to_host(bp_fast.backproject_fast(
+            raw, pos, ve, ts, vf, p, plan, presum=2, compress=True,
+            accumulate="factor"))
+        m = mesh_mod.make_mesh((1, 1, 8))
+        got = cplx.to_host(corner_turn.bp_fast_sharded(
+            raw, pos, ve, ts, vf, jnp.float64(t0), p, plan, m, axis="seq",
+            presum=2, accumulate="factor"))
+        np.testing.assert_allclose(got, want, atol=2e-3 * np.abs(want).max())
+
     def test_fast_bp_sharded_rejects_ragged(self):
         from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
         from nis_sar_amtigmti_video_tpu.ops import bp_fast
