@@ -19,35 +19,98 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-# Per-landcover radar/visual material properties: color (viz), roughness and
-# dielectric constant (backscatter modeling) — the reference's MATERIALS
-# mapping (sar_scene_data.py:9-69), values preserved by class.
+def _rgb(hex_color: str) -> Tuple[float, float, float]:
+    h = hex_color.lstrip("#")
+    return tuple(int(h[i:i + 2], 16) / 255.0 for i in (0, 2, 4))
+
+
+def _m(hex_color: str, roughness: float, dielectric: float,
+       height_m: float = 0.0) -> dict:
+    return {"color": _rgb(hex_color), "roughness": roughness,
+            "dielectric": dielectric, "height_m": height_m}
+
+
+# Per-landcover/coating radar+visual material properties: color (viz),
+# roughness and dielectric constant (backscatter modeling) — the full
+# reference MATERIALS taxonomy (sar_scene_data.py:9-69, roughness/dielectric
+# values preserved as data per class), extended with a per-class default
+# extrusion height for the world/point-target bridges.
 MATERIALS: Dict[str, dict] = {
-    "building": {"color": (0.72, 0.68, 0.64), "roughness": 0.7,
-                 "dielectric": 5.0, "height_m": 9.0},
-    "house": {"color": (0.75, 0.70, 0.62), "roughness": 0.7,
-              "dielectric": 5.0, "height_m": 6.0},
-    "road": {"color": (0.25, 0.25, 0.27), "roughness": 0.3,
-             "dielectric": 6.0, "height_m": 0.0},
-    "water": {"color": (0.15, 0.35, 0.55), "roughness": 0.05,
-              "dielectric": 80.0, "height_m": 0.0},
-    "grass": {"color": (0.35, 0.55, 0.25), "roughness": 0.9,
-              "dielectric": 15.0, "height_m": 0.2},
-    "forest": {"color": (0.18, 0.38, 0.16), "roughness": 1.0,
-               "dielectric": 20.0, "height_m": 12.0},
-    "farmland": {"color": (0.55, 0.5, 0.3), "roughness": 0.8,
-                 "dielectric": 12.0, "height_m": 0.3},
-    "sand": {"color": (0.8, 0.75, 0.55), "roughness": 0.6,
-             "dielectric": 3.0, "height_m": 0.0},
-    "rock": {"color": (0.5, 0.48, 0.45), "roughness": 0.85,
-             "dielectric": 6.0, "height_m": 0.5},
-    "default": {"color": (0.5, 0.5, 0.5), "roughness": 0.5,
-                "dielectric": 8.0, "height_m": 0.0},
+    # natural
+    "water": _m("#4A90D9", 0.05, 80.0),
+    "ocean": _m("#1E5799", 0.02, 80.0),
+    "coastline": _m("#4A90D9", 0.05, 80.0),
+    "bay": _m("#4A90D9", 0.05, 80.0),
+    "sand": _m("#F5DEB3", 0.7, 3.0),
+    "beach": _m("#FFF8DC", 0.7, 3.0),
+    "wood": _m("#228B22", 0.9, 5.0, height_m=12.0),
+    "tree_row": _m("#228B22", 0.9, 5.0, height_m=8.0),
+    "scrub": _m("#6B8E23", 0.85, 5.0, height_m=1.5),
+    "grassland": _m("#90EE90", 0.8, 5.0, height_m=0.2),
+    "wetland": _m("#6B8E6B", 0.6, 40.0),
+    "bare_rock": _m("#A0A0A0", 0.9, 7.0, height_m=0.5),
+    # landuse
+    "residential": _m("#DCDCDC", 0.7, 4.0),
+    "commercial": _m("#F5DEB3", 0.6, 4.0),
+    "industrial": _m("#D8BFD8", 0.5, 4.0),
+    "retail": _m("#FFD0D0", 0.6, 4.0),
+    "grass": _m("#90EE90", 0.8, 5.0, height_m=0.2),
+    "forest": _m("#006400", 0.9, 5.0, height_m=12.0),
+    "farmland": _m("#EEE8AA", 0.75, 4.0, height_m=0.3),
+    "farmyard": _m("#D2B48C", 0.7, 4.0),
+    "orchard": _m("#9ACD32", 0.85, 5.0, height_m=4.0),
+    "meadow": _m("#98FB98", 0.8, 5.0, height_m=0.2),
+    "cemetery": _m("#AACBAF", 0.7, 4.0),
+    "construction": _m("#C8B464", 0.6, 4.0),
+    "railway": _m("#808080", 0.3, 1000.0),
+    # leisure
+    "park": _m("#C8FACC", 0.8, 5.0, height_m=0.2),
+    "garden": _m("#BDECB6", 0.8, 5.0, height_m=0.3),
+    "playground": _m("#CCFFFF", 0.6, 4.0),
+    "pitch": _m("#89D689", 0.75, 5.0),
+    "golf_course": _m("#B5E3B5", 0.8, 5.0),
+    "swimming_pool": _m("#66B2FF", 0.1, 80.0),
+    # infrastructure
+    "parking": _m("#F7EFCE", 0.3, 6.0),
+    "road": _m("#333333", 0.2, 6.0),
+    "highway": _m("#333333", 0.2, 6.0),
+    "footway": _m("#AAAAAA", 0.3, 5.0),
+    "path": _m("#D2B48C", 0.5, 4.0),
+    # buildings
+    "building": _m("#D9D0C9", 0.7, 4.0, height_m=9.0),
+    "house": _m("#D9D0C9", 0.7, 4.0, height_m=6.0),
+    # default / terrain
+    "default": _m("#C0C0C0", 0.5, 4.0),
+    "ground": _m("#8FBC8F", 0.6, 4.0),
+    "terrain": _m("#8B7355", 0.7, 4.0),
+    "metal": _m("#FF4444", 0.0, 1000.0),
+    "rock": _m("#A0A0A0", 0.85, 7.0, height_m=0.5),
+    # vehicle / aircraft coatings
+    "stealth_coating": _m("#2A2A2A", 0.9, 2.5),     # low reflectivity
+    "aluminum": _m("#C0C0C0", 0.1, 1000.0),         # shiny, high reflectivity
+    "car_paint": _m("#FF0000", 0.2, 10.0),
+    "steel_armor": _m("#3A4030", 0.7, 1000.0),      # matte green metal
+    "ship_metal": _m("#708090", 0.6, 1000.0),       # slate grey
 }
 
 
 def material_for(kind: str) -> dict:
     return MATERIALS.get(kind, MATERIALS["default"])
+
+
+def material_rcs_factor(kind: str) -> float:
+    """Relative RCS scaling of a material, from its radar constants:
+    normal-incidence power reflectance rho = ((sqrt(eps)-1)/(sqrt(eps)+1))^2
+    attenuated by surface roughness (diffuse scattering off the specular
+    return): factor = rho * (1 - roughness/2). Conductor-class dielectrics
+    (eps=1000: aluminum/ship_metal/steel_armor) land near 1; stealth_coating
+    (eps=2.5, roughness 0.9) lands near 0.03 — consistent with the
+    reference's F-35 rcs_scale=0.01 convention (vehicle_targets.py:99-100).
+    """
+    mat = material_for(kind)
+    rt = math.sqrt(mat["dielectric"])
+    rho = ((rt - 1.0) / (rt + 1.0)) ** 2
+    return rho * (1.0 - 0.5 * mat["roughness"])
 
 
 def latlon_to_meters(lat: float, lon: float, lat0: float, lon0: float
@@ -303,3 +366,96 @@ def features_to_point_targets(features: Sequence[SceneFeature],
     if not pos:
         return PointTargets(np.zeros((0, 3)), np.zeros(0), ())
     return PointTargets(np.concatenate(pos), np.concatenate(rcs), tuple(names))
+
+
+# --------------------------------------------------------------------------
+# scene-model placements (sar_scene_data.py:73-128)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ScenePlacement:
+    """One vehicle/aircraft model placed into a fetched real-world scene —
+    the typed equivalent of a reference SCENE_MODELS entry
+    (sar_scene_data.py:73-128, consumed by sar_simulator_ursina.py:247-266).
+
+    ``position_m`` is ground (x, y) meters about the scene origin (the
+    reference's Ursina (x, z) ground plane), ``height_offset_m`` lifts the
+    model above the terrain, ``heading_deg`` is the ground-plane heading
+    (the reference rotation triple's yaw component; the full triple is kept
+    for mesh-viewer parity), ``material`` keys MATERIALS and drives the
+    radar RCS scaling of the bridged point-target model, and ``scale`` is
+    the mesh display scale (the point-target models are already metric, so
+    the bridge ignores it).
+    """
+    name: str
+    model: str                     # scene.targets generator key
+    position_m: Tuple[float, float]
+    height_offset_m: float
+    scale: float
+    material: str
+    heading_deg: float
+    rotation_deg: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+# The reference's six placements, reproduced as data (name / position /
+# height offset / scale / material / rotation: sar_scene_data.py:73-128).
+# Each FBX file maps to the nearest scene.targets point-scatterer model.
+SCENE_PLACEMENTS: Tuple[ScenePlacement, ...] = (
+    ScenePlacement("F-35B Lightning II", "f35", (0.0, 200.0), 45.0, 0.02,
+                   "stealth_coating", 45.0, (0.0, 45.0, 0.0)),
+    ScenePlacement("Boeing 787-8", "airliner", (60.0, 240.0), 45.0, 0.02,
+                   "aluminum", 45.0, (0.0, 45.0, 0.0)),
+    ScenePlacement("Civilian Car", "car", (40.0, 210.0), 0.8, 0.02,
+                   "steel_armor", -35.0, (-90.0, -35.0, 0.0)),
+    ScenePlacement("Main Battle Tank", "tank", (55.0, 225.0), 0.8, 0.02,
+                   "steel_armor", -35.0, (-90.0, -35.0, 0.0)),
+    ScenePlacement("Small Boat", "boat", (20.0, 400.0), 0.0, 0.02,
+                   "ship_metal", -35.0, (-90.0, -35.0, 0.0)),
+    ScenePlacement("Navy Frigate", "frigate", (-70.0, 600.0), 0.0, 0.02,
+                   "ship_metal", 145.0, (-90.0, 145.0, 0.0)),
+)
+
+
+def _placement_model(model: str):
+    """Point-scatterer model for a placement key (scene.targets bridge)."""
+    from nis_sar_amtigmti_video_tpu.scene import targets as T
+
+    if model == "f35":
+        return T.f35()
+    if model == "airliner":
+        # no dedicated airliner point model in the reference's
+        # vehicle_targets.py — a 4x-RCS fighter_jet hull stands in
+        return T.fighter_jet(rcs_scale=4.0)
+    if model == "car":
+        return T.car()
+    if model == "tank":
+        return T.tank()
+    if model == "boat":
+        # small craft: car-class scatterer count at boat-class RCS
+        return T.car().scale_rcs(5.0)
+    if model == "frigate":
+        return T.destroyer()
+    raise ValueError(f"unknown placement model {model!r}")
+
+
+def placement_targets(placements: Sequence[ScenePlacement] = SCENE_PLACEMENTS,
+                      elevation: Optional[ElevationGrid] = None):
+    """Drop the placed models into the scene as point targets: each model's
+    scatterer cloud is heading-rotated, translated to its placement position
+    at terrain + height offset, and RCS-scaled by its coating material
+    (:func:`material_rcs_factor`) — the simulation bridge the reference's
+    Ursina world only renders visually."""
+    from nis_sar_amtigmti_video_tpu.scene.targets import PointTargets
+
+    parts = []
+    for pl in placements:
+        x, y = pl.position_m
+        z = pl.height_offset_m
+        if elevation is not None:
+            z = z + float(elevation.elevation_at(x, y))
+        m = (_placement_model(pl.model)
+             .rotate_z(pl.heading_deg)
+             .scale_rcs(material_rcs_factor(pl.material))
+             .translate((x, y, z)))
+        parts.append(m)
+    return PointTargets.concatenate(parts)

@@ -169,6 +169,49 @@ def build_world(features: Sequence[SceneFeature],
     return meshes
 
 
+def placement_meshes(placements=None,
+                     elevation: Optional[ElevationGrid] = None) -> List[Mesh]:
+    """Placed vehicle/aircraft models -> render meshes, the world-viewer
+    half of the scene-model registry (the reference places FBX models with
+    per-material colors, sar_simulator_ursina.py:247-266; here each placed
+    point-scatterer model renders as its material-colored bounding hull
+    plus per-scatterer studs so pose/heading read in the preview)."""
+    from nis_sar_amtigmti_video_tpu.scene.materials import (
+        SCENE_PLACEMENTS, _placement_model)
+
+    if placements is None:
+        placements = SCENE_PLACEMENTS
+    meshes: List[Mesh] = []
+    for i, pl in enumerate(placements):
+        x, y = pl.position_m
+        z = pl.height_offset_m
+        if elevation is not None:
+            z = z + float(elevation.elevation_at(x, y))
+        pts = (_placement_model(pl.model).rotate_z(pl.heading_deg)
+               .translate((x, y, z)).positions)
+        lo, hi = pts.min(axis=0), pts.max(axis=0)
+        pad = 0.25 * max(1.0, float((hi - lo)[:2].max()) * 0.05)
+        rect = np.array([[lo[0] - pad, lo[1] - pad], [hi[0] + pad, lo[1] - pad],
+                         [hi[0] + pad, hi[1] + pad], [lo[0] - pad, hi[1] + pad]])
+        v, fc = extrude_polygon(rect, max(float(hi[2] - lo[2]), 0.5),
+                                float(lo[2]))
+        meshes.append(Mesh(f"model_{i}_{pl.model}", pl.material, v, fc))
+        # scatterer studs: small boxes marking the point-target layout
+        studs_v, studs_f = [], []
+        off = 0
+        for px, py, pz in pts:
+            sv, sf = extrude_polygon(
+                np.array([[px - 0.3, py - 0.3], [px + 0.3, py - 0.3],
+                          [px + 0.3, py + 0.3], [px - 0.3, py + 0.3]]),
+                0.6, pz)
+            studs_v.append(sv)
+            studs_f.append(sf + off)
+            off += sv.shape[0]
+        meshes.append(Mesh(f"model_{i}_{pl.model}_points", "metal",
+                           np.concatenate(studs_v), np.concatenate(studs_f)))
+    return meshes
+
+
 def export_obj(path: str, meshes: Sequence[Mesh]) -> str:
     """Wavefront OBJ + MTL with per-material colors."""
     mtl_path = path.rsplit(".", 1)[0] + ".mtl"

@@ -50,7 +50,7 @@ class TestMaterials:
         kinds = [f.kind for f in feats]
         assert kinds == ["building", "road", "water"]
         assert feats[0].height_m == 12.0
-        assert feats[0].material["dielectric"] == 5.0
+        assert feats[0].material["dielectric"] == 4.0  # reference building class
 
     def test_offline_fetch_raises(self):
         with pytest.raises(RuntimeError, match="offline"):
@@ -63,6 +63,88 @@ class TestMaterials:
                                         density_per_m2=0.02, rng=rng)
         assert pts.num > 5
         assert pts.rcs.min() > 0
+
+
+class TestPlacements:
+    """Scene-model placement registry (sar_scene_data.py:73-128) and its
+    simulation/world bridges."""
+
+    def test_registry_matches_reference(self):
+        from nis_sar_amtigmti_video_tpu.scene.materials import (
+            SCENE_PLACEMENTS)
+        names = [p.name for p in SCENE_PLACEMENTS]
+        assert names == ["F-35B Lightning II", "Boeing 787-8",
+                         "Civilian Car", "Main Battle Tank", "Small Boat",
+                         "Navy Frigate"]
+        by = {p.name: p for p in SCENE_PLACEMENTS}
+        assert by["F-35B Lightning II"].position_m == (0.0, 200.0)
+        assert by["F-35B Lightning II"].height_offset_m == 45.0
+        assert by["F-35B Lightning II"].material == "stealth_coating"
+        assert by["Navy Frigate"].position_m == (-70.0, 600.0)
+        assert by["Navy Frigate"].heading_deg == 145.0
+        assert by["Main Battle Tank"].rotation_deg == (-90.0, -35.0, 0.0)
+
+    def test_materials_taxonomy_breadth(self):
+        from nis_sar_amtigmti_video_tpu.scene.materials import (
+            MATERIALS, material_rcs_factor)
+        # reference landcover + coating classes all present with their
+        # radar constants (sar_scene_data.py:9-69)
+        assert MATERIALS["ocean"]["dielectric"] == 80.0
+        assert MATERIALS["ocean"]["roughness"] == 0.02
+        assert MATERIALS["wetland"]["dielectric"] == 40.0
+        assert MATERIALS["railway"]["dielectric"] == 1000.0
+        assert MATERIALS["parking"]["roughness"] == 0.3
+        assert MATERIALS["stealth_coating"]["dielectric"] == 2.5
+        assert MATERIALS["aluminum"]["roughness"] == 0.1
+        assert MATERIALS["ship_metal"]["dielectric"] == 1000.0
+        assert len(MATERIALS) >= 46
+        # RCS factors order correctly by material class
+        assert material_rcs_factor("aluminum") > 0.8
+        assert material_rcs_factor("stealth_coating") < 0.05
+        assert (material_rcs_factor("steel_armor")
+                < material_rcs_factor("aluminum"))
+
+    def test_placement_targets_bridge(self):
+        from nis_sar_amtigmti_video_tpu.scene.materials import (
+            SCENE_PLACEMENTS, material_rcs_factor, placement_targets)
+        from nis_sar_amtigmti_video_tpu.scene import targets as T
+
+        elev = ElevationGrid(np.array([-1000.0, 1000.0]),
+                             np.array([-1000.0, 1000.0]),
+                             np.array([[2.0, 2.0], [2.0, 2.0]]))
+        tg = placement_targets(elevation=elev)
+        # six models concatenated; every scatterer near its placement
+        start = 0
+        for pl in SCENE_PLACEMENTS:
+            n = {"f35": len(T.f35().rcs), "airliner": len(T.fighter_jet().rcs),
+                 "car": len(T.car().rcs), "tank": len(T.tank().rcs),
+                 "boat": len(T.car().rcs),
+                 "frigate": len(T.destroyer().rcs)}[pl.model]
+            seg = tg.positions[start:start + n]
+            c = seg.mean(axis=0)
+            assert abs(c[0] - pl.position_m[0]) < 120.0
+            assert abs(c[1] - pl.position_m[1]) < 120.0
+            # terrain (2 m) + height offset
+            assert seg[:, 2].min() >= pl.height_offset_m + 2.0 - 3.0
+            start += n
+        assert start == tg.num
+        # stealth coating crushes the F-35 RCS vs the aluminum airliner
+        f35_rcs = tg.rcs[:len(T.f35().rcs)].sum()
+        air_rcs = tg.rcs[len(T.f35().rcs):
+                         len(T.f35().rcs) + len(T.fighter_jet().rcs)].sum()
+        assert f35_rcs < 0.05 * air_rcs
+        assert np.isclose(
+            f35_rcs,
+            T.f35().total_rcs * material_rcs_factor("stealth_coating"))
+
+    def test_placement_meshes_render(self, tmp_path):
+        meshes = world.placement_meshes()
+        assert len(meshes) == 12          # hull + studs per placement
+        hull = meshes[0]
+        assert hull.material == "stealth_coating"
+        assert hull.vertices[:, 2].min() >= 44.0   # height offset honored
+        out = world.export_obj(str(tmp_path / "placed.obj"), meshes)
+        assert os.path.exists(out)
 
 
 class TestWorld:
