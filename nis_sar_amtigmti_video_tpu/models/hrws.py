@@ -126,6 +126,67 @@ def reconstruct(raw_channels, p: HrwsParams):
     return jnp.fft.ifft(ext, axis=0) * m
 
 
+def reconstruct_sharded(raw_channels, p: HrwsParams, mesh, axis: str = "seq"):
+    """Range-bin-sharded HRWS reconstruction (the SURVEY §2.10 commitment:
+    "per-Doppler-bin solve sharded over range bins").
+
+    Every step of :func:`reconstruct` — azimuth FFT (along pulses), the
+    per-Doppler-bin Tikhonov-loaded solve, the band scatter and the inverse
+    FFT — is independent per range bin, so the shard_map body IS
+    ``reconstruct`` on the local (K, P, Ns/n) slab: zero collectives beyond
+    the input reshard, and the M x M Gram solves replicate only the (tiny)
+    steering matrices. Input sharded (or resharded) on the trailing range
+    axis over mesh ``axis``; output (M*P, Ns) stays range-sharded for the
+    focusing stage that follows (ops/csa.py on the same layout).
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P_
+
+    if isinstance(raw_channels, (tuple, list)):
+        raw_channels = jnp.stack(raw_channels, axis=0)
+    f = jax.shard_map(
+        lambda rc_l: reconstruct(rc_l, p), mesh=mesh,
+        in_specs=P_(None, None, axis), out_specs=P_(None, axis),
+        check_vma=False)
+    return f(raw_channels)
+
+
+def collect_reconstruct_focus(trajectory, targets, echo_opts, p: HrwsParams,
+                              csa_params, *, t_start: float, mesh=None,
+                              axis: str = "seq",
+                              target_velocity=(0.0, 0.0, 0.0)):
+    """End-to-end HRWS pipeline: K-channel collection at the (deliberately
+    sub-Nyquist) system PRF -> azimuth-spectrum unfolding -> CSA focusing
+    at PRF_eff = M*PRF. This is the processing chain the reference's
+    'doppler ambiguity' demo motivates (ghosts at low PRF,
+    ``doppler ambiguity.html:556-570``) and the HRWS constellation is built
+    to feed (``HRWS constellation.html``).
+
+    ``csa_params.num_pulses`` must equal M*P (the reconstructed slow-time
+    length) and ``csa_params.prf_hz`` the effective PRF. With ``mesh``,
+    reconstruction runs range-sharded (:func:`reconstruct_sharded`) and the
+    CSA runs on the same sharded layout via the sequence-parallel path.
+    Returns (reconstructed slow-time signal, focused SLC).
+    """
+    from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+    from nis_sar_amtigmti_video_tpu.ops.echo import (
+        multi_channel_phase_history)
+
+    raw = multi_channel_phase_history(
+        trajectory, targets, echo_opts, t_start=t_start,
+        rx_offsets=p.rx_offsets(), target_velocity=target_velocity)
+    if mesh is not None:
+        from nis_sar_amtigmti_video_tpu.parallel import corner_turn
+        rec = reconstruct_sharded(raw, p, mesh, axis)
+        slc = corner_turn.csa_sharded(rec, csa_ops.csa_phases(csa_params),
+                                      mesh, axis=axis,
+                                      input_layout="range")
+    else:
+        rec = reconstruct(raw, p)
+        slc = csa_ops.focus_csa(rec, csa_params)
+    return rec, slc
+
+
 def ghost_free_prf(doppler_bandwidth_hz: float, num_channels: int) -> float:
     """Minimum system PRF for K channels to cover a Doppler bandwidth."""
     return doppler_bandwidth_hz / num_channels
