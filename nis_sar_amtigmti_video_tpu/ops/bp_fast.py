@@ -408,21 +408,8 @@ def _idx_phase_exact(g, pos, vel, vf, p: BpParams, plan: FastBpPlan):
     return idx, phase
 
 
-def _anchor_plan(num_p: int, h: int):
-    """Static (host) anchor layout for the t-interpolated fit: per-pulse
-    window starts, needed anchor indices, per-group anchor row triples and
-    per-pulse quadratic Lagrange weights on the uniform {0, h, 2h} nodes."""
-    n_grp = -(-num_p // h)
-    starts = [min(j * h, max(0, num_p - 1 - 2 * h)) for j in range(n_grp)]
-    needed = sorted({s + k * h for s in starts for k in (0, 1, 2)})
-    row = {ix: i for i, ix in enumerate(needed)}
-    trip = np.asarray([[row[s], row[s + h], row[s + 2 * h]] for s in starts])
-    t_idx = np.arange(num_p)
-    r = (t_idx - np.asarray(starts)[t_idx // h]).astype(np.float64)
-    w = np.stack([(r - h) * (r - 2 * h) / (2.0 * h * h),
-                  r * (2 * h - r) / (h * h),
-                  r * (r - h) / (2.0 * h * h)], axis=1)       # (P, 3)
-    return (np.asarray(needed), trip[t_idx // h], w)
+from nis_sar_amtigmti_video_tpu.utils.anchors import (anchor_plan as
+                                                      _anchor_plan)
 
 
 def _fit_coeffs(pos2, vel2, t2, vel_focus, p: BpParams, plan: FastBpPlan,
@@ -833,13 +820,32 @@ def _finalize(img_i, phase_coeffs, pos2, vel2, t2, vf, t_mean_v, p: BpParams,
 
     x = jnp.linspace(-p.scene_size_m / 2.0, p.scene_size_m / 2.0, p.nx)
     y = jnp.linspace(-p.scene_size_m / 2.0, p.scene_size_m / 2.0, p.ny)
-    gx, gy = jnp.meshgrid(x, y, indexing="xy")
-    g_out = jnp.stack([gx, gy, jnp.zeros_like(gx)], axis=-1
-                      ).astype(jnp.float64)
     org_tc = vf * (t2[tc] - t_mean_v)
-    _, ph_out = _idx_phase_exact(g_out, (pos2[tc] - org_tc)[None, None, :],
-                                 vel2[tc][None, None, :], vf, p, plan)
-    ph_out = (ph_out - _TWO_PI * jnp.round(ph_out / _TWO_PI)
+    pos_tc = (pos2[tc] - org_tc)[None, None, :]
+    vel_tc = vel2[tc][None, None, :]
+
+    h_out = 8
+    if p.nx > 3 * h_out and p.ny > 3 * h_out:
+        # anchored remodulation: exact f64 physics on a stride-8 sub-grid +
+        # separable quadratic interpolation of the unwrapped phase (same
+        # ~1e-5 rad residual class as the fit's slow-time anchors) — the
+        # full-grid f64 evaluation was a measurable finalize cost
+        nx_need, trip_x, w_x = _anchor_plan(p.nx, h_out)
+        ny_need, trip_y, w_y = _anchor_plan(p.ny, h_out)
+        gx, gy = jnp.meshgrid(x[nx_need], y[ny_need], indexing="xy")
+        g_sub = jnp.stack([gx, gy, jnp.zeros_like(gx)], axis=-1
+                          ).astype(jnp.float64)
+        _, ph_sub = _idx_phase_exact(g_sub, pos_tc, vel_tc, vf, p, plan)
+        phx = jnp.einsum("ank,nk->an", ph_sub[:, trip_x],
+                         jnp.asarray(w_x))                    # (nya, nx)
+        ph_out64 = jnp.einsum("mkn,mk->mn", phx[trip_y, :],
+                              jnp.asarray(w_y))               # (ny, nx)
+    else:
+        gx, gy = jnp.meshgrid(x, y, indexing="xy")
+        g_out = jnp.stack([gx, gy, jnp.zeros_like(gx)], axis=-1
+                          ).astype(jnp.float64)
+        _, ph_out64 = _idx_phase_exact(g_out, pos_tc, vel_tc, vf, p, plan)
+    ph_out = (ph_out64 - _TWO_PI * jnp.round(ph_out64 / _TWO_PI)
               ).astype(jnp.float32)
     return img * expj(ph_out)
 

@@ -72,6 +72,13 @@ class EchoOpts:
     # the flanks themselves are synthesized exactly. 0 = round-1 approximate
     # mode (no exact-edge pass, ~-25 dB field floor)
     freq_edge_taper: float = 4.0
+    # 'auto' | 'dense' | 'scatter': how the NUFFT impulses reach the grid
+    # (dense = one-hot MXU spreading, the TPU scatter-wall fix; targets are
+    # delay-sorted below so its group windows stay narrow)
+    freq_spreader: str = "auto"
+    # slow-time stride of the exact f64 geometry pass for backend='freq'
+    # (quadratic anchor interpolation between; 0/1 = exact at every pulse)
+    freq_geom_stride: int = 8
 
     @property
     def half_width(self) -> float:
@@ -156,9 +163,9 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
     shift = jnp.float32(opts.chirp_shift)
     half = jnp.float32(opts.half_width)
 
-    def geometry_block(j, ts, ps, vs):
-        """f64 geometry -> f32 scalars for target chunk j of one pulse chunk:
-        (tau_rel, carrier, amp), each (pc, tb). ts:(pc,), ps/vs:(pc,3)."""
+    def geometry_core(j, ts, ps, vs):
+        """f64 geometry for target chunk j of one pulse chunk: (tau (f64),
+        amp (f32)), each (pc, tb). ts:(pc,), ps/vs:(pc,3)."""
         pos0 = jax.lax.dynamic_slice(tgt_pos_p, (j * tb, 0), (tb, 3))
         amp0 = jax.lax.dynamic_slice(amp_b, (j * tb,), (tb,))
 
@@ -176,9 +183,6 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
         d_rx = jnp.linalg.norm(p_t - p_rx, axis=-1)
         tau = (d_tx + d_rx) / c
 
-        carrier = _wrap_pi(-_TWO_PI * opts.fc_hz * tau).astype(jnp.float32)
-        tau_rel = (tau - t_start).astype(jnp.float32)       # (pc, tb), < ~50 us
-
         amp = amp0[None, :]
         if opts.antenna_length_m > 0.0:
             look = -ps / jnp.linalg.norm(ps, axis=-1, keepdims=True)
@@ -190,6 +194,13 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
             sinc = jnp.where(jnp.abs(x) > 1e-6, jnp.sin(x) / jnp.where(x == 0, 1.0, x), 1.0)
             amp = amp * (sinc ** 2)
         amp = jnp.broadcast_to(amp, tau.shape).astype(jnp.float32)
+        return tau, amp
+
+    def geometry_block(j, ts, ps, vs):
+        """geometry_core -> f32 scalars (tau_rel, carrier, amp)."""
+        tau, amp = geometry_core(j, ts, ps, vs)
+        carrier = _wrap_pi(-_TWO_PI * opts.fc_hz * tau).astype(jnp.float32)
+        tau_rel = (tau - t_start).astype(jnp.float32)       # (pc, tb), < ~50 us
         return tau_rel, carrier, amp
 
     def target_block(j, carry, ts, ps, vs):
@@ -203,22 +214,79 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
         sig = jnp.where(mask, amp[:, :, None], jnp.float32(0.0)) * expj(phase)
         return carry + jnp.sum(sig, axis=1)
 
+    if opts.backend == "freq":
+        # delay-sort the scene once (mid-pulse ranges): the dense spreader's
+        # group windows need consecutive targets to span a narrow delay band;
+        # the echo is a sum over targets, so order never changes the output
+        d_mid = jnp.linalg.norm(
+            tgt_pos_p - sat_pos[num_p // 2][None, :], axis=1)
+        order = jnp.argsort(jnp.where(jnp.arange(b_pad) < num_b, d_mid,
+                                      jnp.inf))
+        tgt_pos_p = tgt_pos_p[order]
+        tgt_rcs_p = tgt_rcs_p[order]
+        amp_b = amp_b[order]
+
     if opts.backend in ("pallas", "pallas_interpret", "freq"):
         # two-pass: chunk-scanned f64 geometry -> (P, B) f32 scalars, then one
         # fused VMEM kernel for the (P, B, Ns) accumulation.
-        def geom_chunk(carry, xs):
-            ts, ps, vs = xs
-            outs = [geometry_block(j, ts, ps, vs) for j in range(n_tchunks)]
-            tau_c = jnp.concatenate([o[0] for o in outs], axis=1)
-            car_c = jnp.concatenate([o[1] for o in outs], axis=1)
-            amp_c = jnp.concatenate([o[2] for o in outs], axis=1)
-            return carry, (tau_c, car_c, amp_c)
+        h_geo = opts.freq_geom_stride if opts.backend == "freq" else 0
+        if h_geo > 1 and num_p > 3 * h_geo:
+            # anchored geometry: the emulated-f64 pass runs only every
+            # h_geo-th pulse; the delay field interpolates quadratically in
+            # slow time (residual ~1e-19 s at reference orbital jerk — see
+            # utils/anchors.py), and the carrier derives from the
+            # interpolated f64 delay, so its wrap stays exact.
+            from nis_sar_amtigmti_video_tpu.utils.anchors import anchor_plan
+            needed, trip, w_np = anchor_plan(num_p, h_geo)
+            na = len(needed)
+            na_pad = -(-na // pc) * pc
 
-        _, (tau_all, car_all, amp_all) = jax.lax.scan(
-            geom_chunk, 0, (t_slow_p, sat_pos_p, sat_vel_p))
-        tau_all = tau_all.reshape(p_pad, b_pad)[:num_p]
-        car_all = car_all.reshape(p_pad, b_pad)[:num_p]
-        amp_all = amp_all.reshape(p_pad, b_pad)[:num_p]
+            def pad_a(x):
+                return _pad_axis0(x[jnp.asarray(needed)], na_pad, edge=True)
+
+            ts_a = pad_a(t_slow).reshape(-1, pc)
+            ps_a = pad_a(sat_pos).reshape(-1, pc, 3)
+            vs_a = pad_a(sat_vel).reshape(-1, pc, 3)
+
+            def geom_chunk64(carry, xs):
+                ts, ps, vs = xs
+                outs = [geometry_core(j, ts, ps, vs)
+                        for j in range(n_tchunks)]
+                tau_c = jnp.concatenate([o[0] for o in outs], axis=1)
+                amp_c = jnp.concatenate([o[1] for o in outs], axis=1)
+                return carry, (tau_c, amp_c)
+
+            _, (tau_a, amp_a) = jax.lax.scan(geom_chunk64, 0,
+                                             (ts_a, ps_a, vs_a))
+            tau_a = tau_a.reshape(na_pad, b_pad)[:na]
+            amp_a = amp_a.reshape(na_pad, b_pad)[:na]
+            w64 = jnp.asarray(w_np)
+            a0, a1, a2 = (jnp.asarray(trip[:, k]) for k in range(3))
+            tau64 = (w64[:, 0, None] * tau_a[a0]
+                     + w64[:, 1, None] * tau_a[a1]
+                     + w64[:, 2, None] * tau_a[a2])
+            w32 = w64.astype(jnp.float32)
+            amp_all = (w32[:, 0, None] * amp_a[a0]
+                       + w32[:, 1, None] * amp_a[a1]
+                       + w32[:, 2, None] * amp_a[a2])[:num_p]
+            car_all = _wrap_pi(-_TWO_PI * opts.fc_hz * tau64
+                               ).astype(jnp.float32)[:num_p]
+            tau_all = (tau64 - t_start).astype(jnp.float32)[:num_p]
+        else:
+            def geom_chunk(carry, xs):
+                ts, ps, vs = xs
+                outs = [geometry_block(j, ts, ps, vs)
+                        for j in range(n_tchunks)]
+                tau_c = jnp.concatenate([o[0] for o in outs], axis=1)
+                car_c = jnp.concatenate([o[1] for o in outs], axis=1)
+                amp_c = jnp.concatenate([o[2] for o in outs], axis=1)
+                return carry, (tau_c, car_c, amp_c)
+
+            _, (tau_all, car_all, amp_all) = jax.lax.scan(
+                geom_chunk, 0, (t_slow_p, sat_pos_p, sat_vel_p))
+            tau_all = tau_all.reshape(p_pad, b_pad)[:num_p]
+            car_all = car_all.reshape(p_pad, b_pad)[:num_p]
+            amp_all = amp_all.reshape(p_pad, b_pad)[:num_p]
         if opts.backend == "freq":
             if opts.endpoint_grid:
                 raise ValueError(
@@ -227,7 +295,8 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
             from nis_sar_amtigmti_video_tpu.ops.echo_freq import synthesize
             return synthesize(tau_all, car_all, amp_all, opts,
                               oversample=opts.freq_oversample,
-                              edge_taper=opts.freq_edge_taper)
+                              edge_taper=opts.freq_edge_taper,
+                              spreader=opts.freq_spreader)
         from nis_sar_amtigmti_video_tpu.ops.pallas.echo_kernel import (
             echo_accumulate)
         return echo_accumulate(

@@ -125,8 +125,128 @@ def _edge_taper(u, width_s: float, t_edge_s: float):
     return xp.where(d < 0, 0.0, 0.5 - 0.5 * xp.cos(xp.pi * z))
 
 
+def _spread_dense(i0, val_sets, l_out: int, win: int, grp: int,
+                  lo: int = 0):
+    """Scatter-free spreading: values at integer cells via one-hot MXU
+    matmuls over groups of delay-ordered targets.
+
+    The TPU scatter wall (~24 ns/update) made the round-2 spreader slower
+    than the direct engine despite its ~500x work advantage. Here targets
+    arrive sorted by delay (the echo engine orders the scene once), so each
+    group of B/grp consecutive targets spans a narrow cell band: build a
+    (targets, win) one-hot of the group's window-relative cells, contract
+    the K tap values against it on the MXU, shift tap k by k lanes, and add
+    the group windows into the field with a second (row-level) one-hot
+    matmul — no scatters anywhere.
+
+    i0: (pc, B) i32 cell of tap 0 (may be out of grid — such taps must
+    carry zero weight, matching the scatter path's clip).
+    val_sets: sequence of (vr (pc, B, K), vi, offset) — each set's taps
+    land at cells i0 + offset + k, all sets sharing the ONE one-hot (the
+    exact-edge pass uses this: the trailing gate flank sits an integer
+    number of cells after the leading one). Targets whose group window
+    cannot contain them (group cell-spread > win - K: a badly unsorted or
+    pathologically spread scene) are dropped — callers choose win/grp so
+    this cannot happen for sane scenes (tests compare against the scatter
+    path on the reference scenes).
+    Returns (pc, l_out) f32 re/im fields.
+    """
+    pc, num_b = i0.shape
+    max_off = max(off for _, _, off in val_sets)
+    bg = -(-num_b // grp)
+    b_pad = bg * grp
+    far = -(10 ** 6)
+    i0p = jnp.pad(i0, ((0, 0), (0, b_pad - num_b)), constant_values=far)
+
+    # ``lo`` + one window of margin below, margin + tap offsets above: every
+    # set's group window then sits inside the padded field, and out-of-grid
+    # taps land in the margins (cropped at the end — the scatter ok-mask
+    # equivalent). ``lo`` > 0 admits i0 down to -lo (offset sets can still
+    # land such targets' taps in-grid).
+    lo = -(-lo // 128) * 128
+    rows_tot = -(-(l_out + 2 * win + lo + max_off + 256) // 128)
+    l_pad = rows_tot * 128
+    i0g = i0p.reshape(pc, grp, bg) + win + lo
+    live = i0g > far // 2
+    base = jnp.min(jnp.where(live, i0g, 10 ** 6), axis=2) - 8
+    base = jnp.clip((base // 128) * 128, 0, l_out + win + lo)  # (pc, grp)
+
+    c_rel = i0g - base[:, :, None]
+    iota = jnp.arange(win, dtype=jnp.int32)
+    row_io = jnp.arange(rows_tot, dtype=jnp.int32)
+
+    # ONE one-hot serves every value set (built with the widest tap margin)
+    k_max = max(v[0].shape[-1] for v in val_sets)
+    ok = live & (c_rel >= 0) & (c_rel <= win - k_max)
+    oh = (jnp.where(ok, c_rel, -1)[..., None] == iota
+          ).astype(jnp.bfloat16)                              # (pc,g,bg,win)
+
+    fr = jnp.zeros((pc, l_pad), jnp.float32)
+    fi = jnp.zeros_like(fr)
+    for vr, vi, offset in val_sets:
+        k_taps = vr.shape[-1]
+
+        def windows(v, oh=oh, k_taps=k_taps):
+            vt = jnp.swapaxes(
+                jnp.pad(v, ((0, 0), (0, b_pad - num_b), (0, 0))
+                        ).reshape(pc, grp, bg, k_taps), 2, 3)  # (pc,g,K,bg)
+            vh = vt.astype(jnp.bfloat16)
+            vl = (vt - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def dg(a):
+                return jax.lax.dot_general(
+                    a, oh, (((3,), (2,)), ((0, 1), (0, 1))),
+                    preferred_element_type=jnp.float32)       # (pc,g,K,win)
+
+            part = dg(vh) + dg(vl)   # one-hot exact in bf16; split v only
+            out = jnp.zeros((pc, grp, win), jnp.float32)
+            for k in range(k_taps):
+                out = out + jnp.roll(part[:, :, k], k, axis=-1)
+            return out
+
+        out_r = windows(vr)
+        out_i = windows(vi)
+
+        # sub-row part of the offset: pad one row and lane-roll the windows
+        off_mod = offset % 128
+        win_e = win + (128 if off_mod else 0)
+        if off_mod:
+            out_r = jnp.roll(jnp.pad(out_r, ((0, 0), (0, 0), (0, 128))),
+                             off_mod, axis=-1)
+            out_i = jnp.roll(jnp.pad(out_i, ((0, 0), (0, 0), (0, 128))),
+                             off_mod, axis=-1)
+
+        # row-level one-hot placement: field rows = sum over group-window
+        # rows selected at their dynamic row offsets (a batched MXU dot —
+        # the vmapped dynamic-update alternative lowers to a scatter)
+        nwr = win_e // 128
+        base_eff = base + (offset - off_mod)
+        rowpos = (base_eff[:, :, None] // 128
+                  + jnp.arange(nwr, dtype=jnp.int32)[None, None, :]
+                  ).reshape(pc, grp * nwr)
+        rowhot = (rowpos[..., None] == row_io).astype(jnp.bfloat16)
+
+        def place(wv):
+            w = wv.reshape(pc, grp * nwr, 128)
+            wh = w.astype(jnp.bfloat16)
+            wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def dg(a):
+                return jax.lax.dot_general(
+                    rowhot, a, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)       # (pc,rows,128)
+
+            return (dg(wh) + dg(wl)).reshape(pc, l_pad)
+
+        fr = fr + place(out_r)
+        fi = fi + place(out_i)
+    return (fr[:, win + lo:win + lo + l_out],
+            fi[:, win + lo:win + lo + l_out])
+
+
 def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
-               pulse_chunk: int | None = None, edge_taper: float = 4.0):
+               pulse_chunk: int | None = None, edge_taper: float = 4.0,
+               spreader: str = "auto"):
     """(P, B) per-(pulse,target) scalars -> (P, Ns) complex64 raw data.
 
     tau_rel: delay of each echo relative to the window start [s]
@@ -143,16 +263,32 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
     — are synthesized *exactly* per (pulse, target) at the native rate and
     scatter-added. Costs ~2 extra taps-per-target passes; 0 restores the
     round-1 approximate behavior.
+
+    spreader: 'scatter' (round-2 scatter-add), 'dense' (one-hot MXU
+    spreading, :func:`_spread_dense` — requires the target axis sorted by
+    delay, which the echo engine's freq branch guarantees), or 'auto'
+    (dense on TPU, scatter elsewhere).
     """
     num_p, num_b = tau_rel.shape
     ns = opts.num_samples
     os_ = oversample
     fs_os = opts.fs_hz * os_
+    if spreader == "auto":
+        spreader = "dense" if jax.default_backend() == "tpu" else "scatter"
+    use_dense = spreader == "dense"
+    d_win, d_grp = 4096, 16
+    d_win_e, d_grp_e = 2048, 16
 
     g, x0 = chirp_kernel(opts, os_, edge_taper)
     lead = int(round(opts.pulse_width_s * fs_os)) + os_ + _W     # L0
     l_imp = lead + ns * os_ + os_ + _W
-    l_fft = _next_fast_len(l_imp + g.shape[0])
+    # circular-wrap sizing: the linear convolution spans l_imp + len(g) - 1;
+    # at l_fft < that, the wrapped tail contaminates [0, wrap) — which must
+    # stay inside the lead margin, never the cropped window [lead, ...).
+    # len(g) - 1 <= lead by construction, so next_fast_len(l_imp) (usually
+    # half the naive l_imp + len(g) padding) is always safe.
+    l_fft = _next_fast_len(l_imp)
+    assert l_imp + g.shape[0] - 1 - l_fft <= lead
     # combined spectral filter: chirp response deconvolved by the spreader
     filt = np.fft.fft(g.astype(np.complex128), n=l_fft) / _kernel_ft(l_fft)
     filt_j = jnp.asarray(filt.astype(np.complex64))
@@ -177,30 +313,79 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
 
     def _edge_exact(tau, a_cplx):
         """Exact native-rate samples of chirp*(rect - taper) at both gate
-        flanks, scatter-added into a (pc, ns) correction field."""
+        flanks, added into a (pc, ns) correction field (scatter or dense).
+
+        Per-tap math runs in f32 against per-target f64 anchors: the flank
+        phase is quadratic in the tap offset k, ph = c0 + c1 k + c2 k^2,
+        with c0/c1 computed (and wrapped) per (pulse, target) in f64 and
+        c2 = pi K / fs^2 a small static constant — the per-tap emulated-f64
+        arithmetic this replaces was the edge pass's dominant TPU cost."""
         tau64 = tau.astype(jnp.float64)
-        corr_r = jnp.zeros((pc * ns,), jnp.float32)
-        corr_i = jnp.zeros((pc * ns,), jnp.float32)
+        corr_r = jnp.zeros((pc, ns) if use_dense else (pc * ns,), jnp.float32)
+        corr_i = jnp.zeros_like(corr_r)
         rows = jnp.arange(pc, dtype=jnp.int32)[:, None, None]
         offs = jnp.arange(n_edge)[None, None, :]
-        for edge_off in (0.0, opts.pulse_width_s - t_edge_s):
+        offs_f = offs.astype(jnp.float32)
+        two_pi = 2.0 * math.pi
+        c2 = jnp.float32(math.pi * opts.chirp_rate / (opts.fs_hz ** 2))
+
+        def wrap32(x64):
+            return (x64 - two_pi * jnp.round(x64 / two_pi)
+                    ).astype(jnp.float32)
+
+        # when the flank separation is an integer number of native cells
+        # (Tp*fs integer — every reference waveform), both flanks share ONE
+        # dense one-hot: the trailing set is just offset by delta cells
+        delta_f = (opts.pulse_width_s - t_edge_s) * opts.fs_hz
+        delta = int(round(delta_f))
+        share = abs(delta_f - delta) < 1e-6
+        sets, i0_lead = [], None
+
+        for edge_off, leading in ((0.0, True),
+                                  (opts.pulse_width_s - t_edge_s, False)):
             # first native sample index at/after the flank start
             start = (tau64 + x0 + edge_off) * opts.fs_hz        # (pc, B) f64
-            nidx = (jnp.ceil(start - 1e-9).astype(jnp.int64)[:, :, None]
-                    + offs)
-            tn = nidx.astype(jnp.float64) / opts.fs_hz
-            u = tn - tau64[:, :, None] - x0                     # gate-local
-            gate = (u >= -1e-15) & (u <= opts.pulse_width_s + 1e-15)
-            tap = 1.0 - _edge_taper(u, opts.pulse_width_s, t_edge_s)
-            arg = u + x0 - opts.chirp_shift
-            ph64 = math.pi * opts.chirp_rate * arg * arg
-            ph = (ph64 - 2.0 * math.pi * jnp.round(ph64 / (2.0 * math.pi))
-                  ).astype(jnp.float32)
-            ok = (nidx >= 0) & (nidx < ns)
-            t_ok = jnp.where(gate & ok, tap, 0.0).astype(jnp.float32)
+            cell0 = jnp.ceil(start - 1e-9)
+            # flank-local coordinate of tap 0 (small f64 -> exact f32)
+            e0 = cell0 / opts.fs_hz - tau64 - x0 - edge_off
+            arg0 = e0 + edge_off + x0 - opts.chirp_shift
+            c0 = wrap32(math.pi * opts.chirp_rate * arg0 * arg0)
+            c1 = wrap32((two_pi * opts.chirp_rate / opts.fs_hz) * arg0)
+            ph = (c0[:, :, None] + c1[:, :, None] * offs_f
+                  + c2 * offs_f * offs_f)
+            e = e0.astype(jnp.float32)[:, :, None] + offs_f / jnp.float32(
+                opts.fs_hz)
+            if leading:
+                gate = e >= -1e-12
+                d = e
+            else:
+                gate = e <= t_edge_s + 1e-12
+                d = t_edge_s - e
+            z = jnp.clip(d / t_edge_s, 0.0, 1.0)
+            tap = 0.5 + 0.5 * jnp.cos(jnp.pi * z)   # 1 - raised-cosine
             cs, sn = jnp.cos(ph), jnp.sin(ph)
             ar = jnp.real(a_cplx)[:, :, None]
             ai = jnp.imag(a_cplx)[:, :, None]
+            if use_dense:
+                t_ok = jnp.where(gate, tap, 0.0)
+                vr = t_ok * (cs * ar - sn * ai)
+                vi = t_ok * (cs * ai + sn * ar)
+                if share:
+                    if leading:
+                        i0_lead = jnp.clip(cell0, -delta - 256.0, ns + 256.0
+                                           ).astype(jnp.int32)
+                    sets.append((vr, vi, 0 if leading else delta))
+                else:
+                    er, ei = _spread_dense(
+                        jnp.clip(cell0, -256.0, ns + 256.0
+                                 ).astype(jnp.int32),
+                        [(vr, vi, 0)], ns, d_win_e, d_grp_e)
+                    corr_r = corr_r + er
+                    corr_i = corr_i + ei
+                continue
+            nidx = cell0.astype(jnp.int64)[:, :, None] + offs
+            ok = (nidx >= 0) & (nidx < ns)
+            t_ok = jnp.where(gate & ok, tap, 0.0)
             vr = t_ok * (cs * ar - sn * ai)
             vi = t_ok * (cs * ai + sn * ar)
             pos = jnp.clip(nidx, 0, ns - 1).astype(jnp.int32)
@@ -208,6 +393,13 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
                     + pos.reshape(-1))
             corr_r = corr_r.at[flat].add(vr.reshape(-1))
             corr_i = corr_i.at[flat].add(vi.reshape(-1))
+        if use_dense:
+            if share:
+                er, ei = _spread_dense(i0_lead, sets, ns, d_win_e, d_grp_e,
+                                       lo=delta + 256)
+                corr_r = corr_r + er
+                corr_i = corr_i + ei
+            return jax.lax.complex(corr_r, corr_i)
         return jax.lax.complex(corr_r, corr_i).reshape(pc, ns)
 
     def chunk(carry, x):
@@ -224,18 +416,28 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
         z2 = jnp.clip(1.0 - (2.0 * u / _W) ** 2, 0.0, 1.0)
         w = jnp.where(jnp.abs(u) < half_w,
                       jnp.exp(beta * (jnp.sqrt(z2) - 1.0)), 0.0)
-        ok = (pos >= 0) & (pos < l_imp)
-        pos = jnp.clip(pos, 0, l_imp - 1)
-        wv = jnp.where(ok, w, 0.0)
-        flat = (jnp.broadcast_to(rows, pos.shape).reshape(-1) * l_imp
-                + pos.reshape(-1))
-        # separate f32 re/im scatters: complex64 scatter-adds at the
-        # reference scale (10M+ updates) fault the TPU runtime
-        fr = jnp.zeros((pc * l_imp,), jnp.float32).at[flat].add(
-            (wv * jnp.real(a_cplx)[:, :, None]).reshape(-1))
-        fi = jnp.zeros((pc * l_imp,), jnp.float32).at[flat].add(
-            (wv * jnp.imag(a_cplx)[:, :, None]).reshape(-1))
-        field = jax.lax.complex(fr, fi).reshape(pc, l_imp)
+        if use_dense:
+            vr = w * jnp.real(a_cplx)[:, :, None]
+            vi = w * jnp.imag(a_cplx)[:, :, None]
+            # clamp far-out cells near the grid edges: their taps land in
+            # the margins (dropped, == the scatter path's ok-mask) without
+            # dragging their group's window away from live neighbors
+            i0_d = jnp.clip(i0, -256, l_imp + 256)
+            fr, fi = _spread_dense(i0_d, [(vr, vi, 0)], l_imp, d_win, d_grp)
+            field = jax.lax.complex(fr, fi)
+        else:
+            ok = (pos >= 0) & (pos < l_imp)
+            pos = jnp.clip(pos, 0, l_imp - 1)
+            wv = jnp.where(ok, w, 0.0)
+            flat = (jnp.broadcast_to(rows, pos.shape).reshape(-1) * l_imp
+                    + pos.reshape(-1))
+            # separate f32 re/im scatters: complex64 scatter-adds at the
+            # reference scale (10M+ updates) fault the TPU runtime
+            fr = jnp.zeros((pc * l_imp,), jnp.float32).at[flat].add(
+                (wv * jnp.real(a_cplx)[:, :, None]).reshape(-1))
+            fi = jnp.zeros((pc * l_imp,), jnp.float32).at[flat].add(
+                (wv * jnp.imag(a_cplx)[:, :, None]).reshape(-1))
+            field = jax.lax.complex(fr, fi).reshape(pc, l_imp)
         spec = jnp.fft.fft(field, n=l_fft, axis=-1) * filt_j
         conv = jnp.fft.ifft(spec, axis=-1)
         out_c = conv[:, lead:lead + ns * os_:os_]
