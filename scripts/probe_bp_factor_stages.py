@@ -73,7 +73,6 @@ rc_p = jax.jit(lambda x: fft_kernel.recenter_presum_pallas(
     x, pos, vel, ts, vf, p, d, plan.t_ref, t_mean=tm))
 
 rc2, pos2, vel2, t2 = rc_x(raw)
-print(f"recentre xla    : {stream(rc_x, (raw,)):7.1f} ms", flush=True)
 print(f"recentre pallas : {stream(rc_p, (raw,)):7.1f} ms", flush=True)
 
 
@@ -86,20 +85,17 @@ def fit(pos2, vel2, t2, fs_=0):
 
 fit_j = jax.jit(fit)
 co, geo = fit_j(pos2, vel2, t2)
-for fs_ in (0, 8, 16):
+for fs_ in (0, 8):
     fj = jax.jit(lambda a, b, c, fs_=fs_: fit(a, b, c, fs_)[0])
     fit_t = stream(fj, (pos2, vel2, t2))
     print(f"fit stride={fs_:2d}   : {fit_t:7.1f} ms", flush=True)
 
 sub_p = max(1, plan.sub_raw // d)
-for sp in (sub_p, sub_p // 2, sub_p * 2):
+for sp in (sub_p,):
     acc = jax.jit(lambda rc2, co, sp=sp: bp_fast._accumulate_factor(
         rc2, *co, plan, sp))
     print(f"factor acc sub_p={sp:3d}: {stream(acc, (rc2, co)):7.1f} ms",
           flush=True)
-
-acc_plain = jax.jit(lambda rc2, co: bp_fast._accumulate(rc2, *co, plan))
-print(f"plain acc       : {stream(acc_plain, (rc2, co)):7.1f} ms", flush=True)
 
 fin = jax.jit(lambda img, co, pos2, vel2, t2: bp_fast._finalize(
     img, co[1:4], pos2, vel2, t2, vf, tm, p, plan, *geo))
@@ -109,7 +105,7 @@ img_i = acc0(rc2, co)
 print(f"finalize        : {stream(fin, (img_i, co, pos2, vel2, t2)):7.1f} ms",
       flush=True)
 
-for mode, fs_ in (("factor", 0), ("factor_pallas", 0), ("factor_pallas", 8)):
+for mode, fs_ in (("factor_pallas", 8),):
     fbp = jax.jit(lambda x, m=mode, f_=fs_: bp_fast.focus_bp_fast(
         x, traj.positions, traj.velocities, traj.times, np.zeros(3),
         float(t0), p, presum=d, plan=plan, accumulate=m, fit_stride=f_))
