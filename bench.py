@@ -4,12 +4,14 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N, ...}
 
 value        — frames/sec of the COMPLETE per-CPI GMTI pipeline: two-channel
-               4096^2 CSA formation (fused-in-VMEM pallas megakernel) +
-               channel balance + ATI phase + DPCA magnitude + CA-CFAR
-               (gmti/fused.py), measured as a chained stream with ONE final
-               sync — the streaming protocol amortizes the axon tunnel's
-               ~33 ms host-fetch RTT, which is transport latency, not chip
-               work (docs/ROUND2_NOTES.md).
+               4096^2 CSA formation with channel balance + ATI phase + DPCA
+               magnitude + CA-CFAR fused into the K3 megakernel's output
+               pass (gmti/fused.py::gmti_cpi_pallas +
+               ops/pallas/gmti_kernel.py; every product plane is
+               materialized and consumed), measured as a chained stream
+               with ONE final sync — the streaming protocol amortizes the
+               axon tunnel's ~33 ms host-fetch RTT, which is transport
+               latency, not chip work (docs/ROUND2_NOTES.md).
 vs_baseline  — speedup over the NumPy reference doing the same GMTI step
                (2x oracle CSA + numpy products on this host).
 
@@ -84,31 +86,61 @@ def main():
         return (jnp.real(slc).reshape(ncpi, 2, size, size),
                 jnp.imag(slc).reshape(ncpi, 2, size, size))
 
-    def gmti_batch(xr, xi):
-        sr, si = form(xr, xi)
-        slc = jax.lax.complex(sr, si)
+    kernel_path = (fft_impl == "pallas"
+                   and os.environ.get("BENCH_GMTI_KERNEL", "1") == "1")
+    if kernel_path:
+        # round-3 production path: GMTI products fused into the CSA K3
+        # output pass (ops/pallas/gmti_kernel.py). ALL product planes are
+        # materialized by the kernel (no DCE possible inside pallas), and
+        # the full-plane sums below consume the XLA epilogue honestly.
+        from nis_sar_amtigmti_video_tpu.gmti.fused import gmti_cpi_pallas
 
-        def prods(s):
-            _, phase, dmag, det = gmti_product_step(s[0], s[1],
-                                                    cfar_params=cfar_p)
-            return phase, dmag, det.snr
+        def gmti_one(x1r, x1i, x2r, x2i):
+            s1r, s1i, s2r, s2i, cal, phase, dmag, det = gmti_cpi_pallas(
+                x1r, x1i, x2r, x2i, f, cfar_params=cfar_p)
+            summary = (jnp.sum(phase) + jnp.sum(dmag) + jnp.sum(det.snr)
+                       + cal)
+            return s1r, s1i, s2r, s2i, summary
 
-        ph, dm, snr = jax.vmap(prods)(slc)
-        return (sr, si, jnp.sum(ph[:, :1, :1]) + jnp.sum(dm[:, :1, :1])
-                + jnp.sum(snr[:, :1, :1]))
+        gmti_fn1 = jax.jit(gmti_one, donate_argnums=(0, 1, 2, 3))
+        key0 = jax.random.PRNGKey(0)
+        out = gmti_fn1(*(jax.random.normal(jax.random.fold_in(key0, i),
+                                           (size, size), jnp.float32)
+                         for i in range(4)))
+        _ = float(out[4])                          # compile + first run
+        iters_k = 2 * iters * max(1, ncpi // 2)    # match dispatch count
+        t1 = time.perf_counter()
+        for _i in range(iters_k):
+            out = gmti_fn1(out[0], out[1], out[2], out[3])
+        _ = float(out[4])
+        gmti_ms = 1000.0 * (time.perf_counter() - t1) / iters_k
+    else:
+        def gmti_batch(xr, xi):
+            sr, si = form(xr, xi)
+            slc = jax.lax.complex(sr, si)
 
-    gmti_fn = jax.jit(gmti_batch, donate_argnums=(0, 1))
-    xr, xi = mk(jax.random.PRNGKey(0))
-    xr, xi, s = gmti_fn(xr, xi)
-    _ = float(s)                                   # compile + first run
-    t1 = time.perf_counter()
-    for _i in range(iters):
+            def prods(s):
+                _, phase, dmag, det = gmti_product_step(s[0], s[1],
+                                                        cfar_params=cfar_p)
+                return phase, dmag, det.snr
+
+            ph, dm, snr = jax.vmap(prods)(slc)
+            return sr, si, jnp.sum(ph) + jnp.sum(dm) + jnp.sum(snr)
+
+        gmti_fn = jax.jit(gmti_batch, donate_argnums=(0, 1))
+        xr, xi = mk(jax.random.PRNGKey(0))
         xr, xi, s = gmti_fn(xr, xi)
-    _ = float(s)
-    gmti_ms = 1000.0 * (time.perf_counter() - t1) / (iters * ncpi)
+        _ = float(s)                               # compile + first run
+        t1 = time.perf_counter()
+        for _i in range(iters):
+            xr, xi, s = gmti_fn(xr, xi)
+        _ = float(s)
+        gmti_ms = 1000.0 * (time.perf_counter() - t1) / (iters * ncpi)
     gmti_fps = 1000.0 / gmti_ms
 
     # ---- single-channel formation-only stream (the round-1 metric) ----
+    if kernel_path:
+        xr, xi = mk(jax.random.PRNGKey(0))
     form_fps = None
     try:
         def form_only(xr_, xi_):
@@ -237,16 +269,17 @@ def main():
             from nis_sar_amtigmti_video_tpu.scene.clutter import (
                 ocean_clutter_field)
 
-            # exact direct backend: on TPU it matches/beats the NUFFT path
-            # at this scale (14.6 vs 16.0 s — the spreader is bound by the
-            # ~24 ns/update scatter wall) with golden reference semantics
-            # and a far cheaper compile
+            # round-3 production path: 'freq' NUFFT backend with the dense
+            # one-hot MXU spreader (scatter-free; 14.6 s -> 2.86 s measured
+            # on one v5e chip, == scatter to 2e-6; ops/echo_freq.py). Off
+            # TPU the spreader auto-falls back to scatter.
             sc_s = cfg.ati_dpca()
             rs, gs, cs = sc_s.radar, sc_s.geometry, sc_s.collect
-            opts_s = echo_opts_for(sc_s)
+            opts_s = dataclasses.replace(echo_opts_for(sc_s),
+                                         backend="freq",
+                                         endpoint_grid=False)
             t0s = window_start_time(gs.slant_range_m, opts_s,
-                                    cs.window_length_s,
-                                    cs.window_start_mode)
+                                    cs.window_length_s, "centered")
             ship = T_.destroyer().rotate_z(90.0)
             clut = ocean_clutter_field(np.random.default_rng(0))
             scene = T_.PointTargets.concatenate([ship, clut])
@@ -310,6 +343,7 @@ def main():
         "sim_pass_s": round(sim_pass_s, 2) if sim_pass_s else None,
         "numpy_gmti_fps": round(numpy_gmti_fps, 5) if numpy_gmti_fps else None,
         "fft_impl": fft_impl,
+        "gmti_path": "kernel_fused" if kernel_path else "composed",
         "device": str(dev),
         "ncpi": ncpi,
         "iters": iters,

@@ -66,6 +66,23 @@ def _box_sum(x, half: int):
                                  pad2)
 
 
+def _count_1d(n: int, half: int):
+    """Per-position count of in-bounds cells in a (2*half+1) window — the
+    1-D factor of the zero-padded box count (exact small integers)."""
+    i = jnp.arange(n)
+    return (jnp.minimum(i + half, n - 1)
+            - jnp.maximum(i - half, 0) + 1).astype(jnp.float32)
+
+
+def _box_count(shape2, half: int):
+    """Rank-1 analytic equivalent of ``_box_sum(ones, half)``: the 2-D count
+    is separable, count[i, j] = c_h(i) * c_w(j), and both factors are exact
+    integers in f32 — bit-identical to the reduce_window result at ~0 HBM
+    cost (two 1-D vectors instead of four full-image window passes)."""
+    h, w = shape2
+    return _count_1d(h, half)[:, None] * _count_1d(w, half)[None, :]
+
+
 @partial(jax.jit, static_argnames=("p",))
 def ca_cfar(power, p: CfarParams) -> CfarResult:
     """Detect cells whose power exceeds alpha * local-training-mean.
@@ -75,11 +92,10 @@ def ca_cfar(power, p: CfarParams) -> CfarResult:
     corrected, so sensitivity degrades gracefully at borders.
     """
     g, t = p.guard, p.train
-    ones = jnp.ones_like(power)
     outer = _box_sum(power, g + t)
     inner = _box_sum(power, g)
-    n_outer = _box_sum(ones, g + t)
-    n_inner = _box_sum(ones, g)
+    n_outer = _box_count(power.shape[-2:], g + t)
+    n_inner = _box_count(power.shape[-2:], g)
     n_train = jnp.maximum(n_outer - n_inner, 1.0)
     noise = (outer - inner) / n_train
     snr = power / jnp.maximum(noise, 1e-30)

@@ -1,0 +1,213 @@
+"""Pallas TPU kernel: CSA K3 with the GMTI product step fused into its
+output pass.
+
+The composed GMTI CPI (2x csa_kernel K1/K2/K3 then gmti/fused.py's
+product step) spends ~4 ms/CPI re-reading the two freshly written 4096^2
+SLCs to form balance/ATI/DPCA/CFAR products. This kernel removes those
+round trips by computing the products while the SLC tiles are still in
+VMEM, riding K3's column-block grid:
+
+  K3g  inputs:  both channels' K2 outputs (f32 planes) + the balance
+                rotation (cos, sin) as a scalar operand
+       compute: azimuth inverse four-step FFT for BOTH channels
+       outputs: s1/s2 SLC planes, ATI phase (unmasked), |s1|^2,
+                per-tile max|s1|^2 partials, DPCA power |s1 - s2 rot|^2,
+                and the CFAR *azimuth* box sums of that power (outer and
+                inner windows) — the in-tile-complete half of the
+                separable CFAR window
+
+The two cross-tile stages that cannot ride the tile write stay in XLA but
+become cheap:
+
+  * the balance phase needs a full-image reduction BEFORE the products —
+    normally a serializing re-read of the SLCs. K1 and K2 are unitary up
+    to a positive scale (K1 = Phi1 . W_az with W^H W = N I; K2 =
+    Phi3 . Winv . Phi2 . Wf with Winv^H Winv Wf^H Wf-> exactly I), and
+    K3^H K3 = I/N_az, so sum(s1 conj s2) over pixels equals a positive
+    scale times the same sum over the RAW phase-history pair. angle() is
+    scale-invariant, so cal comes from one reduction over the raw input,
+    issued before K3g with no dependency on the SLCs
+    (tests/test_gmti.py::TestFusedKernel asserts this against the
+    post-image reduction).
+  * the CFAR *range* box sums (lane-crossing) run as 1-D reduce_windows
+    over the kernel's column-sum outputs, and the training-cell counts
+    are the analytic rank-1 form (gmti/cfar.py::_box_count).
+
+Products match gmti/fused.py::gmti_product_step to f32 rounding (the
+balance reduction is ordered differently; the mask threshold compares
+against a per-tile-max reduction of identical values).
+
+Reference products: /root/reference/sar_ati_dcpa_sim_csa.py:398-419.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import (split_pair as
+                                                          _split_pair)
+from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import blk_lhs as _blk_lhs
+from nis_sar_amtigmti_video_tpu.ops.pallas.csa_kernel import (_dft_consts,
+                                                              _fft_lead)
+
+_LANE = 128
+_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _atan2(y, x):
+    """Four-quadrant arctangent on the VPU — Mosaic lowers neither atan2
+    nor atan, so this is the Cephes atanf recipe inline: octant fold to
+    [0, 1], tan(pi/8) reduction, degree-7 odd minimax polynomial (~1 ulp
+    f32), then quadrant fix-ups. Two divides + ~10 mul-adds per element;
+    x = y = 0 returns 0."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    z = mn / jnp.maximum(mx, jnp.float32(1e-38))          # [0, 1]
+    big = z > jnp.float32(0.41421356)                     # tan(pi/8)
+    zr = jnp.where(big, (z - 1.0) / (z + 1.0), z)
+    s = zr * zr
+    p = (((jnp.float32(8.05374449538e-2) * s
+           - jnp.float32(1.38776856032e-1)) * s
+          + jnp.float32(1.99777106478e-1)) * s
+         - jnp.float32(3.33329491539e-1)) * s * zr + zr
+    p = jnp.where(big, p + jnp.float32(0.7853981633974483), p)
+    r = jnp.where(ay > ax, jnp.float32(1.5707963267948966) - p, p)
+    r = jnp.where(x < 0, jnp.float32(math.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _shift_up(x, k: int):
+    """Rows i of the result read x[i+k]; vacated tail rows are zero (the
+    zero-padding convention of lax.reduce_window)."""
+    if k == 0:
+        return x
+    z = jnp.zeros((k,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x[k:], z], axis=0)
+
+
+def _col_box(x, half: int):
+    """Centered (2*half+1)-tap box sum along axis 0 with zero padding, as
+    O(log w) shifted adds (doubling forward sums over a head-padded copy —
+    a plain recentering shift would zero the top rows instead of giving
+    them their truncated-window partial sums)."""
+    w = 2 * half + 1
+    pad = (half + 7) // 8 * 8          # sublane-aligned zero head
+    n = x.shape[0]
+    xp = jnp.concatenate([jnp.zeros((pad,) + x.shape[1:], x.dtype), x],
+                         axis=0)
+    # forward sums s_k[i] = sum_{d<k} xp[i+d] for k = powers of two
+    sums = {1: xp}
+    k = 1
+    while 2 * k <= w:
+        sums[2 * k] = sums[k] + _shift_up(sums[k], k)
+        k *= 2
+    # compose w from its binary digits
+    acc = None
+    off = 0
+    rem = w
+    bit = k
+    while bit >= 1:
+        if rem >= bit:
+            term = _shift_up(sums[bit], off)
+            acc = term if acc is None else acc + term
+            off += bit
+            rem -= bit
+        bit //= 2
+    return acc[pad - half:pad - half + n]
+
+
+def _k3g_body(x1r, x1i, x2r, x2i, cal, wh, wl, tr_m, ti_m,
+              o1r, o1i, o2r, o2i, oph, omg, opw, ocso, ocsi, opk,
+              *, a: int, mode: str, h_out: int, h_in: int):
+    lane = x1r.shape[-1]
+    neg = jnp.float32(-1.0)
+    s1r, s1i = _fft_lead(x1r[:], x1i[:], wh[:], wl[:], tr_m[:], ti_m[:],
+                         neg, a, lane, mode)
+    s2r, s2i = _fft_lead(x2r[:], x2i[:], wh[:], wl[:], tr_m[:], ti_m[:],
+                         neg, a, lane, mode)
+    o1r[:], o1i[:] = s1r, s1i
+    o2r[:], o2i[:] = s2r, s2i
+
+    cr = cal[0, 0:1]                      # (1,) broadcasts over (N, lane)
+    ci = cal[0, 1:2]
+    # interf = s1 conj(s2) e^{-j cal}
+    pr = s1r * s2r + s1i * s2i
+    pi = s1i * s2r - s1r * s2i
+    ir_ = pr * cr + pi * ci
+    ii_ = pi * cr - pr * ci
+    oph[:] = _atan2(ii_, ir_)
+
+    mag = s1r * s1r + s1i * s1i
+    omg[:] = mag
+    # running max across grid steps in a single revisited (8, 128) block
+    j = pl.program_id(0)
+    m = jnp.max(mag)
+
+    @pl.when(j == 0)
+    def _init():
+        opk[:] = jnp.full((8, _LANE), m, jnp.float32)
+
+    @pl.when(j != 0)
+    def _acc():
+        opk[:] = jnp.maximum(opk[:], m)
+
+    # diff = s1 - s2 e^{j cal}
+    dr_ = s1r - (s2r * cr - s2i * ci)
+    di_ = s1i - (s2r * ci + s2i * cr)
+    pw = dr_ * dr_ + di_ * di_
+    opw[:] = pw
+    ocso[:] = _col_box(pw, h_out)
+    ocsi[:] = _col_box(pw, h_in)
+
+
+def _k3g_call(x1r, x1i, x2r, x2i, cal, a: int, h_out: int, h_in: int,
+              interpret: bool, mode: str):
+    n = a * a
+    n_rg = x1r.shape[-1]
+    f_m, t_m = _dft_consts(a, n)
+    inv = np.conj(f_m).T / a
+    wh, wl = _split_pair(_blk_lhs(inv))
+    tr_m = t_m.real.astype(np.float32)
+    ti_m = t_m.imag.astype(np.float32)
+    grid = (n_rg // _LANE,)
+    bs_dat = pl.BlockSpec((n, _LANE), lambda j: (0, j))
+    bs_cal = pl.BlockSpec((1, 2), lambda j: (0, 0))
+    bs_c = pl.BlockSpec((a, a), lambda j: (0, 0))
+    bs_blk = pl.BlockSpec((2 * a, 2 * a), lambda j: (0, 0))
+    bs_pk = pl.BlockSpec((8, _LANE), lambda j: (0, 0))
+    big = jax.ShapeDtypeStruct((n, n_rg), jnp.float32)
+    return pl.pallas_call(
+        partial(_k3g_body, a=a, mode=mode, h_out=h_out, h_in=h_in),
+        grid=grid,
+        in_specs=[bs_dat] * 4 + [bs_cal, bs_blk, bs_blk, bs_c, bs_c],
+        out_specs=[bs_dat] * 9 + [bs_pk],
+        out_shape=[big] * 9
+        + [jax.ShapeDtypeStruct((8, _LANE), jnp.float32)],
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+        compiler_params=_VMEM,
+        interpret=interpret,
+    )(x1r, x1i, x2r, x2i, cal, wh, wl, tr_m, ti_m)
+
+
+def k3_gmti_planes(x1r, x1i, x2r, x2i, cal_cos_sin, *, h_out: int,
+                   h_in: int, interpret: bool = False, mode: str = "bf16x3"):
+    """Inverse azimuth four-step FFT of both channels' K2 outputs with the
+    GMTI products fused into the tile write.
+
+    Returns (s1r, s1i, s2r, s2i, phase_unmasked, mag1_sq, power,
+    colsum_outer, colsum_inner, peak) — peak is an (8, 128) block whose
+    entries all equal max|s1|^2 (the revisited-block reduction)."""
+    n_az = x1r.shape[-2]
+    a = int(math.isqrt(n_az))
+    with jax.enable_x64(False):
+        return _k3g_call(x1r, x1i, x2r, x2i, cal_cos_sin, a, h_out, h_in,
+                         interpret, mode)

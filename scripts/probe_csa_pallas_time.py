@@ -38,9 +38,10 @@ def mk(key):
 
 xr, xi = mk(jax.random.PRNGKey(0))
 
+mode = os.environ.get("MODE", "bf16x3")
 if impl == "pallas":
-    fn = jax.jit(lambda r, i: csa_kernel.apply_csa_pallas_planes(r, i, f),
-                 donate_argnums=(0, 1))
+    fn = jax.jit(lambda r, i: csa_kernel.apply_csa_pallas_planes(
+        r, i, f, mode=mode), donate_argnums=(0, 1))
 else:
     def _planes(r, i):
         y = csa_ops.apply_csa_fused(jax.lax.complex(r, i), f, impl)
@@ -56,5 +57,6 @@ for _i in range(8):
     xr, xi = fn(xr, xi)
     _ = float(jnp.sum(jnp.abs(xr[:, :1, :1])))
     lat.append(time.perf_counter() - t1)
-print(f"{impl}: {1000 * float(np.median(lat)) / batch:.2f} ms/frame "
+tag = f"{impl}[{mode}]" if impl == "pallas" else impl
+print(f"{tag}: {1000 * float(np.median(lat)) / batch:.2f} ms/frame "
       f"(batch {batch}, median of 8)")

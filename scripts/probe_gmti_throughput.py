@@ -39,14 +39,26 @@ def mk(key):
                           (ncpi, 2, size, size), jnp.float32))
 
 
-from nis_sar_amtigmti_video_tpu.gmti.fused import gmti_product_step
+from nis_sar_amtigmti_video_tpu.gmti.fused import (gmti_cpi_pallas,
+                                                   gmti_product_step)
 from nis_sar_amtigmti_video_tpu.ops.pallas import csa_kernel
 
 use_fused_prods = os.environ.get("FUSED_PRODS", "1") == "1"
+use_kernel = os.environ.get("KERNEL_PRODS", "0") == "1"
 
 
 def gmti_batch(xr, xi):
     """(ncpi, 2, N, N) raw planes -> product summaries + next planes."""
+    if use_kernel:
+        def cpi(xr_, xi_):
+            s1r, s1i, s2r, s2i, _, ph, dm, det = gmti_cpi_pallas(
+                xr_[0], xi_[0], xr_[1], xi_[1], f, cfar_params=cfar_p)
+            return (jnp.stack([s1r, s2r]), jnp.stack([s1i, s2i]),
+                    ph, dm, det.snr)
+
+        sr, si, ph, dm, snr = jax.vmap(cpi)(xr, xi)
+        return (sr, si, jnp.sum(ph[:, :1, :1]) + jnp.sum(dm[:, :1, :1])
+                + jnp.sum(snr[:, :1, :1]))
     if impl == "pallas":
         sr, si = csa_kernel.apply_csa_pallas_planes(
             xr.reshape(-1, size, size), xi.reshape(-1, size, size), f)

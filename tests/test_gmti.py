@@ -230,3 +230,111 @@ class TestFusedStep:
         np.testing.assert_allclose(np.asarray(dmag),
                                    np.abs(np.asarray(s1 - s2)), rtol=2e-5,
                                    atol=1e-6)
+
+
+class TestFusedKernel:
+    """gmti/fused.py::gmti_cpi_pallas (interpret mode) vs pallas formation
+    composed with gmti_product_step — the kernel-fused CPI must reproduce
+    the products it replaces."""
+
+    def test_matches_composed_cpi(self):
+        import jax
+        import jax.numpy as jnp
+        from nis_sar_amtigmti_video_tpu import config as cfg2
+        from nis_sar_amtigmti_video_tpu.gmti import cfar
+        from nis_sar_amtigmti_video_tpu.gmti.fused import (gmti_cpi_pallas,
+                                                           gmti_product_step)
+        from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+        from nis_sar_amtigmti_video_tpu.ops.echo import window_start_time
+        from nis_sar_amtigmti_video_tpu.ops.pallas import csa_kernel
+
+        size = 256
+        sc = cfg2.videosar()
+        g, r = sc.geometry, sc.radar
+        t0 = window_start_time(g.slant_range_m, None,
+                               sc.collect.window_length_s, "centered")
+        p = csa_ops.CsaParams(
+            wavelength_m=r.wavelength_m, chirp_rate=r.chirp_rate,
+            fs_hz=r.fs_hz, prf_hz=r.prf_hz,
+            velocity_mps=g.effective_velocity_mps,
+            range_ref_m=g.slant_range_m, t_start_fast=t0,
+            num_pulses=size, num_samples=size)
+        f = csa_ops.csa_factors(p)
+        cp = cfar.CfarParams(guard=2, train=8)
+
+        rng = np.random.default_rng(7)
+        x1 = (rng.standard_normal((size, size))
+              + 1j * rng.standard_normal((size, size))).astype(np.complex64)
+        # correlated second channel: balance phase is well-conditioned
+        x2 = (x1 * np.exp(1j * 0.31)
+              + 0.05 * (rng.standard_normal((size, size))
+                        + 1j * rng.standard_normal((size, size)))
+              ).astype(np.complex64)
+
+        # composed reference: pallas formation + fused product step
+        sr, si = csa_kernel.apply_csa_pallas_planes(
+            jnp.asarray(np.stack([x1.real, x2.real])),
+            jnp.asarray(np.stack([x1.imag, x2.imag])), f, interpret=True)
+        s1 = jax.lax.complex(sr[0], si[0])
+        s2 = jax.lax.complex(sr[1], si[1])
+        cal_c, phase_c, dmag_c, det_c = gmti_product_step(
+            s1, s2, cfar_params=cp)
+
+        (g1r, g1i, g2r, g2i, cal, phase, dmag,
+         det) = gmti_cpi_pallas(
+            jnp.asarray(x1.real), jnp.asarray(x1.imag),
+            jnp.asarray(x2.real), jnp.asarray(x2.imag), f,
+            cfar_params=cp, interpret=True)
+
+        # SLC planes identical math to the composed K3
+        np.testing.assert_allclose(np.asarray(g1r), np.asarray(sr[0]),
+                                   rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(g2i), np.asarray(si[1]),
+                                   rtol=1e-5, atol=1e-3)
+        # balance phase via the raw-domain (Parseval) reduction
+        assert abs(float(cal) - float(cal_c)) < 1e-4
+
+        scale = float(np.abs(np.asarray(dmag_c)).max())
+        np.testing.assert_allclose(np.asarray(dmag), np.asarray(dmag_c),
+                                   atol=2e-3 * scale)
+        # snr: compare away from CFAR decision boundaries
+        snr_c = np.asarray(det_c.snr)
+        snr_g = np.asarray(det.snr)
+        np.testing.assert_allclose(snr_g, snr_c, rtol=5e-3, atol=5e-3)
+        # masked phase: compare where the mask margin is clear
+        mag = np.abs(np.asarray(s1)) ** 2
+        peak2 = mag.max()
+        thr = 0.05 ** 2 * peak2
+        clear = np.abs(mag - thr) > 1e-3 * peak2
+        pg, pc = np.asarray(phase), np.asarray(phase_c)
+        assert np.abs((pg - pc)[clear]).max() < 2e-3
+
+    def test_no_balance_kernel(self):
+        import jax.numpy as jnp
+        from nis_sar_amtigmti_video_tpu import config as cfg2
+        from nis_sar_amtigmti_video_tpu.gmti.fused import gmti_cpi_pallas
+        from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+        from nis_sar_amtigmti_video_tpu.ops.echo import window_start_time
+
+        size = 256
+        sc = cfg2.videosar()
+        g, r = sc.geometry, sc.radar
+        t0 = window_start_time(g.slant_range_m, None,
+                               sc.collect.window_length_s, "centered")
+        p = csa_ops.CsaParams(
+            wavelength_m=r.wavelength_m, chirp_rate=r.chirp_rate,
+            fs_hz=r.fs_hz, prf_hz=r.prf_hz,
+            velocity_mps=g.effective_velocity_mps,
+            range_ref_m=g.slant_range_m, t_start_fast=t0,
+            num_pulses=size, num_samples=size)
+        f = csa_ops.csa_factors(p)
+        rng = np.random.default_rng(8)
+        x = (rng.standard_normal((size, size))
+             + 1j * rng.standard_normal((size, size))).astype(np.complex64)
+        out = gmti_cpi_pallas(jnp.asarray(x.real), jnp.asarray(x.imag),
+                              jnp.asarray(x.real), jnp.asarray(x.imag), f,
+                              balance=False, interpret=True)
+        cal, dmag = out[4], out[6]
+        assert float(cal) == 0.0
+        # identical channels, no balance: DPCA difference is exactly zero
+        assert float(np.abs(np.asarray(dmag)).max()) == 0.0
