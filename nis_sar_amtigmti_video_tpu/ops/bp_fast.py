@@ -494,14 +494,32 @@ def _taper(u, w: int, power: int):
 
 
 def _extract_windows(band, plan: FastBpPlan):
-    """(P, n_band) -> (P, ny_i, W) via W static strided slices (no gathers)."""
+    """(P, n_band) -> (P, ny_i, W), gather-free AND stride-free.
+
+    The W-strided-slice formulation (one slice per window column) was the
+    round-2 window-DMA floor: W strided HBM reads of 8-byte elements at a
+    96-byte pitch. Because consecutive windows advance by a fixed stride k,
+    the same windows are ceil(W/k) *contiguous* row-shifted views of the
+    band reshaped to k-wide blocks: window y = [blk[y], blk[y+1], ...,
+    blk[y+nb-1][:W-(nb-1)k]] — nb big sequential slices + one concat
+    instead of W strided passes. Bit-identical output."""
     ny, w, k = plan.ny_i, plan.w_win, plan.stride
-    cols = []
-    for off in range(w):
-        sl = jax.lax.slice_in_dim(band, off, off + k * (ny - 1) + 1, k,
-                                  axis=1)
-        cols.append(sl)
-    return jnp.stack(cols, axis=-1)
+    nb = -(-w // k)
+    need = (ny + nb - 1) * k
+    pad = need - band.shape[-1]
+    if pad > 0:
+        # pad only feeds block rows >= ny of the reshape; every cell the
+        # slices below actually read maps inside the original band
+        band = jnp.pad(band, [(0, 0)] * (band.ndim - 1) + [(0, pad)])
+    blk = band[..., :need].reshape(band.shape[:-1] + (ny + nb - 1, k))
+    ax = blk.ndim - 2
+    if nb == 1:
+        return jax.lax.slice_in_dim(blk, 0, ny, 1, axis=ax)[..., :w]
+    pieces = [jax.lax.slice_in_dim(blk, i, i + ny, 1, axis=ax)
+              for i in range(nb - 1)]
+    last = jax.lax.slice_in_dim(blk, nb - 1, nb - 1 + ny, 1, axis=ax)
+    pieces.append(last[..., :w - (nb - 1) * k])
+    return jnp.concatenate(pieces, axis=-1)
 
 
 def _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
