@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -522,6 +522,49 @@ def _extract_windows(band, plan: FastBpPlan):
     return jnp.concatenate(pieces, axis=-1)
 
 
+@lru_cache(maxsize=None)
+def _window_filter(w: int, k: int, taper_pow: int) -> np.ndarray:
+    """(2w, 2, w) f32 conv filter: tapered window DFT as a strided conv.
+
+    Output channels [0, w) are the real parts of the w DFT bins (fftfreq
+    order), [w, 2w) the imaginary parts; input channels are (re, im) of the
+    band. Folding the taper and the 1/w DFT normalization into the filter
+    makes `conv(band, filter, stride=k)` exactly fft(win * tap)/w per row.
+    """
+    s = np.arange(w)
+    fmat = np.exp(-2j * np.pi * np.outer(s, s) / w) / w       # (s, m)
+    tap = np.sin(np.pi * (s + 0.5) / w) ** taper_pow
+    gmat = tap[:, None] * fmat
+    filt = np.zeros((2 * w, 2, w), np.float32)
+    filt[:w, 0, :] = gmat.real.T
+    filt[:w, 1, :] = -gmat.imag.T
+    filt[w:, 0, :] = gmat.imag.T
+    filt[w:, 1, :] = gmat.real.T
+    return filt
+
+
+def _window_spectra(band, plan: FastBpPlan):
+    """(T, n_band) complex -> (T, w, ny) tapered window spectra via ONE
+    strided MXU convolution straight from the flat band.
+
+    Numerically equal (f32 class) to transposing
+    ``fft(_extract_windows(band) * tap, axis=-1) / w`` to (t, m, y) — but
+    with no (.., ny, w) intermediates: on TPU any array whose minor
+    dimension is w=32 (or the k-wide block views) is physically padded to
+    128 lanes, and the round-3 ablation (scripts/probe_bp_factor_base.py)
+    showed that layout tax alone cost ~13 ms/frame at reference scale.
+    Here both conv operands and the output keep a full-length minor dim.
+    """
+    w, k = plan.w_win, plan.stride
+    filt = jnp.asarray(_window_filter(w, k, plan.taper_pow))
+    x = jnp.stack([jnp.real(band), jnp.imag(band)], axis=1)   # (T, 2, n)
+    out = jax.lax.conv_general_dilated(
+        x, filt, window_strides=(k,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)                  # (T, 2w, ny)
+    return jax.lax.complex(out[:, :w], out[:, w:])
+
+
 def _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
                 block: int = 32):
     """sum_t value[t,y,x] * expj(phase[t,y,x]) over pulse blocks."""
@@ -529,7 +572,6 @@ def _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
     w = plan.w_win
     ny, nx = plan.ny_i, plan.nx_i
     f_m = jnp.fft.fftfreq(w).astype(jnp.float32)              # signed cyc/sample
-    tap = _taper(jnp.arange(w, dtype=jnp.float32), w, plan.taper_pow)
     xi = (jnp.arange(nx, dtype=jnp.float32) - (nx - 1) / 2.0)
 
     band = jax.lax.slice_in_dim(
@@ -548,15 +590,13 @@ def _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
 
     def step(img, x):
         band_b, u0_b, pa_b, pb_b, pc_b, bt_b, ct_b, wl_b = x
-        win = _extract_windows(band_b, plan)                  # (B, ny, W)
-        w_hat = jnp.fft.fft(win * tap[None, None, :].astype(jnp.complex64),
-                            axis=-1) / jnp.float32(w)
+        w_hat = _window_spectra(band_b, plan)                 # (B, W, ny)
         # per-(t,y) ramp to the exact window offset
-        g = w_hat * expj(_TWO_PI * f_m[None, None, :] * u0_b[:, :, None])
+        g = w_hat * expj(_TWO_PI * f_m[None, :, None] * u0_b[:, None, :])
         # per-t kernel over columns: e_t(xi) = B xi + C xi^2
         e_t = bt_b[:, None] * xi[None, :] + ct_b[:, None] * xi[None, :] ** 2
         kern = expj(_TWO_PI * f_m[None, :, None] * e_t[:, None, :])
-        val = jnp.einsum("tym,tmx->tyx", g, kern,
+        val = jnp.einsum("tmy,tmx->tyx", g, kern,
                          precision=jax.lax.Precision.HIGHEST)
         # undo the taper at the true evaluation positions (floor keeps the
         # division finite for zero-padded pulses, whose weight is 0 anyway)
@@ -606,7 +646,6 @@ def _accumulate_factor(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
     ny, nx, nxc = plan.ny_i, plan.nx_i, plan.nx_c
     h = nx / nxc
     f_m = jnp.fft.fftfreq(w).astype(jnp.float32)
-    tap = _taper(jnp.arange(w, dtype=jnp.float32), w, plan.taper_pow)
     xi = (jnp.arange(nx, dtype=jnp.float32) - (nx - 1) / 2.0)
     xic = (jnp.arange(nxc, dtype=jnp.float32) - (nxc - 1) / 2.0
            ) * jnp.float32(h)
@@ -638,13 +677,11 @@ def _accumulate_factor(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
     def step(img, x):
         (band_b, u0_b, pa_b, pb_b, pc_b, bt_b, ct_b, wl_b,
          pac, pbc, pcc) = x
-        win = _extract_windows(band_b, plan)                 # (sub, ny, W)
-        w_hat = jnp.fft.fft(win * tap[None, None, :].astype(jnp.complex64),
-                            axis=-1) / jnp.float32(w)
-        g = w_hat * expj(_TWO_PI * f_m[None, None, :] * u0_b[:, :, None])
+        w_hat = _window_spectra(band_b, plan)                # (sub, W, ny)
+        g = w_hat * expj(_TWO_PI * f_m[None, :, None] * u0_b[:, None, :])
         e_t = bt_b[:, None] * xic[None, :] + ct_b[:, None] * xic[None, :] ** 2
         kern = expj(_TWO_PI * f_m[None, :, None] * e_t[:, None, :])
-        val = jnp.einsum("tym,tmx->tyx", g, kern,
+        val = jnp.einsum("tmy,tmx->tyx", g, kern,
                          precision=jax.lax.Precision.HIGHEST)
         # taper division at u = u0[t,y] + e_t[t,x] via the angle-sum
         # identity: trig on the (t,y) and (t,x) marginals only, never on
