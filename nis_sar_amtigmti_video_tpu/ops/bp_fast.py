@@ -43,7 +43,7 @@ Doppler re-centering, stop-and-go Rx, grid_sample -0.5 offset).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 from functools import lru_cache, partial
 
 import jax
@@ -806,11 +806,24 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
     scope = jax.named_scope
     if use_pfft and compress:
         from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
+    plan_acc = plan    # the plan the accumulate slices rc2 with (see below)
     with scope("bp_compress_recentre_presum"):
         if use_pfft and compress and fft_kernel.supported(plan.nfft):
+            # band-limit the kernel's inverse transform to the 128-aligned
+            # rows the accumulate actually reads (exact — fewer output rows
+            # computed, ~2.6x less inverse MXU + HBM at reference scale).
+            # rc2 is then band-relative: only the accumulate's slicing plan
+            # shifts (plan_acc); the coefficient fit keeps the absolute-
+            # sample plan (u0 is idx - row0 with BOTH terms absolute).
+            band_end = (plan.band_start + plan.stride * (plan.ny_i - 1)
+                        + plan.w_win)
+            p0 = plan.band_start // 128
+            p1 = -(-band_end // 128)
             rc2, pos2, vel2, t2 = fft_kernel.recenter_presum_pallas(
                 rc, pos, vel, ts, vf, p, max(1, presum), plan.t_ref,
-                interpret=interp, t_mean=t_mean_v)
+                interpret=interp, t_mean=t_mean_v, out_rows=(p0, p1))
+            plan_acc = _dc_replace(plan,
+                                   band_start=plan.band_start - p0 * 128)
         else:
             ref_conj = (matched_filter_spectrum(p, plan.nfft)
                         if compress else None)
@@ -827,13 +840,13 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
         if use_pallas:
             from nis_sar_amtigmti_video_tpu.ops.pallas import bp_kernel
             img_i = bp_kernel.accumulate_pallas(
-                rc2, u0, pa, pb, pc, b_t, c_t, plan, interpret=interp)
+                rc2, u0, pa, pb, pc, b_t, c_t, plan_acc, interpret=interp)
         elif accumulate.startswith("factor") and plan.sub_raw > 0:
             sub_p = max(1, plan.sub_raw // max(1, presum))
-            img_i = _accumulate_factor(rc2, u0, pa, pb, pc, b_t, c_t, plan,
-                                       sub_p)
+            img_i = _accumulate_factor(rc2, u0, pa, pb, pc, b_t, c_t,
+                                       plan_acc, sub_p)
         else:
-            img_i = _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan)
+            img_i = _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan_acc)
 
     return _finalize(img_i, (pa, pb, pc), pos2, vel2, t2, vf, t_mean_v,
                      p, plan, rdir, cdir, dy_m)

@@ -66,17 +66,36 @@ from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import (wblk_rhs as
 from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import blk_lhs as _blk_lhs
 
 
-def _tables(nfft: int, ref_conj: np.ndarray | None):
+def _tables(nfft: int, ref_conj: np.ndarray | None, ns: int | None = None,
+            out_rows: tuple[int, int] | None = None):
     """Host-side constants: DFT block matrices, the (k, q) four-step
-    twiddles, the (k, [m|m]) frequency-value table and filter tables."""
+    twiddles, the (k, [m|m]) frequency-value table and filter tables.
+
+    ``ns`` slices the forward leading-DFT's weight columns to the rows a
+    length-``ns`` input can populate (the zero-padded tail contributes
+    nothing — 33% less forward MXU at the reference 22,004-sample pulse).
+    ``out_rows=(p0, p1)`` slices the inverse leading-DFT's rows so only
+    output samples [p0*128, p1*128) are computed — the fast-BP accumulate
+    reads just the iso-range band (~38% of nfft), so the inverse dot and
+    the HBM output shrink accordingly. Both slicings are exact."""
     b1 = nfft // _LANE
     b2 = _LANE
     j1 = np.arange(b1)
     j2 = np.arange(b2)
     f1 = np.exp(-2j * np.pi * np.outer(j1, j1) / b1)
     f2 = np.exp(-2j * np.pi * np.outer(j2, j2) / b2)
-    w1 = _split_pair(_blk_lhs(f1))
-    w1i = _split_pair(_blk_lhs(np.conj(f1).T / b1))
+    w1_full = _blk_lhs(f1)
+    if ns is not None:
+        nsr = -(-ns // _LANE)
+        cols = np.concatenate([np.arange(nsr), b1 + np.arange(nsr)])
+        w1_full = w1_full[:, cols]
+    w1 = _split_pair(w1_full)
+    w1i_full = _blk_lhs(np.conj(f1).T / b1)
+    if out_rows is not None:
+        p0, p1 = out_rows
+        rows = np.concatenate([np.arange(p0, p1), b1 + np.arange(p0, p1)])
+        w1i_full = w1i_full[rows]
+    w1i = _split_pair(w1i_full)
     w2 = _split_pair(_wblk_rhs(f2))
     w2i = _split_pair(_wblk_rhs(np.conj(f2).T / b2))
 
@@ -101,9 +120,10 @@ def _tables(nfft: int, ref_conj: np.ndarray | None):
 
 def _kernel(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
             w2ih, w2il, tw_r, tw_i, a_ref, b_ref, out_r, out_i,
-            *, d: int, groups: int, nfft: int, mode: str):
+            *, d: int, groups: int, nfft: int, mode: str, pb: int = 0):
     b1 = nfft // _LANE
     b2 = _LANE
+    pb = pb or b1                   # inverse output rows (band-limited)
 
     def dot_l(wh, wl_, z):
         """Leading-axis block dot W @ z (bf16x3-managed)."""
@@ -188,17 +208,124 @@ def _kernel(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
         s = s * a2 + _roll_half(s) * b2t                   # e^{+j th}
         z2 = jnp.concatenate([s[:, :b2], s[:, b2:]], axis=0)   # (2B1, q)
         y2 = dot_l(w1ih[:], w1il[:], z2)                   # [p_re; p_im], q
-        out_r[g] = y2[:b1]
-        out_i[g] = y2[b1:]
+        out_r[g] = y2[:pb]
+        out_i[g] = y2[pb:]
+
+
+def _kernel_wide(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
+                 w2ih, w2il, twa, twb, twbi, a_ref3, b_ref3, out_r, out_i,
+                 *, d: int, groups: int, nfft: int, mode: str, pb: int = 0):
+    """Lane-batched variant of :func:`_kernel` (measured study, kept for
+    the record — select with ``impl='wide'``).
+
+    Hypothesis: the narrow kernel is op-latency-bound (~30 small dependent
+    VPU/MXU ops per pulse), so batching every elementwise stage into ONE
+    (B1, blk, [q_re|q_im]) 3-D op per grid step should win. Measured on
+    v5e at the reference workload: 31.5 ms vs narrow's 27.6 — the
+    jnp.stack re-assemblies around the per-pulse MXU dots cost more than
+    the batching saves (scripts/probe_fftk_ablate.py has the stage split).
+    Math verified identical to narrow (1.2e-6 relative on TPU)."""
+    b1 = nfft // _LANE
+    b2 = _LANE
+    blk = d * groups
+    pb = pb or b1                   # inverse output rows (band-limited)
+
+    def dot_l(wh, wl_, z):
+        dd = partial(jnp.dot, preferred_element_type=jnp.float32)
+        zh = z.astype(jnp.bfloat16)
+        if mode == "bf16":
+            return dd(wh, zh)
+        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dd(wh, zh) + dd(wl_, zh) + dd(wh, zl)
+
+    def dot_m(z, wh, wl_):
+        dd = partial(jnp.dot, preferred_element_type=jnp.float32)
+        zh = z.astype(jnp.bfloat16)
+        if mode == "bf16":
+            return dd(zh, wh)
+        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dd(zh, wh) + dd(zh, wl_) + dd(zl, wh)
+
+    def rollh(x):
+        return jnp.concatenate([x[..., b2:], x[..., :b2]], axis=-1)
+
+    # ---- forward dot_l per pulse, assembled into the 3-D wide view ----
+    segs = []
+    for t in range(blk):
+        z = jnp.concatenate([xr[t], xi[t]], axis=0)        # (2B1, B2)
+        y = dot_l(w1h[:], w1l[:], z)
+        segs.append(jnp.concatenate([y[:b1], y[b1:]], axis=-1))
+    s3 = jnp.stack(segs, axis=1)                           # (B1, blk, 2B2)
+
+    # ---- four-step twiddle e^{-j th}, all pulses at once ----
+    s3 = s3 * twa[:][:, None, :] + rollh(s3) * twb[:][:, None, :]
+
+    # ---- per-pulse lane DFT (B2 digit) ----
+    s3 = jnp.stack([dot_m(s3[:, t], w2h[:], w2l[:]) for t in range(blk)],
+                   axis=1)                                 # (B1, blk, [m|m])
+
+    # ---- matched filter (static tables) ----
+    s3 = s3 * a_ref3[:][:, None, :] + rollh(s3) * b_ref3[:][:, None, :]
+
+    # ---- factored recentre ramp + carrier (trig on marginals only) ----
+    isgn = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * b2), 2)
+    hsgn = jnp.where(isgn >= b2, jnp.float32(1.0), jnp.float32(-1.0))
+    m_tab = jnp.where(isgn >= b2, isgn - b2, isgn)         # (1, 1, 2B2)
+    wrap_mask = m_tab >= b2 // 2
+    si2 = si[0]                                            # (1, blk) i32
+    sf2 = sf[0]
+    k_io = jax.lax.broadcasted_iota(jnp.int32, (b1, 1), 0)
+    pha_i = (k_io * si2) % nfft                            # (B1, blk) exact
+    pha = (_TWO_PI / nfft) * (pha_i.astype(jnp.float32)
+                              + sf2 * k_io.astype(jnp.float32)) + car[0]
+    ar3 = jnp.cos(pha)[:, :, None]                         # (B1, blk, 1)
+    ai3 = jnp.sin(pha)[:, :, None]
+    si3 = si2[:, :, None]
+    sf3 = sf2[:, :, None]
+    phb_i = b1 * ((m_tab * si3) % b2)                      # (1, blk, 2B2)
+    phb = (_TWO_PI / nfft) * (phb_i.astype(jnp.float32)
+                              + sf3 * (m_tab * b1).astype(jnp.float32))
+    br3 = jnp.cos(phb)
+    bi3 = jnp.sin(phb)
+    phc = -_TWO_PI * sf3
+    cr3, ci3 = jnp.cos(phc), jnp.sin(phc)
+    br3, bi3 = (jnp.where(wrap_mask, br3 * cr3 - bi3 * ci3, br3),
+                jnp.where(wrap_mask, br3 * ci3 + bi3 * cr3, bi3))
+    cs = ar3 * br3 - ai3 * bi3                             # (B1, blk, 2B2)
+    sn = ar3 * bi3 + ai3 * br3
+    s3 = s3 * cs + rollh(s3) * (sn * hsgn)
+
+    # ---- presum in the frequency domain (linear) ----
+    s3 = s3 * (wl[0][:, :, None] / d)
+    sg = s3.reshape(b1, groups, d, 2 * b2).sum(axis=2)     # (B1, g, 2B2)
+
+    # ---- inverse: lane iDFT, conj twiddle, leading iDFT ----
+    sg = jnp.stack([dot_m(sg[:, g], w2ih[:], w2il[:]) for g in range(groups)],
+                   axis=1)
+    sg = sg * twa[:][:, None, :] + rollh(sg) * twbi[:][:, None, :]
+    for g in range(groups):
+        z2 = jnp.concatenate([sg[:, g, :b2], sg[:, g, b2:]], axis=0)
+        y2 = dot_l(w1ih[:], w1il[:], z2)
+        out_r[g] = y2[:pb]
+        out_i[g] = y2[pb:]
 
 
 def recenter_presum_pallas(rc, sat_pos, sat_vel, t_slow, vel_focus, p, d: int,
                            t_ref: float, filter_compress: bool = True,
                            mode: str = "bf16x3", groups: int = 2,
-                           interpret: bool = False, t_mean=None):
+                           interpret: bool = False, t_mean=None,
+                           impl: str = "narrow",
+                           out_rows: tuple[int, int] | None = None):
     """Drop-in for ops/bp_fast.py::recenter_presum (optionally with the
     matched filter fused, the ``ref_conj`` path) running as one pallas
-    kernel. Returns the same (rc2[P2, nfft] complex64, pos2, vel2, t2)."""
+    kernel. Returns the same (rc2[P2, nfft] complex64, pos2, vel2, t2).
+
+    ``out_rows=(p0, p1)`` band-limits the inverse transform: the returned
+    rc2 then holds only samples [p0*128, p1*128) (shape (P2, (p1-p0)*128))
+    — exact, just fewer output rows computed (the fast-BP accumulate reads
+    only the iso-range band). The forward transform is always sliced to
+    the ``ns`` populated input rows (exact: the zero tail contributes
+    nothing)."""
     from nis_sar_amtigmti_video_tpu.ops.bp_fast import matched_filter_spectrum
 
     num_p, ns = rc.shape
@@ -206,6 +333,14 @@ def recenter_presum_pallas(rc, sat_pos, sat_vel, t_slow, vel_focus, p, d: int,
     if not supported(nfft):
         raise ValueError(f"recenter_presum_pallas: nfft={nfft} unsupported")
     b1 = nfft // _LANE
+    nsr = -(-ns // _LANE)
+    if out_rows is not None:
+        p0, p1 = out_rows
+        if not (0 <= p0 < p1 <= b1):
+            raise ValueError(f"out_rows {out_rows} outside [0, {b1}]")
+        pb = p1 - p0
+    else:
+        pb = b1
 
     dt = t_slow - (jnp.mean(t_slow) if t_mean is None else t_mean)
     org = vel_focus[None, :] * dt[:, None]
@@ -216,7 +351,7 @@ def recenter_presum_pallas(rc, sat_pos, sat_vel, t_slow, vel_focus, p, d: int,
     p_pad = -(-num_p // blk) * blk
     wl = jnp.pad(jnp.ones((num_p,), jnp.float32),
                  (0, p_pad - num_p)).reshape(-1, 1)
-    rc_p = jnp.pad(rc, ((0, p_pad - num_p), (0, nfft - ns)))
+    rc_p = jnp.pad(rc, ((0, p_pad - num_p), (0, nsr * _LANE - ns)))
     d0_p = jnp.pad(d0, (0, p_pad - num_p), mode="edge")
 
     # f64 host-side phase decomposition (tiny (P,) arrays)
@@ -232,37 +367,66 @@ def recenter_presum_pallas(rc, sat_pos, sat_vel, t_slow, vel_focus, p, d: int,
     if filter_compress:
         ref = matched_filter_spectrum(p, nfft)
     (w1h, w1l), (w1ih, w1il), (w2h, w2l), (w2ih, w2il), tw_r, tw_i, \
-        a_ref, b_ref = _tables(nfft, ref)
+        a_ref, b_ref = _tables(nfft, ref, ns=ns, out_rows=out_rows)
 
-    xr = jnp.real(rc_p).astype(jnp.float32).reshape(p_pad, b1, _LANE)
-    xi = jnp.imag(rc_p).astype(jnp.float32).reshape(p_pad, b1, _LANE)
+    # only the nsr populated sublane rows are shipped/dotted: the forward
+    # weight columns were sliced to match in _tables
+    xr = jnp.real(rc_p).astype(jnp.float32).reshape(p_pad, nsr, _LANE)
+    xi = jnp.imag(rc_p).astype(jnp.float32).reshape(p_pad, nsr, _LANE)
 
     n_out = p_pad // d
     grid = (p_pad // blk,)
-    bs_in = pl.BlockSpec((blk, b1, _LANE), lambda i: (i, 0, 0))
-    bs_sc = pl.BlockSpec((blk, 1), lambda i: (i, 0))
-    bs_w1 = pl.BlockSpec((2 * b1, 2 * b1), lambda i: (0, 0))
+    bs_in = pl.BlockSpec((blk, nsr, _LANE), lambda i: (i, 0, 0))
+    bs_w1 = pl.BlockSpec((2 * b1, 2 * nsr), lambda i: (0, 0))
+    bs_w1i = pl.BlockSpec((2 * pb, 2 * b1), lambda i: (0, 0))
     bs_w2 = pl.BlockSpec((2 * _LANE, 2 * _LANE), lambda i: (0, 0))
-    bs_tw = pl.BlockSpec((b1, _LANE), lambda i: (0, 0))
     bs_f = pl.BlockSpec((b1, 2 * _LANE), lambda i: (0, 0))
-    bs_out = pl.BlockSpec((groups, b1, _LANE), lambda i: (i, 0, 0))
+    bs_out = pl.BlockSpec((groups, pb, _LANE), lambda i: (i, 0, 0))
 
     with jax.enable_x64(False):
-        our, oui = pl.pallas_call(
-            partial(_kernel, d=d, groups=groups, nfft=nfft, mode=mode),
-            grid=grid,
-            in_specs=[bs_in, bs_in, bs_sc, bs_sc, bs_sc, bs_sc,
-                      bs_w1, bs_w1, bs_w1, bs_w1, bs_w2, bs_w2, bs_w2, bs_w2,
-                      bs_tw, bs_tw, bs_f, bs_f],
-            out_specs=[bs_out, bs_out],
-            out_shape=[jax.ShapeDtypeStruct((n_out, b1, _LANE), jnp.float32)]
-            * 2,
-            compiler_params=_VMEM,
-            interpret=interpret,
-        )(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
-          w2ih, w2il, tw_r, tw_i, a_ref, b_ref)
+        if impl == "wide":
+            # wide scalar layout: one (1, blk) row per grid step
+            def row(v):
+                return v.reshape(-1, blk)[:, None, :]
+            twa = np.concatenate([tw_r, tw_r], axis=1)       # (B1, 2B2)
+            twb = np.concatenate([tw_i, -tw_i], axis=1)      # fwd e^{-j th}
+            twbi = np.concatenate([-tw_i, tw_i], axis=1)     # inv e^{+j th}
+            bs_sc = pl.BlockSpec((1, 1, blk), lambda i: (i, 0, 0))
+            our, oui = pl.pallas_call(
+                partial(_kernel_wide, d=d, groups=groups, nfft=nfft,
+                        mode=mode, pb=pb),
+                grid=grid,
+                in_specs=[bs_in, bs_in, bs_sc, bs_sc, bs_sc, bs_sc,
+                          bs_w1, bs_w1, bs_w1i, bs_w1i,
+                          bs_w2, bs_w2, bs_w2, bs_w2,
+                          bs_f, bs_f, bs_f, bs_f, bs_f],
+                out_specs=[bs_out, bs_out],
+                out_shape=[jax.ShapeDtypeStruct((n_out, pb, _LANE),
+                                                jnp.float32)] * 2,
+                compiler_params=_VMEM,
+                interpret=interpret,
+            )(xr, xi, row(si), row(sf), row(car), row(wl),
+              w1h, w1l, w1ih, w1il, w2h, w2l, w2ih, w2il,
+              twa, twb, twbi, a_ref, b_ref)
+        else:
+            bs_sc = pl.BlockSpec((blk, 1), lambda i: (i, 0))
+            bs_tw = pl.BlockSpec((b1, _LANE), lambda i: (0, 0))
+            our, oui = pl.pallas_call(
+                partial(_kernel, d=d, groups=groups, nfft=nfft, mode=mode,
+                        pb=pb),
+                grid=grid,
+                in_specs=[bs_in, bs_in, bs_sc, bs_sc, bs_sc, bs_sc,
+                          bs_w1, bs_w1, bs_w1i, bs_w1i, bs_w2, bs_w2, bs_w2,
+                          bs_w2, bs_tw, bs_tw, bs_f, bs_f],
+                out_specs=[bs_out, bs_out],
+                out_shape=[jax.ShapeDtypeStruct((n_out, pb, _LANE),
+                                                jnp.float32)] * 2,
+                compiler_params=_VMEM,
+                interpret=interpret,
+            )(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
+              w2ih, w2il, tw_r, tw_i, a_ref, b_ref)
 
-    rc_b = jax.lax.complex(our, oui).reshape(n_out, nfft)
+    rc_b = jax.lax.complex(our, oui).reshape(n_out, pb * _LANE)
     rc_b = rc_b[: -(-num_p // d)]
 
     ci = jnp.arange(rc_b.shape[0]) * d + (d // 2)
