@@ -612,8 +612,34 @@ def _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
     return img
 
 
+def _cein_tyx(g, kern, prec: str):
+    """The factor-accumulate's (t,m,y)x(t,m,x)->(t,y,x) complex einsum with
+    managed precision. HIGHEST costs 6 bf16 MXU passes per real dot (24
+    total for complex); 'bf16x3' is the hi/lo split (~5e-6, 12 passes);
+    'default' the single lossy pass (~2.6e-3, 4)."""
+    if prec == "highest":
+        return jnp.einsum("tmy,tmx->tyx", g, kern,
+                          precision=jax.lax.Precision.HIGHEST)
+    if prec == "default":
+        return jnp.einsum("tmy,tmx->tyx", g, kern)
+    ein = partial(jnp.einsum, "tmy,tmx->tyx",
+                  preferred_element_type=jnp.float32)
+
+    def d3(a, b):
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return ein(ah, bh) + ein(al, bh) + ein(ah, bl)
+
+    gr, gi = jnp.real(g), jnp.imag(g)
+    kr, ki = jnp.real(kern), jnp.imag(kern)
+    return jax.lax.complex(d3(gr, kr) - d3(gi, ki),
+                           d3(gr, ki) + d3(gi, kr))
+
+
 def _accumulate_factor(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
-                       sub_p: int):
+                       sub_p: int, einsum_prec: str = "highest"):
     """Factorized (sub-aperture) accumulation — the algorithmic answer to
     the per-pulse-per-pixel trig floor (docs/ROUND2_NOTES.md §14).
 
@@ -681,8 +707,7 @@ def _accumulate_factor(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
         g = w_hat * expj(_TWO_PI * f_m[None, :, None] * u0_b[:, None, :])
         e_t = bt_b[:, None] * xic[None, :] + ct_b[:, None] * xic[None, :] ** 2
         kern = expj(_TWO_PI * f_m[None, :, None] * e_t[:, None, :])
-        val = jnp.einsum("tmy,tmx->tyx", g, kern,
-                         precision=jax.lax.Precision.HIGHEST)
+        val = _cein_tyx(g, kern, einsum_prec)
         # taper division at u = u0[t,y] + e_t[t,x] via the angle-sum
         # identity: trig on the (t,y) and (t,x) marginals only, never on
         # the full (t,y,x) field (the plain path's single biggest trig bill)
@@ -771,11 +796,11 @@ def _resample_output(img_i, plan: FastBpPlan, p: BpParams, rdir, cdir, dy_m):
 # --------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("p", "plan", "presum", "compress",
-                                   "accumulate", "fit_stride"))
+                                   "accumulate", "fit_stride", "math_mode"))
 def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
                      plan: FastBpPlan, presum: int = 1, t_mean=None,
                      compress: bool = False, accumulate: str = "xla",
-                     fit_stride: int = 0):
+                     fit_stride: int = 0, math_mode: str = "exact"):
     """Gather-free BP of range-compressed pulses onto the output grid.
 
     rc: (P, Ns) complex64; trajectory in f64; ``plan`` from :func:`make_plan`
@@ -788,7 +813,14 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
     into the recentre FFT round trip — at the production 22,004-sample shape
     this removes two Bluestein FFT passes (the power-of-two padded filter is
     the linear-convolution variant; see :func:`recenter_presum`).
+
+    ``math_mode``: 'exact' keeps the bf16x3-managed recentre dots and the
+    HIGHEST factor einsum (f32-grade, the tested default); 'fast' drops
+    both to single-pass bf16-input MXU dots (~3e-3 field rel-err,
+    measured at reference scale by scripts/probe_bp_knobs.py) for the
+    streaming-VideoSAR throughput path.
     """
+    fast_math = math_mode == "fast"
     pos = jnp.asarray(sat_pos, jnp.float64)
     vel = jnp.asarray(sat_vel, jnp.float64)
     ts = jnp.asarray(t_slow, jnp.float64)
@@ -821,7 +853,9 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
             p1 = -(-band_end // 128)
             rc2, pos2, vel2, t2 = fft_kernel.recenter_presum_pallas(
                 rc, pos, vel, ts, vf, p, max(1, presum), plan.t_ref,
-                interpret=interp, t_mean=t_mean_v, out_rows=(p0, p1))
+                interpret=interp, t_mean=t_mean_v, out_rows=(p0, p1),
+                mode="bf16" if fast_math else "bf16x3",
+                groups=8 if fast_math else 2)
             plan_acc = _dc_replace(plan,
                                    band_start=plan.band_start - p0 * 128)
         else:
@@ -843,8 +877,9 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
                 rc2, u0, pa, pb, pc, b_t, c_t, plan_acc, interpret=interp)
         elif accumulate.startswith("factor") and plan.sub_raw > 0:
             sub_p = max(1, plan.sub_raw // max(1, presum))
-            img_i = _accumulate_factor(rc2, u0, pa, pb, pc, b_t, c_t,
-                                       plan_acc, sub_p)
+            img_i = _accumulate_factor(
+                rc2, u0, pa, pb, pc, b_t, c_t, plan_acc, sub_p,
+                einsum_prec="default" if fast_math else "highest")
         else:
             img_i = _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan_acc)
 
@@ -920,7 +955,8 @@ def _finalize(img_i, phase_coeffs, pos2, vel2, t2, vf, t_mean_v, p: BpParams,
 
 def focus_bp_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
                   p: BpParams, presum: int = 1, plan: FastBpPlan = None,
-                  accumulate: str = "xla", fit_stride: int = 0):
+                  accumulate: str = "xla", fit_stride: int = 0,
+                  math_mode: str = "exact"):
     """Fused range compression + fast BP + presum rescale/droop (drop-in
     for ops/bp.py::focus_bp at production scale). The matched filter rides
     the recentre FFT (``compress=True``), so raw pulses see exactly one
@@ -936,7 +972,8 @@ def focus_bp_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
                          factorize=accumulate.startswith("factor"))
     img = backproject_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, p, plan,
                            presum=presum, compress=True,
-                           accumulate=accumulate, fit_stride=fit_stride)
+                           accumulate=accumulate, fit_stride=fit_stride,
+                           math_mode=math_mode)
     if presum > 1:
         corr = bp_ops.presum_droop_correction(
             jnp.asarray(sat_pos, jnp.float64), jnp.asarray(sat_vel, jnp.float64),

@@ -52,10 +52,17 @@ vf = jnp.zeros(3, jnp.float64)
 tm = jnp.mean(ts)
 
 
+band_end = plan.band_start + plan.stride * (plan.ny_i - 1) + plan.w_win
+p0, p1 = plan.band_start // 128, -(-band_end // 128)
+from dataclasses import replace as _dc_replace
+plan_acc = _dc_replace(plan, band_start=plan.band_start - p0 * 128)
+
+
 def prefix(stage: str):
     def fn(raw):
         rc2, pos2, vel2, t2 = fft_kernel.recenter_presum_pallas(
-            raw, pos, vel, ts, vf, p, d, plan.t_ref, t_mean=tm)
+            raw, pos, vel, ts, vf, p, d, plan.t_ref, t_mean=tm,
+            out_rows=(p0, p1))
         if stage == "recentre":
             return rc2
         rdir, cdir, dy_m = bp_fast._frame_geometry(
@@ -63,8 +70,10 @@ def prefix(stage: str):
         co = bp_fast._fit_coeffs(pos2, vel2, t2, vf, p, plan, tm,
                                  rdir, cdir, dy_m, fit_stride=8)
         if stage == "fit":
-            return co[0] + co[1]
-        img_i = bp_fast._accumulate_factor(rc2, *co, plan, sub_p)
+            # consume rc2 too — otherwise XLA DCEs the whole pallas kernel
+            # out of this prefix and the difference row is meaningless
+            return co[0] + co[1] + jnp.abs(rc2[:co[0].shape[0], :1])
+        img_i = bp_fast._accumulate_factor(rc2, *co, plan_acc, sub_p)
         if stage == "acc":
             return img_i
         return bp_fast._finalize(img_i, co[1:4], pos2, vel2, t2, vf, tm,
