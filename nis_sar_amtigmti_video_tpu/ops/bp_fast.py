@@ -830,11 +830,13 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
     if jax.default_backend() != "tpu":   # Mosaic needs a TPU (csa.py guard
         if accumulate == "pallas":       # pattern); '*_interpret' modes stay
             accumulate = "xla"           # available for tests anywhere
-        elif accumulate == "factor_pallas":
+        elif accumulate in ("factor_pallas", "factor_kernel"):
             accumulate = "factor"
     use_pallas = accumulate in ("pallas", "pallas_interpret")
-    use_pfft = use_pallas or accumulate == "factor_pallas"
-    interp = accumulate == "pallas_interpret"
+    use_fkern = accumulate in ("factor_kernel", "factor_kernel_interpret")
+    use_pfft = use_pallas or accumulate == "factor_pallas" or (
+        use_fkern and accumulate == "factor_kernel")
+    interp = accumulate.endswith("_interpret")
     scope = jax.named_scope
     if use_pfft and compress:
         from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
@@ -875,6 +877,17 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
             from nis_sar_amtigmti_video_tpu.ops.pallas import bp_kernel
             img_i = bp_kernel.accumulate_pallas(
                 rc2, u0, pa, pb, pc, b_t, c_t, plan_acc, interpret=interp)
+        elif use_fkern and plan.sub_raw > 0:
+            from nis_sar_amtigmti_video_tpu.ops.pallas import bp_factor_kernel
+            sub_p = max(1, plan.sub_raw // max(1, presum))
+            if bp_factor_kernel.supported(plan_acc):
+                img_i = bp_factor_kernel.accumulate_factor_pallas(
+                    rc2, u0, pa, pb, pc, b_t, c_t, plan_acc, sub_p,
+                    mode="bf16" if fast_math else "bf16x3", interpret=interp)
+            else:                        # tiny test plans: XLA factor path
+                img_i = _accumulate_factor(
+                    rc2, u0, pa, pb, pc, b_t, c_t, plan_acc, sub_p,
+                    einsum_prec="default" if fast_math else "highest")
         elif accumulate.startswith("factor") and plan.sub_raw > 0:
             sub_p = max(1, plan.sub_raw // max(1, presum))
             img_i = _accumulate_factor(

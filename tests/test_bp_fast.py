@@ -236,6 +236,35 @@ class TestFastBp:
         err = np.abs(got - want).max() / np.abs(want).max()
         assert err < 2e-4, err
 
+    def test_factor_kernel_matches_xla(self):
+        """Interpret-mode factorized coarse-tile kernel vs
+        _accumulate_factor on the same synthetic operands and plan."""
+        from nis_sar_amtigmti_video_tpu.ops.pallas import bp_factor_kernel
+
+        plan = bp_fast.FastBpPlan(ny_i=128, nx_i=512, w_win=32, stride=1,
+                                  band_start=7, nfft=512, dx_m=1.0,
+                                  t_ref=1e-3, n_org=100.0,
+                                  sub_raw=4, nx_c=128)
+        assert bp_factor_kernel.supported(plan)
+        rng = np.random.default_rng(5)
+        n_p, sub_p = 11, 4           # ragged final sub-aperture on purpose
+        rc2 = jnp.asarray(rng.standard_normal((n_p, 512))
+                          + 1j * rng.standard_normal((n_p, 512)),
+                          jnp.complex64)
+        u0 = jnp.asarray(15.0 + 2.0 * rng.standard_normal((n_p, 128)),
+                         jnp.float32)
+        pa = jnp.asarray(rng.uniform(-3, 3, (n_p, 128)), jnp.float32)
+        pb = jnp.asarray(0.003 * rng.standard_normal((n_p, 128)), jnp.float32)
+        pc = jnp.asarray(3e-6 * rng.standard_normal((n_p, 128)), jnp.float32)
+        b_t = jnp.asarray(0.01 * rng.standard_normal(n_p), jnp.float32)
+        c_t = jnp.asarray(1e-5 * rng.standard_normal(n_p), jnp.float32)
+        want = np.asarray(bp_fast._accumulate_factor(
+            rc2, u0, pa, pb, pc, b_t, c_t, plan, sub_p))
+        got = np.asarray(bp_factor_kernel.accumulate_factor_pallas(
+            rc2, u0, pa, pb, pc, b_t, c_t, plan, sub_p, interpret=True))
+        err = np.abs(got - want).max() / np.abs(want).max()
+        assert err < 2e-4, err
+
     def test_pallas_path_meets_oracle(self):
         """focus_bp_fast with the pallas accumulate (interpret mode, w=64
         plan) against the upsampled f64 oracle."""
