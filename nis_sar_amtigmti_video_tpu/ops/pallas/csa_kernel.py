@@ -245,16 +245,31 @@ def _k3_call(xr, xi, a: int, interpret: bool, mode: str):
 # --------------------------------------------------------------------------
 
 def _k2_body(xr, xi, frs2, alpha, beta, cph3, dr3, usq3, rphase, g, c3,
-             wf_hi, wf_lo, wi_hi, wi_lo, a1, b1, a2, b2, our, oui,
-             *, b: int, mode: str):
+             wf_hi, wf_lo, wi_hi, wi_lo, fc_hi, fc_lo, ic_hi, ic_lo,
+             a1, b1, a2, b2, our, oui, *, b: int, mode: str, variant: str):
     sgn = _half_sign((1, 1, 2 * b), b)
+
+    def swap_dot(s, ch, cl):
+        """(R, e, [d_re|d_im]) --contract e with [Wr | Wi]--> (R, d,
+        [out_re|out_im]): the restack-free digit swap. One sublane-axis
+        dot against the lane-concatenated real/imag DFT parts gives all
+        four real products as sublane x lane quadrants; two slice-adds
+        recombine them — no (64, 128) transposes in VMEM (the restack
+        variant's dominant cost, docs/ROUND2_NOTES.md §14)."""
+        dc = _dot3(s, ch, cl, 1, mode)                     # (R, 2d, 2m)
+        return jnp.concatenate(
+            [dc[:, :b, :b] - dc[:, b:, b:],                # re*Wr - im*Wi
+             dc[:, b:, :b] + dc[:, :b, b:]], axis=2)       # im*Wr + re*Wi
 
     # ---- forward range FFT: contract p, twiddle, contract q
     z = jnp.concatenate([xr[:], xi[:]], axis=1)            # (R, 2p, q)
     s = _dot3(z, wf_hi[:], wf_lo[:], 1, mode)              # (R, q, [k|k])
     s = s * a1[:][None] + _roll_half(s) * b1[:][None]      # e^{-j 2pi kq/N}
-    s = _restack(s)                                        # (R, k, [q|q])
-    s = _dot3(s, wf_hi[:], wf_lo[:], 2, mode)              # (R, k, [m|m])
+    if variant == "dots":
+        s = swap_dot(s, fc_hi[:], fc_lo[:])                # (R, k, [m|m])
+    else:
+        s = _restack(s)                                    # (R, k, [q|q])
+        s = _dot3(s, wf_hi[:], wf_lo[:], 2, mode)          # (R, k, [m|m])
 
     # ---- Phi2 = exp(j*(alpha*fr + beta)*fr), fr in the (k, [m|m]) layout
     fv = frs2[:][None]
@@ -264,8 +279,11 @@ def _k2_body(xr, xi, frs2, alpha, beta, cph3, dr3, usq3, rphase, g, c3,
     # ---- inverse range FFT: contract m (minor), conj twiddle, contract k
     s = _dot3(s, wi_hi[:], wi_lo[:], 2, mode)              # (R, k, [q|q])
     s = s * a2[:][None] + _roll_half(s) * b2[:][None]      # e^{+j 2pi kq/N}
-    s = _restack(s)                                        # (R, q, [k|k])
-    s = _dot3(s, wi_hi[:], wi_lo[:], 2, mode)              # (R, q, [p|p])
+    if variant == "dots":
+        s = swap_dot(s, ic_hi[:], ic_lo[:])                # (R, q, [p|p])
+    else:
+        s = _restack(s)                                    # (R, q, [k|k])
+        s = _dot3(s, wi_hi[:], wi_lo[:], 2, mode)          # (R, q, [p|p])
 
     # ---- Phi3 = rphase(az) + cphase(s) + g(az)*dr(s) - c3(az)*u(s)^2
     ph3 = rphase[:] + cph3[:][None] + g[:] * dr3[:][None] \
@@ -302,6 +320,9 @@ def _k2_consts(b: int):
     inv = np.exp(2j * np.pi * np.outer(j, j) / b) / b
     wf = _split_pair(_wblk_rhs(fwd))
     wi = _split_pair(_wblk_rhs(inv))
+    # lane-concatenated [Wr | Wi] parts for the restack-free digit swap
+    fc = _split_pair(np.concatenate([fwd.real, fwd.imag], axis=1))
+    ic = _split_pair(np.concatenate([inv.real, inv.imag], axis=1))
     th = 2.0 * np.pi * np.outer(j, j) / n                  # theta[k, q]
     cs, sn = np.cos(th), np.sin(th)
     f32 = lambda x: x.astype(np.float32)
@@ -309,16 +330,18 @@ def _k2_consts(b: int):
     b1 = f32(np.concatenate([sn.T, -sn.T], axis=1))
     a2 = f32(np.tile(cs, (1, 2)))                          # [k, (h,q)]
     b2 = f32(np.concatenate([-sn, sn], axis=1))
-    return wf, wi, a1, b1, a2, b2
+    return wf, wi, fc, ic, a1, b1, a2, b2
 
 
-def _k2_call(xr, xi, f, b: int, interpret: bool, mode: str, rows: int = 128):
+def _k2_call(xr, xi, f, b: int, interpret: bool, mode: str, rows: int = 128,
+             variant: str = "restack"):
     n = b * b
     n_az = xr.shape[0]
     while n_az % rows:
         rows //= 2
     frs2, cph3, dr3, usq3 = _k2_tables(f, b)
-    (wf_hi, wf_lo), (wi_hi, wi_lo), a1, b1, a2, b2 = _k2_consts(b)
+    (wf_hi, wf_lo), (wi_hi, wi_lo), (fc_hi, fc_lo), (ic_hi, ic_lo), \
+        a1, b1, a2, b2 = _k2_consts(b)
     grid = (n_az // rows,)
     # minor-dim splits are illegal inside Mosaic kernels: reshape to
     # (n_az, b, b) OUTSIDE (a free contiguous view) and use 3-D blocks
@@ -331,10 +354,11 @@ def _k2_call(xr, xi, f, b: int, interpret: bool, mode: str, rows: int = 128):
         return jnp.asarray(v).reshape(-1, 1, 1)
 
     our, oui = pl.pallas_call(
-        partial(_k2_body, b=b, mode=mode),
+        partial(_k2_body, b=b, mode=mode, variant=variant),
         grid=grid,
         in_specs=[bs_dat, bs_dat, bs_tab, bs_az, bs_az, bs_tab, bs_tab,
                   bs_tab, bs_az, bs_az, bs_az, bs_w, bs_w, bs_w, bs_w,
+                  bs_tab, bs_tab, bs_tab, bs_tab,
                   bs_tab, bs_tab, bs_tab, bs_tab],
         out_specs=[bs_dat, bs_dat],
         out_shape=[jax.ShapeDtypeStruct((n_az, b, b), jnp.float32)] * 2,
@@ -344,7 +368,8 @@ def _k2_call(xr, xi, f, b: int, interpret: bool, mode: str, rows: int = 128):
     )(xr.reshape(n_az, b, b), xi.reshape(n_az, b, b), frs2,
       col(f.alpha), col(f.beta), cph3, dr3, usq3,
       col(f.rphase), col(f.g), col(f.c3),
-      wf_hi, wf_lo, wi_hi, wi_lo, a1, b1, a2, b2)
+      wf_hi, wf_lo, wi_hi, wi_lo, fc_hi, fc_lo, ic_hi, ic_lo,
+      a1, b1, a2, b2)
     return our.reshape(n_az, n), oui.reshape(n_az, n)
 
 
@@ -353,7 +378,8 @@ def _k2_call(xr, xi, f, b: int, interpret: bool, mode: str, rows: int = 128):
 # --------------------------------------------------------------------------
 
 def apply_csa_pallas_planes(xr, xi, f, interpret: bool = False,
-                            mode: str = "bf16x3"):
+                            mode: str = "bf16x3",
+                            k2_variant: str = "restack"):
     """Planes-native fused CSA: re/im f32 (..., n_az, n_rg) -> re/im SLC.
 
     This is the production entry: complex64<->plane conversions around the
@@ -382,7 +408,8 @@ def apply_csa_pallas_planes(xr, xi, f, interpret: bool = False,
             zr, zi = _k1_call(zr, zi, f.u.reshape(1, -1),
                               f.c1.reshape(-1, 1), f.w.reshape(-1, 1),
                               a, interpret, mode)
-            zr, zi = _k2_call(zr, zi, f, b, interpret, mode)
+            zr, zi = _k2_call(zr, zi, f, b, interpret, mode,
+                              variant=k2_variant)
             return _k3_call(zr, zi, a, interpret, mode)
 
     if xr.shape[0] > 1:

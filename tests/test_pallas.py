@@ -86,6 +86,27 @@ class TestPallasCsaKernel:
         scale = np.abs(want).max()
         assert np.abs(got - want).max() / scale < 2e-3
 
+    def test_k2_dots_variant_matches_restack(self):
+        """The restack-free K2 digit swap (variant='dots') must reproduce
+        the canonical kernel bit-closely (same contractions, different
+        pass grouping — f32 rounding only)."""
+        import jax.numpy as jnp
+        from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+        from nis_sar_amtigmti_video_tpu.ops.pallas import csa_kernel
+        p = self._params(256)
+        f = csa_ops.csa_factors(p)
+        rng = np.random.default_rng(7)
+        xr = rng.standard_normal((256, 256)).astype(np.float32)
+        xi = rng.standard_normal((256, 256)).astype(np.float32)
+        want = csa_kernel.apply_csa_pallas_planes(
+            jnp.asarray(xr), jnp.asarray(xi), f, interpret=True)
+        got = csa_kernel.apply_csa_pallas_planes(
+            jnp.asarray(xr), jnp.asarray(xi), f, interpret=True,
+            k2_variant="dots")
+        for w, g in zip(want, got):
+            scale = np.abs(np.asarray(w)).max()
+            assert np.abs(np.asarray(g) - np.asarray(w)).max() / scale < 1e-5
+
     def test_batched(self):
         import jax.numpy as jnp
         from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
