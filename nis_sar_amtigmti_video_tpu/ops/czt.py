@@ -62,14 +62,15 @@ def czt_eval(x, n_out: int, step, start, axis: int = -1):
     out_chirp = expj(_wrap32(0.5 * theta * k * k - theta * (n // 2) * k))
 
     # linear convolution a (len n) with the even chirp b(d)=e^{-j theta d^2/2}
-    # over lags d = k - j in [-(n-1), n_out-1]; the symmetric circular fill
-    # interprets indices > nfft/2 as negative lags, so BOTH halves must
-    # cover their side: nfft >= 2n for the negative lags and nfft >= 2*n_out
-    # for the positive ones (an upsampling ratio with n_out > n would
-    # otherwise alias outputs past k = nfft/2 - n).
-    nfft = 1 << (max(n + n_out - 1, 2 * n, 2 * n_out) - 1).bit_length()
+    # over lags d = k - j in [-(n-1), n_out-1]. Asymmetric circular fill:
+    # buffer slots [0, n_out) hold the positive lags and the top n-1 slots
+    # the negative ones, so nfft >= n + n_out - 1 suffices (the symmetric
+    # nfft/2 split needed 2*max(n, n_out) — one pow2 size larger at the
+    # fast-BP output-resample shapes, e.g. 4096 vs 2048 for 1536 -> 512).
+    # Slots in between are hit only by discarded outputs k >= n_out.
+    nfft = 1 << (n + n_out - 2).bit_length()
     d = jnp.arange(nfft, dtype=jnp.float64)
-    d = jnp.where(d > nfft // 2, d - nfft, d)                 # circular lag
+    d = jnp.where(d >= n_out, d - nfft, d)                    # circular lag
     b = expj(_wrap32(-0.5 * theta * d * d))
     shape_b = (1,) * (a.ndim - 1) + (nfft,)
     conv = jnp.fft.ifft(
