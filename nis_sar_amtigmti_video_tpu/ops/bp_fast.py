@@ -30,7 +30,8 @@ alone. This module removes *every* per-pixel gather:
    focusing) from a per-(t,y) quadratic-in-x fit of the exact f64 phase;
    cubic residuals are < 1e-3 rad at the reference geometry.
 5. The internal image is mapped to the requested output grid by a
-   gather-free affine resample (FFT-ramp shears + sinc-matrix matmuls).
+   gather-free affine resample: two chirp-Z passes whose per-slice start
+   phases carry the shear terms (ops/czt.py).
 
 The result is numerically *better* interpolation than the reference's
 bilinear ``grid_sample`` (windowed-Fourier vs 2-tap linear); golden parity
@@ -740,21 +741,6 @@ def _accumulate_factor(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
 # internal -> output grid resample (gather-free: FFT shears + sinc matmuls)
 # --------------------------------------------------------------------------
 
-def _fft_shift_axis(x, shift, axis: int):
-    """Fractional circular shift of ``x`` by per-slice ``shift`` samples
-    along ``axis`` (shift broadcasts against x without that axis)."""
-    n = x.shape[axis]
-    nfft = 1 << (n - 1).bit_length() if n & (n - 1) else n
-    f = jnp.fft.fftfreq(nfft).astype(jnp.float32)
-    sh = [1] * x.ndim
-    sh[axis] = nfft
-    f = f.reshape(sh)
-    spec = jnp.fft.fft(x, n=nfft, axis=axis)
-    spec = spec * expj(-_TWO_PI * f * jnp.expand_dims(shift, axis))
-    out = jnp.fft.ifft(spec, axis=axis)
-    return jax.lax.slice_in_dim(out, 0, n, 1, axis=axis)
-
-
 def _resample_output(img_i, plan: FastBpPlan, p: BpParams, rdir, cdir, dy_m):
     """Internal (ny_i, nx_i) iso-range image -> (ny, nx) output grid.
 
@@ -772,23 +758,23 @@ def _resample_output(img_i, plan: FastBpPlan, p: BpParams, rdir, cdir, dy_m):
     dx_out = p.scene_size_m / (p.nx - 1)
 
     # pass 1 (rows axis): for points on output row iy at internal column a:
-    # b(iy, a) = c1/r1 * a + (c2 - c1*r2/r1) * y[iy]
+    # b(iy, a) = c1/r1 * a + (c2 - c1*r2/r1) * y[iy]. The per-column shear
+    # term rides czt_eval's (now per-slice) start phase — no separate
+    # FFT-ramp round trip (czt_eval docstring).
     a_cols = jnp.asarray(
         (np.arange(plan.nx_i) - (plan.nx_i - 1) / 2.0) * plan.dx_m)
     shear_b = (c1 / r1) * a_cols / dy_m                       # rows, per column
-    img = _fft_shift_axis(img_i, -shear_b.astype(jnp.float32), axis=0)
     scale_b = (c2 - c1 * r2 / r1)
     step_r = scale_b * dy_out / dy_m
     start_r = (scale_b * -half) / dy_m + (plan.ny_i - 1) / 2.0
-    img = czt_eval(img, p.ny, step_r, start_r, axis=0)
+    img = czt_eval(img_i, p.ny, step_r, start_r + shear_b, axis=0)
 
     # pass 2 (cols axis): a(ix, iy) = r1*x[ix] + r2*y[iy]
     y = jnp.asarray(np.linspace(-half, half, p.ny))
     shear_a = (r2 * y) / plan.dx_m                            # cols, per row
-    img = _fft_shift_axis(img, -shear_a.astype(jnp.float32), axis=1)
     step_c = r1 * dx_out / plan.dx_m
     start_c = (r1 * -half) / plan.dx_m + (plan.nx_i - 1) / 2.0
-    return czt_eval(img, p.nx, step_c, start_c, axis=1)
+    return czt_eval(img, p.nx, step_c, start_c + shear_a, axis=1)
 
 
 # --------------------------------------------------------------------------

@@ -43,6 +43,12 @@ def czt_eval(x, n_out: int, step, start, axis: int = -1):
     where X = DFT(x) and f_m are the *signed* bin frequencies (fftfreq) —
     i.e. exact band-limited interpolation, identical to FFT-upsample +
     pick, for any real step/start. At step=1, start=0 it returns x.
+
+    ``start`` may be an ARRAY broadcasting against x's non-``axis`` dims
+    (shaped like x with ``axis`` moved last and dropped): the start offset
+    enters only the pre-convolution phase, so a per-slice start comes free
+    — callers that would otherwise FFT-shear then czt (the fast-BP output
+    resample) fold the shear's whole FFT round trip into this one.
     """
     x = jnp.moveaxis(x, axis, -1)
     n = x.shape[-1]
@@ -51,7 +57,8 @@ def czt_eval(x, n_out: int, step, start, axis: int = -1):
     m = jnp.arange(n, dtype=jnp.float64) - n // 2
 
     theta = _TWO_PI * jnp.asarray(step, jnp.float64) / n      # rad per (m*k)
-    phi = _TWO_PI * m * jnp.asarray(start, jnp.float64) / n   # rad per m
+    phi = (_TWO_PI / n) * (jnp.asarray(start, jnp.float64)[..., None]
+                           * m)                               # rad per m
 
     # out[k] = sum_j y[j] e^{j theta (j - c) k},  y = xs * e^{j phi},
     # with j the array position and c = n//2 the signed-bin offset.
