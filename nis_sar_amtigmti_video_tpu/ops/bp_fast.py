@@ -453,16 +453,52 @@ def _fit_coeffs(pos2, vel2, t2, vel_focus, p: BpParams, plan: FastBpPlan,
     pos = (pos2_a - org)[:, None, None, :]
     vel = vel2_a[:, None, None, :]
     idx, ph = _idx_phase_exact(g, pos, vel, vel_focus, p, plan)
+    row0 = plan.band_start + plan.stride * jnp.arange(ny)
+    cidx = ny // 2
 
     if use_anchor:
-        w = jnp.asarray(w_np)                                 # (P, 3) f64
+        # Interpolate the DERIVED coefficients, not the raw (P, ny, 3) f64
+        # fields: the quadratic interpolation is linear, so it commutes
+        # with the differencing below, and every derived quantity except
+        # the unwrapped pa is small enough for f32 — the emulated-f64
+        # (P, ny, 3) multiply-add chains were most of the fit's cost
+        # (scripts/probe_bp_fs.py: interpolation ~9 of the 10.5 ms).
+        w64 = jnp.asarray(w_np)                               # (P, 3) f64
         a0, a1, a2 = (jnp.asarray(trip[:, k]) for k in range(3))
-        idx = (w[:, 0, None, None] * idx[a0]
-               + w[:, 1, None, None] * idx[a1]
-               + w[:, 2, None, None] * idx[a2])
-        ph = (w[:, 0, None, None] * ph[a0]
-              + w[:, 1, None, None] * ph[a1]
-              + w[:, 2, None, None] * ph[a2])
+
+        def qinterp(v, w):
+            sh = (-1,) + (1,) * (v.ndim - 1)
+            return (w[:, 0].reshape(sh) * v[a0]
+                    + w[:, 1].reshape(sh) * v[a1]
+                    + w[:, 2].reshape(sh) * v[a2])
+
+        w32 = w64.astype(jnp.float32)
+        f32 = jnp.float32
+        u0 = qinterp((idx[..., 1] - row0[None, :]).astype(f32), w32)
+        pb = qinterp(((ph[..., 2] - ph[..., 0]) / (2.0 * xi_max)
+                      ).astype(f32), w32)
+        pc = qinterp(((ph[..., 2] + ph[..., 0] - 2.0 * ph[..., 1])
+                      / (2.0 * xi_max ** 2)).astype(f32), w32)
+        b_t = qinterp(((idx[:, cidx, 2] - idx[:, cidx, 0])
+                       / (2.0 * xi_max)).astype(f32), w32)
+        c_t = qinterp(((idx[:, cidx, 2] + idx[:, cidx, 0]
+                        - 2.0 * idx[:, cidx, 1])
+                       / (2.0 * xi_max ** 2)).astype(f32), w32)
+        # pa is ~1e6 rad unwrapped: split into per-anchor and per-row
+        # marginals (1-D, kept f64) plus the ~1e3-rad cross residual
+        # (f32-safe: 6e-8 relative ~ 1e-4 rad, inside the 1e-3 budget)
+        pa_a = ph[..., 1]                                     # (Pa, ny)
+        ca = pa_a[:, cidx]                                    # (Pa,) f64
+        ea = pa_a[pa_a.shape[0] // 2] - ca[pa_a.shape[0] // 2]
+        ra = (pa_a - ca[:, None] - ea[None, :]).astype(f32)
+
+        def wrap64(v):
+            return (v - _TWO_PI * jnp.round(v / _TWO_PI)).astype(f32)
+
+        pa_sum = (wrap64(qinterp(ca, w64))[:, None] + wrap64(ea)[None, :]
+                  + qinterp(ra, w32))
+        pa_w = pa_sum - f32(_TWO_PI) * jnp.round(pa_sum / f32(_TWO_PI))
+        return u0, pa_w, pb, pc, b_t, c_t
 
     # phase quadratic per (t, y) in centred column units
     pa = ph[..., 1]
@@ -471,12 +507,10 @@ def _fit_coeffs(pos2, vel2, t2, vel_focus, p: BpParams, plan: FastBpPlan,
     pa_w = (pa - _TWO_PI * jnp.round(pa / _TWO_PI)).astype(jnp.float32)
 
     # window-local offset per (t, y): exact centre index minus window origin
-    row0 = plan.band_start + plan.stride * jnp.arange(ny)
     u0 = (idx[..., 1] - row0[None, :]).astype(jnp.float32)
 
     # index quadratic per t from the centre row (y-variation of the slope is
     # the xy cross-term, < 3e-3 samples at reference geometry)
-    cidx = ny // 2
     b_t = ((idx[:, cidx, 2] - idx[:, cidx, 0]) / (2.0 * xi_max)
            ).astype(jnp.float32)
     c_t = ((idx[:, cidx, 2] + idx[:, cidx, 0] - 2.0 * idx[:, cidx, 1])
