@@ -159,8 +159,11 @@ def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
 
     from nis_sar_amtigmti_video_tpu.ops import bp_fast as bf
 
-    if accumulate == "pallas" and jax.default_backend() != "tpu":
-        accumulate = "xla"   # Mosaic needs a TPU; mirrors backproject_fast
+    if jax.default_backend() != "tpu":
+        if accumulate == "pallas":      # Mosaic needs a TPU; mirrors
+            accumulate = "xla"          # backproject_fast
+        elif accumulate == "factor_kernel":
+            accumulate = "factor"
     d = max(1, presum)
     n_sh = mesh.shape[axis]
     num_p = raw.shape[0]
@@ -192,7 +195,14 @@ def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
             img = bp_kernel.accumulate_pallas(
                 rc2, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l, plan,
                 interpret=(accumulate == "pallas_interpret"))
-        elif accumulate == "factor" and plan.sub_raw > 0:
+        elif (accumulate in ("factor_kernel", "factor_kernel_interpret")
+              and plan.sub_raw > 0):
+            from nis_sar_amtigmti_video_tpu.ops.pallas import bp_factor_kernel
+            img = bp_factor_kernel.accumulate_factor_pallas(
+                rc2, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l, plan,
+                max(1, plan.sub_raw // d),
+                interpret=accumulate.endswith("_interpret"))
+        elif accumulate.startswith("factor") and plan.sub_raw > 0:
             img = bf._accumulate_factor(rc2, u0_l, pa_l, pb_l, pc_l, bt_l,
                                         ct_l, plan,
                                         max(1, plan.sub_raw // d))
