@@ -68,7 +68,8 @@ def _hbox(x, half: int):
 def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
                     mask_threshold: float = 0.05,
                     cfar_params: cfar_mod.CfarParams | None = None,
-                    mode: str = "bf16x3", interpret: bool = False):
+                    mode: str = "bf16x3", interpret: bool = False,
+                    k2_variant: str = "restack"):
     """Full 2-channel GMTI CPI — raw phase-history planes in, SLC planes +
     products out — with the product step fused into the CSA megakernel's
     K3 output pass (ops/pallas/gmti_kernel.py).
@@ -101,7 +102,8 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
                                          f.c1.reshape(-1, 1),
                                          f.w.reshape(-1, 1), a, interpret,
                                          mode)
-            return csa_kernel._k2_call(zr, zi, f, b, interpret, mode)
+            return csa_kernel._k2_call(zr, zi, f, b, interpret, mode,
+                                       variant=k2_variant)
 
     # separate per-channel K1/K2 calls measure faster than one vmapped
     # batched dispatch here (18.5 vs 21.0 ms full-CPI): the stack/unstack

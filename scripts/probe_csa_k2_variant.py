@@ -66,3 +66,31 @@ for var in ("restack", "dots"):
 rel = (np.abs(outs["dots"] - outs["restack"]).max()
        / np.abs(outs["restack"]).max())
 print(f"dots vs restack rel-err: {rel:.2e}", flush=True)
+
+# ---- full kernel-fused GMTI CPI (the headline path) ----
+from nis_sar_amtigmti_video_tpu.gmti import fused as gmti_fused
+
+x2r = jax.random.normal(jax.random.fold_in(key, 2), (size, size),
+                        jnp.float32)
+x2i = jax.random.normal(jax.random.fold_in(key, 3), (size, size),
+                        jnp.float32)
+
+
+def cpi(var):
+    @jax.jit
+    def run(a, c):
+        o = gmti_fused.gmti_cpi_pallas(a, c, x2r, x2i, f, k2_variant=var)
+        det = o[7]
+        return (jnp.sum(o[5]) + jnp.sum(o[6]) + jnp.sum(det.snr)
+                + jnp.sum(o[0]) + jnp.sum(o[2]))
+    o = run(xr, xi)
+    float(o)
+    t1 = time.perf_counter()
+    for _ in range(6):
+        o = run(xr, xi)
+    float(o)
+    return 1000 * (time.perf_counter() - t1) / 6
+
+
+for var in ("restack", "dots"):
+    print(f"GMTI CPI {var:8s}: {cpi(var):7.1f} ms", flush=True)
