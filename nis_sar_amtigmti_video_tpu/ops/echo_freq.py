@@ -246,7 +246,8 @@ def _spread_dense(i0, val_sets, l_out: int, win: int, grp: int,
 
 def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
                pulse_chunk: int | None = None, edge_taper: float = 4.0,
-               spreader: str = "auto"):
+               spreader: str = "auto", spread_win: int | None = None,
+               spread_grp: int | None = None):
     """(P, B) per-(pulse,target) scalars -> (P, Ns) complex64 raw data.
 
     tau_rel: delay of each echo relative to the window start [s]
@@ -276,8 +277,14 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
     if spreader == "auto":
         spreader = "dense" if jax.default_backend() == "tpu" else "scatter"
     use_dense = spreader == "dense"
-    d_win, d_grp = 4096, 16
-    d_win_e, d_grp_e = 2048, 16
+    # group sizing: the (pc, grp, B/grp, win) one-hot IS the dense path's
+    # HBM bill (~grp*(B/grp)*win bf16 per pulse); more/smaller groups cut it
+    # linearly until a group's delay span approaches win - K (sorted scenes:
+    # span ~ total_cells/grp). Defaults hold the round-3 safety margin;
+    # spread_win/spread_grp are the measured-sweep overrides
+    # (scripts/probe_echo_spread_sweep.py).
+    d_win, d_grp = spread_win or 4096, spread_grp or 16
+    d_win_e, d_grp_e = min(2048, spread_win or 2048), spread_grp or 16
 
     g, x0 = chirp_kernel(opts, os_, edge_taper)
     lead = int(round(opts.pulse_width_s * fs_os)) + os_ + _W     # L0
