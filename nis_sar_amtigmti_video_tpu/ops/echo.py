@@ -76,6 +76,11 @@ class EchoOpts:
     # (dense = one-hot MXU spreading, the TPU scatter-wall fix; targets are
     # delay-sorted below so its group windows stay narrow)
     freq_spreader: str = "auto"
+    # dense-spreader group sizing overrides (None = module defaults): the
+    # (grp, B/grp, win) one-hot is the dense path's HBM bill; tighter
+    # windows cut it linearly while each group's delay span fits win
+    freq_spread_win: Optional[int] = None
+    freq_spread_grp: Optional[int] = None
     # slow-time stride of the exact f64 geometry pass for backend='freq'
     # (quadratic anchor interpolation between; 0/1 = exact at every pulse)
     freq_geom_stride: int = 8
@@ -296,7 +301,9 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
             return synthesize(tau_all, car_all, amp_all, opts,
                               oversample=opts.freq_oversample,
                               edge_taper=opts.freq_edge_taper,
-                              spreader=opts.freq_spreader)
+                              spreader=opts.freq_spreader,
+                              spread_win=opts.freq_spread_win,
+                              spread_grp=opts.freq_spread_grp)
         from nis_sar_amtigmti_video_tpu.ops.pallas.echo_kernel import (
             echo_accumulate)
         return echo_accumulate(

@@ -186,26 +186,27 @@ def _spread_dense(i0, val_sets, l_out: int, win: int, grp: int,
     for vr, vi, offset in val_sets:
         k_taps = vr.shape[-1]
 
-        def windows(v, oh=oh, k_taps=k_taps):
-            vt = jnp.swapaxes(
-                jnp.pad(v, ((0, 0), (0, b_pad - num_b), (0, 0))
-                        ).reshape(pc, grp, bg, k_taps), 2, 3)  # (pc,g,K,bg)
-            vh = vt.astype(jnp.bfloat16)
-            vl = (vt - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+        # re/im stacked on the tap axis: ONE contraction against the big
+        # one-hot serves both fields, halving the spread's dominant HBM
+        # bill (the one-hot reads)
+        v2 = jnp.concatenate([vr, vi], axis=-1)               # (pc,B,2K)
+        vt = jnp.swapaxes(
+            jnp.pad(v2, ((0, 0), (0, b_pad - num_b), (0, 0))
+                    ).reshape(pc, grp, bg, 2 * k_taps), 2, 3)  # (pc,g,2K,bg)
+        vh = vt.astype(jnp.bfloat16)
+        vl = (vt - vh.astype(jnp.float32)).astype(jnp.bfloat16)
 
-            def dg(a):
-                return jax.lax.dot_general(
-                    a, oh, (((3,), (2,)), ((0, 1), (0, 1))),
-                    preferred_element_type=jnp.float32)       # (pc,g,K,win)
+        def dg(a, oh=oh):
+            return jax.lax.dot_general(
+                a, oh, (((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32)           # (pc,g,2K,win)
 
-            part = dg(vh) + dg(vl)   # one-hot exact in bf16; split v only
-            out = jnp.zeros((pc, grp, win), jnp.float32)
-            for k in range(k_taps):
-                out = out + jnp.roll(part[:, :, k], k, axis=-1)
-            return out
-
-        out_r = windows(vr)
-        out_i = windows(vi)
+        part = dg(vh) + dg(vl)   # one-hot exact in bf16; split v only
+        out_r = jnp.zeros((pc, grp, win), jnp.float32)
+        out_i = jnp.zeros((pc, grp, win), jnp.float32)
+        for k in range(k_taps):
+            out_r = out_r + jnp.roll(part[:, :, k], k, axis=-1)
+            out_i = out_i + jnp.roll(part[:, :, k_taps + k], k, axis=-1)
 
         # sub-row part of the offset: pad one row and lane-roll the windows
         off_mod = offset % 128

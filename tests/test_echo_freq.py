@@ -78,6 +78,29 @@ class TestFreqBackend:
                                / np.mean(np.abs(a) ** 2))
         assert -40.0 < err_db < -25.0
 
+    def test_dense_spreader_matches_scatter(self, scene):
+        """The one-hot MXU spreader (the TPU 'auto' pick) must reproduce
+        the scatter path on a delay-sorted interference-rich scene — the
+        adoption gate for every dense-path restructuring."""
+        g, traj, tgts, t0 = scene
+        a = cplx.to_host(phase_history(
+            traj, tgts, _opts("freq", freq_spreader="scatter"), t_start=t0))
+        b = cplx.to_host(phase_history(
+            traj, tgts, _opts("freq", freq_spreader="dense"), t_start=t0))
+        assert np.abs(b - a).max() < 2e-5 * np.abs(a).max()
+
+    def test_dense_spreader_group_sizing(self, scene):
+        """Tighter group windows (the HBM-bill knob) must stay exact while
+        every group's delay span fits the window."""
+        g, traj, tgts, t0 = scene
+        a = cplx.to_host(phase_history(
+            traj, tgts, _opts("freq", freq_spreader="scatter"), t_start=t0))
+        b = cplx.to_host(phase_history(
+            traj, tgts, _opts("freq", freq_spreader="dense",
+                              freq_spread_win=1024, freq_spread_grp=32),
+            t_start=t0))
+        assert np.abs(b - a).max() < 2e-5 * np.abs(a).max()
+
     def test_endpoint_grid_rejected(self, scene):
         g, traj, tgts, t0 = scene
         with pytest.raises(ValueError, match="uniform fast-time"):
