@@ -213,10 +213,12 @@ def main():
             plan_bp = bp_fast.make_plan(p_bp, np.asarray(trajb.positions),
                                         np.asarray(trajb.times), float(t0b),
                                         factorize=True)
-            bp_acc = ("factor_pallas" if plan_bp.sub_raw > 0
-                      and jax.default_backend() == "tpu" else "factor")
-            if plan_bp.sub_raw == 0:
-                bp_acc = "xla"
+            bp_acc = os.environ.get("BENCH_BP_ACC", "")
+            if not bp_acc:
+                bp_acc = ("factor_pallas" if plan_bp.sub_raw > 0
+                          and jax.default_backend() == "tpu" else "factor")
+                if plan_bp.sub_raw == 0:
+                    bp_acc = "xla"
 
             @jax.jit
             def mk_bp(key):
@@ -237,7 +239,8 @@ def main():
                     img = bp_fast.focus_bp_fast(
                         x, trajb.positions, trajb.velocities, trajb.times,
                         np.zeros(3), float(t0b), p_bp, presum=d_ps,
-                        plan=plan_bp, accumulate=bp_acc, fit_stride=8)
+                        plan=plan_bp, accumulate=bp_acc, fit_stride=8,
+                        math_mode=os.environ.get("BENCH_BP_MATH", "exact"))
                     x = x + (jnp.sum(img[:1, :1]) * 0).astype(x.dtype)
                 return x, img
 
