@@ -69,7 +69,8 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
                     mask_threshold: float = 0.05,
                     cfar_params: cfar_mod.CfarParams | None = None,
                     mode: str = "bf16x3", interpret: bool = False,
-                    k2_variant: str = "restack"):
+                    k2_variant: str = "restack",
+                    lead_variant: str = "swap"):
     """Full 2-channel GMTI CPI — raw phase-history planes in, SLC planes +
     products out — with the product step fused into the CSA megakernel's
     K3 output pass (ops/pallas/gmti_kernel.py).
@@ -101,7 +102,7 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
             zr, zi = csa_kernel._k1_call(zr, zi, f.u.reshape(1, -1),
                                          f.c1.reshape(-1, 1),
                                          f.w.reshape(-1, 1), a, interpret,
-                                         mode)
+                                         mode, variant=lead_variant)
             return csa_kernel._k2_call(zr, zi, f, b, interpret, mode,
                                        variant=k2_variant)
 
@@ -113,7 +114,7 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
     (s1r, s1i, s2r, s2i, ph_raw, mag, power, cso, csi,
      peaks) = gmti_kernel.k3_gmti_planes(
         z1r, z1i, z2r, z2i, cal_cs, h_out=p.guard + p.train, h_in=p.guard,
-        interpret=interpret, mode=mode)
+        interpret=interpret, mode=mode, lead_variant=lead_variant)
 
     # cross-tile stages: range box sums + rank-1 counts + mask
     outer = _hbox(cso, p.guard + p.train)

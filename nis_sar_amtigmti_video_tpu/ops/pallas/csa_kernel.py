@@ -155,9 +155,14 @@ def _cdot_blk(w_hi, w_lo, zr, zi, mode: str):
     return y2[:h], y2[h:]
 
 
-def _fft_lead(zr, zi, wh, wl, tr_m, ti_m, tsgn, a: int, lane: int, mode: str):
-    """Leading-axis four-step transform with one sublane swap; twiddle sign
-    ``tsgn`` (+1 fwd, -1 inv)."""
+def _fft_lead(zr, zi, wh, wl, tr_m, ti_m, tsgn, a: int, lane: int, mode: str,
+              variant: str = "swap"):
+    """Leading-axis four-step transform; twiddle sign ``tsgn`` (+1 fwd,
+    -1 inv). variant='swap' moves the second digit onto the leading axis
+    with a sublane transpose (round-2 form); 'dots' contracts the middle
+    (j2) axis directly — the complex pair stacks along the contracted axis
+    so the SAME block tables apply, lanes stay minor, and the transpose
+    disappears (the K2 swap_dot idea applied to K1/K3)."""
     n = a * a
     zr = zr.reshape(a, a * lane)
     zi = zi.reshape(a, a * lane)
@@ -165,6 +170,18 @@ def _fft_lead(zr, zi, wh, wl, tr_m, ti_m, tsgn, a: int, lane: int, mode: str):
     yr = yr.reshape(a, a, lane)
     yi = yi.reshape(a, a, lane)
     yr, yi = _cmul(yr, yi, tr_m[:, :, None], tsgn * ti_m[:, :, None])
+    if variant == "dots":
+        z3 = jnp.concatenate([yr, yi], axis=1)             # (k1, 2j2, lane)
+        dd = partial(jax.lax.dot_general,
+                     dimension_numbers=(((1,), (1,)), ((), ())),
+                     preferred_element_type=jnp.float32)
+        zh = z3.astype(jnp.bfloat16)
+        if mode == "bf16":
+            y2 = dd(wh, zh)
+        else:
+            zl = (z3 - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+            y2 = dd(wh, zh) + dd(wl, zh) + dd(wh, zl)      # (2k2, k1, lane)
+        return y2[:a].reshape(n, lane), y2[a:].reshape(n, lane)
     yr = jnp.swapaxes(yr, 0, 1).reshape(a, a * lane)
     yi = jnp.swapaxes(yi, 0, 1).reshape(a, a * lane)
     sr, si = _cdot_blk(wh, wl, yr, yi, mode)
@@ -172,10 +189,10 @@ def _fft_lead(zr, zi, wh, wl, tr_m, ti_m, tsgn, a: int, lane: int, mode: str):
 
 
 def _k1_body(xr, xi, u, c1, w, wh, wl, tr_m, ti_m, our, oui,
-             *, a: int, mode: str):
+             *, a: int, mode: str, variant: str):
     lane = xr.shape[-1]
     sr, si = _fft_lead(xr[:], xi[:], wh[:], wl[:], tr_m[:], ti_m[:],
-                       jnp.float32(1.0), a, lane, mode)
+                       jnp.float32(1.0), a, lane, mode, variant=variant)
     # Phi1 = exp(j * c1 * (u - w)^2) with c1, w per az frequency (natural
     # order), u per range sample
     du = u[:] - w[:]
@@ -184,7 +201,8 @@ def _k1_body(xr, xi, u, c1, w, wh, wl, tr_m, ti_m, our, oui,
     our[:], oui[:] = _cmul(sr, si, pr, pi)
 
 
-def _k1_call(xr, xi, u, c1, w, a: int, interpret: bool, mode: str):
+def _k1_call(xr, xi, u, c1, w, a: int, interpret: bool, mode: str,
+             variant: str = "swap"):
     n = a * a
     n_rg = xr.shape[-1]
     f_m, t_m = _dft_consts(a, n)
@@ -198,7 +216,7 @@ def _k1_call(xr, xi, u, c1, w, a: int, interpret: bool, mode: str):
     bs_c = pl.BlockSpec((a, a), lambda j: (0, 0))
     bs_blk = pl.BlockSpec((2 * a, 2 * a), lambda j: (0, 0))
     return pl.pallas_call(
-        partial(_k1_body, a=a, mode=mode),
+        partial(_k1_body, a=a, mode=mode, variant=variant),
         grid=grid,
         in_specs=[bs_dat, bs_dat, bs_u, bs_az, bs_az,
                   bs_blk, bs_blk, bs_c, bs_c],
@@ -210,13 +228,16 @@ def _k1_call(xr, xi, u, c1, w, a: int, interpret: bool, mode: str):
     )(xr, xi, u, c1, w, wh, wl, tr_m, ti_m)
 
 
-def _k3_body(xr, xi, wh, wl, tr_m, ti_m, our, oui, *, a: int, mode: str):
+def _k3_body(xr, xi, wh, wl, tr_m, ti_m, our, oui, *, a: int, mode: str,
+             variant: str):
     lane = xr.shape[-1]
     our[:], oui[:] = _fft_lead(xr[:], xi[:], wh[:], wl[:], tr_m[:], ti_m[:],
-                               jnp.float32(-1.0), a, lane, mode)
+                               jnp.float32(-1.0), a, lane, mode,
+                               variant=variant)
 
 
-def _k3_call(xr, xi, a: int, interpret: bool, mode: str):
+def _k3_call(xr, xi, a: int, interpret: bool, mode: str,
+             variant: str = "swap"):
     n = a * a
     n_rg = xr.shape[-1]
     f_m, t_m = _dft_consts(a, n)
@@ -229,7 +250,7 @@ def _k3_call(xr, xi, a: int, interpret: bool, mode: str):
     bs_c = pl.BlockSpec((a, a), lambda j: (0, 0))
     bs_blk = pl.BlockSpec((2 * a, 2 * a), lambda j: (0, 0))
     return pl.pallas_call(
-        partial(_k3_body, a=a, mode=mode),
+        partial(_k3_body, a=a, mode=mode, variant=variant),
         grid=grid,
         in_specs=[bs_dat, bs_dat, bs_blk, bs_blk, bs_c, bs_c],
         out_specs=[bs_dat, bs_dat],
@@ -379,7 +400,8 @@ def _k2_call(xr, xi, f, b: int, interpret: bool, mode: str, rows: int = 128,
 
 def apply_csa_pallas_planes(xr, xi, f, interpret: bool = False,
                             mode: str = "bf16x3",
-                            k2_variant: str = "restack"):
+                            k2_variant: str = "restack",
+                            lead_variant: str = "swap"):
     """Planes-native fused CSA: re/im f32 (..., n_az, n_rg) -> re/im SLC.
 
     This is the production entry: complex64<->plane conversions around the
@@ -407,10 +429,11 @@ def apply_csa_pallas_planes(xr, xi, f, interpret: bool = False,
         with jax.enable_x64(False):
             zr, zi = _k1_call(zr, zi, f.u.reshape(1, -1),
                               f.c1.reshape(-1, 1), f.w.reshape(-1, 1),
-                              a, interpret, mode)
+                              a, interpret, mode, variant=lead_variant)
             zr, zi = _k2_call(zr, zi, f, b, interpret, mode,
                               variant=k2_variant)
-            return _k3_call(zr, zi, a, interpret, mode)
+            return _k3_call(zr, zi, a, interpret, mode,
+                            variant=lead_variant)
 
     if xr.shape[0] > 1:
         # vmap (not lax.map): pallas_call's batching rule adds a grid dim

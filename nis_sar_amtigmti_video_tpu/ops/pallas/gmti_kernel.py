@@ -127,13 +127,13 @@ def _col_box(x, half: int):
 
 def _k3g_body(x1r, x1i, x2r, x2i, cal, wh, wl, tr_m, ti_m,
               o1r, o1i, o2r, o2i, oph, omg, opw, ocso, ocsi, opk,
-              *, a: int, mode: str, h_out: int, h_in: int):
+              *, a: int, mode: str, h_out: int, h_in: int, variant: str):
     lane = x1r.shape[-1]
     neg = jnp.float32(-1.0)
     s1r, s1i = _fft_lead(x1r[:], x1i[:], wh[:], wl[:], tr_m[:], ti_m[:],
-                         neg, a, lane, mode)
+                         neg, a, lane, mode, variant=variant)
     s2r, s2i = _fft_lead(x2r[:], x2i[:], wh[:], wl[:], tr_m[:], ti_m[:],
-                         neg, a, lane, mode)
+                         neg, a, lane, mode, variant=variant)
     o1r[:], o1i[:] = s1r, s1i
     o2r[:], o2i[:] = s2r, s2i
 
@@ -170,7 +170,7 @@ def _k3g_body(x1r, x1i, x2r, x2i, cal, wh, wl, tr_m, ti_m,
 
 
 def _k3g_call(x1r, x1i, x2r, x2i, cal, a: int, h_out: int, h_in: int,
-              interpret: bool, mode: str):
+              interpret: bool, mode: str, variant: str = "swap"):
     n = a * a
     n_rg = x1r.shape[-1]
     f_m, t_m = _dft_consts(a, n)
@@ -186,7 +186,8 @@ def _k3g_call(x1r, x1i, x2r, x2i, cal, a: int, h_out: int, h_in: int,
     bs_pk = pl.BlockSpec((8, _LANE), lambda j: (0, 0))
     big = jax.ShapeDtypeStruct((n, n_rg), jnp.float32)
     return pl.pallas_call(
-        partial(_k3g_body, a=a, mode=mode, h_out=h_out, h_in=h_in),
+        partial(_k3g_body, a=a, mode=mode, h_out=h_out, h_in=h_in,
+                variant=variant),
         grid=grid,
         in_specs=[bs_dat] * 4 + [bs_cal, bs_blk, bs_blk, bs_c, bs_c],
         out_specs=[bs_dat] * 9 + [bs_pk],
@@ -199,7 +200,8 @@ def _k3g_call(x1r, x1i, x2r, x2i, cal, a: int, h_out: int, h_in: int,
 
 
 def k3_gmti_planes(x1r, x1i, x2r, x2i, cal_cos_sin, *, h_out: int,
-                   h_in: int, interpret: bool = False, mode: str = "bf16x3"):
+                   h_in: int, interpret: bool = False, mode: str = "bf16x3",
+                   lead_variant: str = "swap"):
     """Inverse azimuth four-step FFT of both channels' K2 outputs with the
     GMTI products fused into the tile write.
 
@@ -210,4 +212,4 @@ def k3_gmti_planes(x1r, x1i, x2r, x2i, cal_cos_sin, *, h_out: int,
     a = int(math.isqrt(n_az))
     with jax.enable_x64(False):
         return _k3g_call(x1r, x1i, x2r, x2i, cal_cos_sin, a, h_out, h_in,
-                         interpret, mode)
+                         interpret, mode, variant=lead_variant)

@@ -51,17 +51,27 @@ def stream(fn, n=6):
     return 1000 * (time.perf_counter() - t1) / n
 
 
+a_dig = int(np.sqrt(size))
 outs = {}
 for var in ("restack", "dots"):
     k2 = jax.jit(lambda a, c, v=var: csa_kernel._k2_call(
         a, c, f, b, False, "bf16x3", variant=v))
     print(f"K2 {var:8s}: {stream(k2):7.1f} ms", flush=True)
-    full = jax.jit(lambda a, c, v=var: csa_kernel.apply_csa_pallas_planes(
-        a, c, f, k2_variant=v))
+for var in ("swap", "dots"):
+    k1 = jax.jit(lambda a, c, v=var: csa_kernel._k1_call(
+        a, c, f.u.reshape(1, -1), f.c1.reshape(-1, 1), f.w.reshape(-1, 1),
+        a_dig, False, "bf16x3", variant=v))
+    print(f"K1 {var:8s}: {stream(k1):7.1f} ms", flush=True)
+for k2v, ldv in (("restack", "swap"), ("dots", "swap"), ("dots", "dots")):
+    full = jax.jit(
+        lambda a, c, kv=k2v, lv=ldv: csa_kernel.apply_csa_pallas_planes(
+            a, c, f, k2_variant=kv, lead_variant=lv))
     t = stream(full)
     o = full(xr, xi)
-    outs[var] = np.asarray(o[0]) + 1j * np.asarray(o[1])
-    print(f"CSA {var:8s}: {t:7.1f} ms", flush=True)
+    outs[(k2v, ldv)] = np.asarray(o[0]) + 1j * np.asarray(o[1])
+    print(f"CSA k2={k2v:8s} lead={ldv:4s}: {t:7.1f} ms", flush=True)
+outs["restack"] = outs[("restack", "swap")]
+outs["dots"] = outs[("dots", "dots")]
 
 rel = (np.abs(outs["dots"] - outs["restack"]).max()
        / np.abs(outs["restack"]).max())
@@ -76,10 +86,11 @@ x2i = jax.random.normal(jax.random.fold_in(key, 3), (size, size),
                         jnp.float32)
 
 
-def cpi(var):
+def cpi(k2v, ldv):
     @jax.jit
     def run(a, c):
-        o = gmti_fused.gmti_cpi_pallas(a, c, x2r, x2i, f, k2_variant=var)
+        o = gmti_fused.gmti_cpi_pallas(a, c, x2r, x2i, f, k2_variant=k2v,
+                                       lead_variant=ldv)
         det = o[7]
         return (jnp.sum(o[5]) + jnp.sum(o[6]) + jnp.sum(det.snr)
                 + jnp.sum(o[0]) + jnp.sum(o[2]))
@@ -92,5 +103,6 @@ def cpi(var):
     return 1000 * (time.perf_counter() - t1) / 6
 
 
-for var in ("restack", "dots"):
-    print(f"GMTI CPI {var:8s}: {cpi(var):7.1f} ms", flush=True)
+for k2v, ldv in (("restack", "swap"), ("dots", "swap"), ("dots", "dots")):
+    print(f"GMTI CPI k2={k2v:8s} lead={ldv:4s}: {cpi(k2v, ldv):7.1f} ms",
+          flush=True)

@@ -86,10 +86,15 @@ class TestPallasCsaKernel:
         scale = np.abs(want).max()
         assert np.abs(got - want).max() / scale < 2e-3
 
-    def test_k2_dots_variant_matches_restack(self):
-        """The restack-free K2 digit swap (variant='dots') must reproduce
-        the canonical kernel bit-closely (same contractions, different
-        pass grouping — f32 rounding only)."""
+    @pytest.mark.parametrize("kw", [dict(k2_variant="dots"),
+                                    dict(lead_variant="dots"),
+                                    dict(k2_variant="dots",
+                                         lead_variant="dots")])
+    def test_transpose_free_variants_match(self, kw):
+        """The restack-free K2 digit swap and the transpose-free K1/K3
+        second digit contraction must reproduce the canonical kernels
+        bit-closely (same contractions, different pass grouping — f32
+        rounding only)."""
         import jax.numpy as jnp
         from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
         from nis_sar_amtigmti_video_tpu.ops.pallas import csa_kernel
@@ -101,8 +106,7 @@ class TestPallasCsaKernel:
         want = csa_kernel.apply_csa_pallas_planes(
             jnp.asarray(xr), jnp.asarray(xi), f, interpret=True)
         got = csa_kernel.apply_csa_pallas_planes(
-            jnp.asarray(xr), jnp.asarray(xi), f, interpret=True,
-            k2_variant="dots")
+            jnp.asarray(xr), jnp.asarray(xi), f, interpret=True, **kw)
         for w, g in zip(want, got):
             scale = np.abs(np.asarray(w)).max()
             assert np.abs(np.asarray(g) - np.asarray(w)).max() / scale < 1e-5
