@@ -67,7 +67,8 @@ def supported(plan: FastBpPlan) -> bool:
 
 
 def _kernel(win, u0, ad, bd, cd, bt, ct, wl, m_hi, m_lo, out_r, out_i,
-            *, sub_p: int, w: int, taper_pow: int, h: float, mode: str):
+            *, sub_p: int, w: int, taper_pow: int, h: float, mode: str,
+            feed: str):
     ty = out_r.shape[1]
     nxc = out_r.shape[2]
 
@@ -91,7 +92,9 @@ def _kernel(win, u0, ad, bd, cd, bt, ct, wl, m_hi, m_lo, out_r, out_i,
     def one_pulse(t, acc):
         acc_r, acc_i = acc
         s = jnp.swapaxes(win[t], 0, 1)               # (TY, [re_w | im_w])
-        wh = dot3(s, m_hi[:], m_lo[:])               # (TY, [m_re | m_im])
+        # feed='windows': tapered W-point DFT in-kernel (one more dot);
+        # feed='spectra': the XLA strided-conv spectra arrive pre-DFT'd
+        wh = s if feed == "spectra" else dot3(s, m_hi[:], m_lo[:])
 
         # window-offset ramp e^{+j 2pi f_m u0} with the residual anchor
         # term e^{+j A} folded into the same rotation (A is m-independent,
@@ -148,7 +151,8 @@ def _kernel(win, u0, ad, bd, cd, bt, ct, wl, m_hi, m_lo, out_r, out_i,
 def accumulate_factor_pallas(rc2, u0, pa, pb, pc, b_t, c_t,
                              plan: FastBpPlan, sub_p: int,
                              tile_y: int = 512, mode: str = "bf16x3",
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             feed: str = "windows"):
     """Drop-in for ops/bp_fast.py::_accumulate_factor (same operands, same
     output) running the fused coarse-tile kernel for the inner sums and the
     XLA merge (Kaiser-sinc upsample + anchor carrier) on the small
@@ -173,15 +177,25 @@ def accumulate_factor_pallas(rc2, u0, pa, pb, pc, b_t, c_t,
 
     # packed windows (P, [re_w; im_w], ny): window axis in the MIDDLE so
     # every temporary keeps ny on the lanes (see bp_kernel.py's note on the
-    # 128x pad tax of a new minor axis)
+    # 128x pad tax of a new minor axis). feed='spectra' ships the tapered
+    # window DFT from the XLA strided MXU conv instead (same layout, same
+    # HBM footprint; drops the in-kernel (TY, 2W)@(2W, 2W) dot)
     band = jax.lax.slice_in_dim(
         rc2, plan.band_start,
         plan.band_start + plan.stride * (ny - 1) + w, 1, axis=1)
-    cols = [jax.lax.slice_in_dim(band, off, off + plan.stride * (ny - 1) + 1,
-                                 plan.stride, axis=1) for off in range(w)]
-    win_pk = jnp.stack([jnp.real(c) for c in cols]
-                       + [jnp.imag(c) for c in cols],
-                       axis=1).astype(jnp.float32)        # (P, 2W, ny)
+    if feed == "spectra":
+        from nis_sar_amtigmti_video_tpu.ops.bp_fast import _window_spectra
+        sp = _window_spectra(band, plan)                  # (P, W, ny) cplx
+        win_pk = jnp.concatenate([jnp.real(sp), jnp.imag(sp)],
+                                 axis=1).astype(jnp.float32)
+    else:
+        cols = [jax.lax.slice_in_dim(band, off,
+                                     off + plan.stride * (ny - 1) + 1,
+                                     plan.stride, axis=1)
+                for off in range(w)]
+        win_pk = jnp.stack([jnp.real(c) for c in cols]
+                           + [jnp.imag(c) for c in cols],
+                           axis=1).astype(jnp.float32)    # (P, 2W, ny)
 
     def padp(x, edge=False):
         cfg = [(0, p_pad - num_p)] + [(0, 0)] * (x.ndim - 1)
@@ -215,7 +229,7 @@ def accumulate_factor_pallas(rc2, u0, pa, pb, pc, b_t, c_t,
     with jax.enable_x64(False):
         jr, ji = pl.pallas_call(
             partial(_kernel, sub_p=sub_p, w=w, taper_pow=plan.taper_pow,
-                    h=h, mode=mode),
+                    h=h, mode=mode, feed=feed),
             grid=grid,
             in_specs=[bs_win, bs_row, bs_row, bs_row, bs_row,
                       bs_sc, bs_sc, bs_sc, bs_tab, bs_tab],

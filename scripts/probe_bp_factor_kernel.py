@@ -86,13 +86,15 @@ acc_x = jax.jit(lambda x: bp_fast._accumulate_factor(x, *co, plan_acc, sub_p))
 t = stream(acc_x, rc2)
 base = cplx.to_host(acc_x(rc2))
 print(f"acc xla HIGHEST      : {t:7.1f} ms  (anchor)", flush=True)
-for mode in ("bf16x3", "bf16"):
-    fn = jax.jit(lambda x, m=mode: bp_factor_kernel.accumulate_factor_pallas(
-        x, *co, plan_acc, sub_p, mode=m))
+for mode, feed in (("bf16x3", "windows"), ("bf16x3", "spectra"),
+                   ("bf16", "windows")):
+    fn = jax.jit(
+        lambda x, m=mode, fd=feed: bp_factor_kernel.accumulate_factor_pallas(
+            x, *co, plan_acc, sub_p, mode=m, feed=fd))
     t = stream(fn, rc2)
     out = cplx.to_host(fn(rc2))
     rel = np.linalg.norm(out - base) / np.linalg.norm(base)
-    print(f"acc kernel {mode:7s}  : {t:7.1f} ms   rel-err {rel:.2e}",
+    print(f"acc kernel {mode:7s} {feed:8s}: {t:7.1f} ms   rel-err {rel:.2e}",
           flush=True)
 
 # ---- end-to-end ----

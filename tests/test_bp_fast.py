@@ -280,10 +280,12 @@ class TestFastBp:
         c_t = jnp.asarray(1e-5 * rng.standard_normal(n_p), jnp.float32)
         want = np.asarray(bp_fast._accumulate_factor(
             rc2, u0, pa, pb, pc, b_t, c_t, plan, sub_p))
-        got = np.asarray(bp_factor_kernel.accumulate_factor_pallas(
-            rc2, u0, pa, pb, pc, b_t, c_t, plan, sub_p, interpret=True))
-        err = np.abs(got - want).max() / np.abs(want).max()
-        assert err < 2e-4, err
+        for feed in ("windows", "spectra"):
+            got = np.asarray(bp_factor_kernel.accumulate_factor_pallas(
+                rc2, u0, pa, pb, pc, b_t, c_t, plan, sub_p, interpret=True,
+                feed=feed))
+            err = np.abs(got - want).max() / np.abs(want).max()
+            assert err < 2e-4, (feed, err)
 
     def test_pallas_path_meets_oracle(self):
         """focus_bp_fast with the pallas accumulate (interpret mode, w=64
