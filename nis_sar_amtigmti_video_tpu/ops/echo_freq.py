@@ -227,20 +227,20 @@ def _spread_dense(i0, val_sets, l_out: int, win: int, grp: int,
                   ).reshape(pc, grp * nwr)
         rowhot = (rowpos[..., None] == row_io).astype(jnp.bfloat16)
 
-        def place(wv):
-            w = wv.reshape(pc, grp * nwr, 128)
-            wh = w.astype(jnp.bfloat16)
-            wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        # re/im stacked on the lane axis: one placement dot serves both
+        wv = jnp.concatenate([out_r.reshape(pc, grp * nwr, 128),
+                              out_i.reshape(pc, grp * nwr, 128)], axis=-1)
+        wh = wv.astype(jnp.bfloat16)
+        wl_ = (wv - wh.astype(jnp.float32)).astype(jnp.bfloat16)
 
-            def dg(a):
-                return jax.lax.dot_general(
-                    rowhot, a, (((1,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)       # (pc,rows,128)
+        def dg_place(a):
+            return jax.lax.dot_general(
+                rowhot, a, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)       # (pc,rows,256)
 
-            return (dg(wh) + dg(wl)).reshape(pc, l_pad)
-
-        fr = fr + place(out_r)
-        fi = fi + place(out_i)
+        placed = dg_place(wh) + dg_place(wl_)
+        fr = fr + placed[..., :128].reshape(pc, l_pad)
+        fi = fi + placed[..., 128:].reshape(pc, l_pad)
     return (fr[:, win + lo:win + lo + l_out],
             fi[:, win + lo:win + lo + l_out])
 
