@@ -458,7 +458,7 @@ def main(argv=None):
     p = add_cmd("videosar")
     p.add_argument("--algo", default="mbp", choices=["mbp", "stdbp", "csa"])
     p.add_argument("--bp-backend", default="fast",
-                   choices=["fast", "fast_pallas", "exact"])
+                   choices=["fast", "fast_pallas", "fast_factor", "exact"])
     p.add_argument("--heading", type=float, default=0.0)
     p.add_argument("--speed", type=float, default=15.0)
     p.add_argument("--frames", type=int, default=0)

@@ -83,16 +83,24 @@ def form_frames_bp(raw_frames, pos_frames, vel_frames, t_frames, vel_focus,
     (ops/bp.py); 'fast' uses the gather-free iso-range kernel
     (ops/bp_fast.py, one shared static ``plan`` for every CPI — build it
     with bp_fast.make_plan over the whole collect's trajectory; the range
-    matched filter fuses into its recentre FFT, so raw pulses go in)."""
-    fast = backend in ("fast", "fast_pallas")
+    matched filter fuses into its recentre FFT, so raw pulses go in).
+    'fast_pallas' adds the pixel-tile kernel; the 'fast_factor*' variants
+    select the factorized (sub-aperture) accumulate — 'fast_factor'
+    (XLA), 'fast_factor_pallas' (+ pallas recentre), 'fast_factor_kernel'
+    (+ the fused coarse-tile inner-sum kernel) — the round-3 production
+    paths (the plan must be built with factorize=True)."""
+    acc = {"fast": "xla", "fast_pallas": "pallas", "fast_factor": "factor",
+           "fast_factor_pallas": "factor_pallas",
+           "fast_factor_kernel": "factor_kernel"}.get(backend)
+    fast = acc is not None
     rc = raw_frames if fast else bp_ops.bp_range_compress(raw_frames, p)
 
     def one(r_, po, ve, ts):
         if fast:
             img = bp_fast.backproject_fast(
                 r_, po, ve, ts, vel_focus, p, plan, presum=presum,
-                compress=True,
-                accumulate="pallas" if backend == "fast_pallas" else "xla")
+                compress=True, accumulate=acc,
+                fit_stride=8 if acc.startswith("factor") else 0)
             if presum > 1:
                 corr = bp_ops.presum_droop_correction(po, ve, ts, vel_focus,
                                                       p, presum)
@@ -148,9 +156,12 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
     fold the *schedule* frame index, not the batch position.
 
     bp_backend: 'fast' (default — gather-free iso-range BP, ops/bp_fast.py),
-    'fast_pallas' (the pixel-tile + fused-FFT pallas kernels, fastest on
-    TPU hardware; falls back to 'fast' when the plan shape is unsupported),
-    or 'exact' (reference-semantics per-pixel path, ops/bp.py).
+    'fast_pallas' (the pixel-tile + fused-FFT pallas kernels),
+    'fast_factor' (factorized sub-aperture accumulation — the round-3
+    production path: resolves to the fused coarse-tile kernel / pallas
+    recentre on TPU where the plan supports them, the XLA factor path
+    elsewhere), or 'exact' (reference-semantics per-pixel path, ops/bp.py).
+    Unsupported plan shapes fall back toward 'fast'.
     """
     r, g, v = sc.radar, sc.geometry, sc.video
     sched = scheduler.make_schedule(v, r.prf_hz)
@@ -189,12 +200,25 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
         p_bp, r.prf_hz, r.wavelength_m, g.slant_range_m,
         g.effective_velocity_mps)
     bp_plan = None
-    if algorithm in ("mbp", "stdbp") and bp_backend in ("fast",
-                                                        "fast_pallas"):
+    if algorithm in ("mbp", "stdbp") and bp_backend.startswith("fast"):
         # one static plan for the whole collect (per-CPI geometry is traced)
+        factor = bp_backend.startswith("fast_factor")
         bp_plan = bp_fast.make_plan(
             p_bp, traj.positions, traj.times, float(t0),
-            w_win=64 if bp_backend == "fast_pallas" else 32)
+            w_win=64 if bp_backend == "fast_pallas" else 32,
+            factorize=factor)
+        if factor and bp_plan.sub_raw == 0:
+            bp_backend = "fast"        # bounds refused: plain fast path
+            factor = False
+        if bp_backend == "fast_factor":
+            # resolve to the best supported concrete factor accumulate
+            if jax.default_backend() == "tpu":
+                from nis_sar_amtigmti_video_tpu.ops.pallas import (
+                    bp_factor_kernel, fft_kernel)
+                if bp_factor_kernel.supported(bp_plan):
+                    bp_backend = "fast_factor_kernel"
+                elif fft_kernel.supported(bp_plan.nfft):
+                    bp_backend = "fast_factor_pallas"
         if bp_backend == "fast_pallas":
             from nis_sar_amtigmti_video_tpu.ops.pallas import bp_kernel
             if (not bp_kernel.supported(bp_plan)

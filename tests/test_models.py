@@ -117,6 +117,18 @@ class TestVideoSar:
         img = np.abs(out.images[0])
         assert img.max() / (img.mean() + 1e-30) > 50.0
 
+    def test_fast_factor_backend_focuses(self):
+        # the round-3 production path from the model surface: off-TPU it
+        # resolves to the XLA factorized accumulate (or plain fast when the
+        # plan bounds refuse a sub-aperture)
+        sc = self._reduced()
+        out = videosar.run(sc, T.point_target((0.0, 0.0, 0.0), 50.0),
+                           heading_deg=90.0, speed_mps=30.0,
+                           algorithm="mbp", frames_per_batch=2,
+                           bp_backend="fast_factor")
+        img = np.abs(out.images[0])
+        assert img.max() / (img.mean() + 1e-30) > 50.0
+
     def test_mbp_beats_stdbp_for_mover(self):
         sc = self._reduced()
         # heading 45 gives a radial component: in StdBP the mover displaces
