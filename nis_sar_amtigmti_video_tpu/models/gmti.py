@@ -71,9 +71,17 @@ def simulate_two_channel(sc: ScenarioConfig, moving: PointTargets,
 def focus_and_products(raw2ch, sc: ScenarioConfig, t0: float, *,
                        shift_pulses: int = 1, balance: bool = True,
                        mask_threshold: float = 0.05,
-                       cfar_params: cfar.CfarParams = cfar.CfarParams()
+                       cfar_params: cfar.CfarParams = cfar.CfarParams(),
+                       path: str = "auto", interpret: bool = False
                        ) -> GmtiProducts:
-    """DPCA shift -> dual CSA -> ATI/DPCA/velocity/CFAR products."""
+    """DPCA shift -> dual CSA -> ATI/DPCA/velocity/CFAR products.
+
+    path: 'composed' (per-op pipeline below), 'kernel_fused' (the
+    products ride the CSA megakernel's K3 output pass —
+    gmti/fused.py::gmti_cpi_pallas, the streaming headline path; needs a
+    square-factorable CPI and a TPU, or ``interpret=True`` for tests), or
+    'auto' (kernel_fused where supported, composed otherwise).
+    """
     r, g = sc.radar, sc.geometry
     raw1, raw2 = dpca.pulse_shift_coregister(raw2ch[0], raw2ch[1],
                                              shift_pulses)
@@ -83,6 +91,23 @@ def focus_and_products(raw2ch, sc: ScenarioConfig, t0: float, *,
         prf_hz=r.prf_hz, velocity_mps=g.effective_velocity_mps,
         range_ref_m=g.slant_range_m, t_start_fast=t0,
         num_pulses=n_p, num_samples=n_s)
+    if path not in ("composed", "kernel_fused", "auto"):
+        raise ValueError(f"unknown GMTI path {path!r}")
+    if path in ("kernel_fused", "auto"):
+        from nis_sar_amtigmti_video_tpu.ops.pallas import csa_kernel
+        ok = csa_kernel.supported(n_p, n_s) and (
+            interpret or jax.default_backend() == "tpu")
+        if path == "kernel_fused" and not ok:
+            raise ValueError(
+                f"path='kernel_fused' needs a square-factorable CPI and a "
+                f"TPU (or interpret=True); got {(n_p, n_s)} on "
+                f"{jax.default_backend()}")
+        if ok:
+            return _products_kernel_fused(raw1, raw2, p, sc,
+                                          balance=balance,
+                                          mask_threshold=mask_threshold,
+                                          cfar_params=cfar_params,
+                                          interpret=interpret)
     # fused grid-free CSA (bit-equivalent to the grid-phase path per
     # tests/test_fft_fused.py); sc.processing.fft_impl selects 'xla' |
     # 'hybrid' | 'mxu' | 'pallas' (VMEM megakernel when the shape allows).
@@ -113,6 +138,39 @@ def focus_and_products(raw2ch, sc: ScenarioConfig, t0: float, *,
                                          sc.channels.baseline_m)
     det = cfar.ca_cfar(dmag ** 2, cfar_params)
     ratio = dpca.cancellation_ratio(slc1, diff)
+    rax, cax = csa_ops.csa_axes(p)
+    return GmtiProducts(slc1=slc1, slc2=slc2, ati_phase=phase, dpca_mag=dmag,
+                        velocity_map=vmap_, detections=det,
+                        cancellation_ratio=ratio, cal_phase=cal,
+                        range_axis=rax, cross_range=cax, v_amb=v_amb)
+
+
+def _products_kernel_fused(raw1, raw2, p, sc: ScenarioConfig, *, balance,
+                           mask_threshold, cfar_params,
+                           interpret: bool) -> GmtiProducts:
+    """GmtiProducts via the kernel-fused CPI (gmti/fused.py): formation and
+    every product plane in three pallas dispatches per channel-pair."""
+    from nis_sar_amtigmti_video_tpu.gmti import fused as fused_mod
+
+    r, g = sc.radar, sc.geometry
+    f = csa_ops.csa_factors(p)
+    (s1r, s1i, s2r, s2i, cal, phase, dmag,
+     det) = fused_mod.gmti_cpi_pallas(
+        jnp.real(raw1).astype(jnp.float32), jnp.imag(raw1).astype(jnp.float32),
+        jnp.real(raw2).astype(jnp.float32), jnp.imag(raw2).astype(jnp.float32),
+        f, balance=balance, mask_threshold=mask_threshold,
+        cfar_params=cfar_params, interpret=interpret)
+    slc1 = jax.lax.complex(s1r, s1i)
+    slc2 = jax.lax.complex(s2r, s2i)
+    if balance:
+        slc2 = ati.apply_balance(slc2, cal)
+    v_platform = g.speed_mps
+    v_amb = velocity.ambiguous_velocity(r.wavelength_m, v_platform,
+                                        sc.channels.baseline_m)
+    vmap_ = velocity.velocity_from_phase(phase, r.wavelength_m, v_platform,
+                                         sc.channels.baseline_m)
+    # cancellation_ratio semantics on the kernel's |dpca| plane directly
+    ratio = jnp.mean(jnp.abs(slc1)) / (jnp.mean(dmag) + 1e-12)
     rax, cax = csa_ops.csa_axes(p)
     return GmtiProducts(slc1=slc1, slc2=slc2, ati_phase=phase, dpca_mag=dmag,
                         velocity_map=vmap_, detections=det,

@@ -232,6 +232,43 @@ class TestFusedStep:
                                    atol=1e-6)
 
 
+class TestModelKernelPath:
+    def test_model_kernel_fused_matches_composed(self):
+        """models/gmti.focus_and_products(path='kernel_fused') — the model
+        surface for the streaming headline path — vs the composed path on
+        the same raw pair (interpret mode)."""
+        sc = reduced_ati_scenario()
+        rng = np.random.default_rng(11)
+        raw = jnp.asarray((rng.standard_normal((2, 257, 256))
+                           + 1j * rng.standard_normal((2, 257, 256))
+                           ).astype(np.complex64))
+        # 257 pulses -> 256 after the one-pulse DPCA shift (square CPI)
+        t0 = 2.0 * sc.geometry.slant_range_m / C - 1e-6
+        want = gmti_model.focus_and_products(raw, sc, t0, path="composed")
+        got = gmti_model.focus_and_products(raw, sc, t0,
+                                            path="kernel_fused",
+                                            interpret=True)
+        s = np.abs(np.asarray(want.slc1)).max()
+        assert np.abs(np.asarray(got.slc1)
+                      - np.asarray(want.slc1)).max() / s < 2e-3
+        assert np.abs(np.asarray(got.dpca_mag)
+                      - np.asarray(want.dpca_mag)).max() / s < 2e-3
+        assert abs(float(got.cal_phase) - float(want.cal_phase)) < 1e-3
+        m = np.abs(np.asarray(want.ati_phase)) > 1e-6
+        d = np.abs(np.asarray(got.ati_phase) - np.asarray(want.ati_phase))
+        assert np.median(d[m]) < 5e-3
+        assert (abs(float(got.cancellation_ratio)
+                    - float(want.cancellation_ratio))
+                / float(want.cancellation_ratio) < 5e-3)
+
+    def test_model_kernel_fused_rejects_bad_shape(self):
+        sc = reduced_ati_scenario()
+        raw = jnp.zeros((2, 193, 256), jnp.complex64)   # 192 not square
+        with pytest.raises(ValueError, match="kernel_fused"):
+            gmti_model.focus_and_products(
+                raw, sc, 1e-3, path="kernel_fused", interpret=True)
+
+
 class TestFusedKernel:
     """gmti/fused.py::gmti_cpi_pallas (interpret mode) vs pallas formation
     composed with gmti_product_step — the kernel-fused CPI must reproduce
