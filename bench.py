@@ -214,6 +214,11 @@ def main():
                                         np.asarray(trajb.times), float(t0b),
                                         factorize=True)
             bp_acc = os.environ.get("BENCH_BP_ACC", "")
+            if bp_acc and bp_acc not in ("xla", "factor", "factor_pallas",
+                                         "factor_kernel"):
+                raise ValueError(f"BENCH_BP_ACC={bp_acc!r}: pick one of "
+                                 "xla|factor|factor_pallas|factor_kernel "
+                                 "(the w_win=32 factorize plan)")
             if not bp_acc:
                 bp_acc = ("factor_pallas" if plan_bp.sub_raw > 0
                           and jax.default_backend() == "tpu" else "factor")

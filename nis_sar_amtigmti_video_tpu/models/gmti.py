@@ -80,7 +80,9 @@ def focus_and_products(raw2ch, sc: ScenarioConfig, t0: float, *,
     products ride the CSA megakernel's K3 output pass —
     gmti/fused.py::gmti_cpi_pallas, the streaming headline path; needs a
     square-factorable CPI and a TPU, or ``interpret=True`` for tests), or
-    'auto' (kernel_fused where supported, composed otherwise).
+    'auto' (kernel_fused where supported AND the config already opted into
+    the pallas numeric class via ``sc.processing.fft_impl='pallas'`` —
+    a pinned fft_impl keeps its composed semantics; composed otherwise).
     """
     r, g = sc.radar, sc.geometry
     raw1, raw2 = dpca.pulse_shift_coregister(raw2ch[0], raw2ch[1],
@@ -97,6 +99,8 @@ def focus_and_products(raw2ch, sc: ScenarioConfig, t0: float, *,
         from nis_sar_amtigmti_video_tpu.ops.pallas import csa_kernel
         ok = csa_kernel.supported(n_p, n_s) and (
             interpret or jax.default_backend() == "tpu")
+        if path == "auto" and sc.processing.fft_impl != "pallas":
+            ok = False         # respect a pinned composed numeric class
         if path == "kernel_fused" and not ok:
             raise ValueError(
                 f"path='kernel_fused' needs a square-factorable CPI and a "
@@ -169,8 +173,8 @@ def _products_kernel_fused(raw1, raw2, p, sc: ScenarioConfig, *, balance,
                                         sc.channels.baseline_m)
     vmap_ = velocity.velocity_from_phase(phase, r.wavelength_m, v_platform,
                                          sc.channels.baseline_m)
-    # cancellation_ratio semantics on the kernel's |dpca| plane directly
-    ratio = jnp.mean(jnp.abs(slc1)) / (jnp.mean(dmag) + 1e-12)
+    # dpca.cancellation_ratio on the kernel's |dpca| plane (abs is a no-op)
+    ratio = dpca.cancellation_ratio(slc1, dmag)
     rax, cax = csa_ops.csa_axes(p)
     return GmtiProducts(slc1=slc1, slc2=slc2, ati_phase=phase, dpca_mag=dmag,
                         velocity_map=vmap_, detections=det,

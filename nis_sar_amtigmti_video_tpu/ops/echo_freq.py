@@ -285,7 +285,16 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
     # spread_win/spread_grp are the measured-sweep overrides
     # (scripts/probe_echo_spread_sweep.py).
     d_win, d_grp = spread_win or 4096, spread_grp or 16
-    d_win_e, d_grp_e = min(2048, spread_win or 2048), spread_grp or 16
+    # the edge pass works at the NATIVE rate (spans half the oversampled
+    # grid's), so its window scales as spread_win/2 — capping it would
+    # silently drop gate-flank corrections for widely-spread scenes
+    d_win_e, d_grp_e = (spread_win // 2 if spread_win else 2048,
+                        spread_grp or 16)
+    if d_win % 128 or d_win_e % 128 or d_win_e < 256:
+        raise ValueError(
+            f"spread_win must be a 256-multiple (got {spread_win}): the "
+            "spread windows place as whole 128-lane rows at both the "
+            "oversampled and native rates")
 
     g, x0 = chirp_kernel(opts, os_, edge_taper)
     lead = int(round(opts.pulse_width_s * fs_os)) + os_ + _W     # L0

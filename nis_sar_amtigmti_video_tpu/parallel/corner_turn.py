@@ -130,6 +130,11 @@ def bp_sharded(rc, sat_pos, sat_vel, t_slow, vel_focus, t_start, p,
     return out[0]
 
 
+def _bp_factor_kernel_supported(plan) -> bool:
+    from nis_sar_amtigmti_video_tpu.ops.pallas import bp_factor_kernel
+    return bp_factor_kernel.supported(plan)
+
+
 def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
                     p, plan, mesh, axis: str = "seq", presum: int = 1,
                     accumulate: str = "xla"):
@@ -196,7 +201,8 @@ def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
                 rc2, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l, plan,
                 interpret=(accumulate == "pallas_interpret"))
         elif (accumulate in ("factor_kernel", "factor_kernel_interpret")
-              and plan.sub_raw > 0):
+              and plan.sub_raw > 0
+              and _bp_factor_kernel_supported(plan)):
             from nis_sar_amtigmti_video_tpu.ops.pallas import bp_factor_kernel
             img = bp_factor_kernel.accumulate_factor_pallas(
                 rc2, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l, plan,
