@@ -19,4 +19,12 @@ for p in \
     echo "exit=$? $(date +%H:%M:%S)" | tee -a "$out/queue.log"
     tail -20 "$out/$p.log"
 done
+# bench A/B: committed default vs the new factor kernel path
+echo "=== bench default $(date +%H:%M:%S) ===" | tee -a "$out/queue.log"
+timeout 1800 python bench.py > "$out/bench_default.log" 2>&1
+tail -2 "$out/bench_default.log"
+echo "=== bench factor_kernel $(date +%H:%M:%S) ===" | tee -a "$out/queue.log"
+BENCH_BP_ACC=factor_kernel timeout 1800 python bench.py \
+    > "$out/bench_fkernel.log" 2>&1
+tail -2 "$out/bench_fkernel.log"
 echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a "$out/queue.log"
