@@ -137,7 +137,7 @@ def _bp_factor_kernel_supported(plan) -> bool:
 
 def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
                     p, plan, mesh, axis: str = "seq", presum: int = 1,
-                    accumulate: str = "xla"):
+                    accumulate: str = "xla", fit_stride: int = 0):
     """Pulse-sharded *fast* backprojection: each device runs the fused
     compress+recentre+presum and iso-range accumulation on its slow-time
     shard, partial internal images psum over ``axis``, and the (cheap)
@@ -188,7 +188,8 @@ def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
     pos2, vel2, t2 = pos[ci], vel[ci], ts[ci]
     rdir, cdir, dy_m = bf._frame_geometry(pos2[pos2.shape[0] // 2], p, plan)
     u0, pa, pb, pc, b_t, c_t = bf._fit_coeffs(pos2, vel2, t2, vf, p, plan,
-                                              t_mean, rdir, cdir, dy_m)
+                                              t_mean, rdir, cdir, dy_m,
+                                              fit_stride=fit_stride)
     ref_conj = bf.matched_filter_spectrum(p, plan.nfft)
 
     def body(raw_l, pos_l, vel_l, ts_l, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l):
