@@ -72,9 +72,10 @@ class EchoOpts:
     # the flanks themselves are synthesized exactly. 0 = round-1 approximate
     # mode (no exact-edge pass, ~-25 dB field floor)
     freq_edge_taper: float = 4.0
-    # 'auto' | 'dense' | 'scatter': how the NUFFT impulses reach the grid
-    # (dense = one-hot MXU spreading, the TPU scatter-wall fix; targets are
-    # delay-sorted below so its group windows stay narrow)
+    # 'auto' | 'dense' | 'dense_kernel' | 'scatter': how the NUFFT impulses
+    # reach the grid (dense = one-hot MXU spreading, the TPU scatter-wall
+    # fix; targets are delay-sorted below so its group windows stay narrow;
+    # dense_kernel keeps the one-hot in VMEM — ops/pallas/spread_kernel.py)
     freq_spreader: str = "auto"
     # dense-spreader group sizing overrides (None = module defaults): the
     # (grp, B/grp, win) one-hot is the dense path's HBM bill; tighter

@@ -35,6 +35,14 @@ accurate — while the two compact flank pieces are evaluated *exactly*
 (transcendentals at the native sample positions, ~2 extra taps-per-target
 scatter passes).
 
+Gate tie-break: the direct engine evaluates its rect gate in f32, so an
+echo edge landing within ~f32-eps of a sample (a pathologically aligned
+scene: symmetric aperture, target on a grid-exact range) can round INTO
+the gate there while this path's f64 geometry excludes it — a one-sample,
+full-amplitude deviation exactly on the discontinuity, where the physical
+value is undefined. Realistic scenes sit far from the tie; the golden
+budgets below are unaffected.
+
 Accuracy class (measured, tests/test_echo_freq.py): *golden-grade*. With
 edge_taper=4, os=2 on an interference-rich scene: field RMS error < -60 dB
 vs the direct engine; bright compressed pixels < 0.01 dB / < 1e-3 rad —
@@ -126,7 +134,7 @@ def _edge_taper(u, width_s: float, t_edge_s: float):
 
 
 def _spread_dense(i0, val_sets, l_out: int, win: int, grp: int,
-                  lo: int = 0):
+                  lo: int = 0, impl: str = "xla"):
     """Scatter-free spreading: values at integer cells via one-hot MXU
     matmuls over groups of delay-ordered targets.
 
@@ -149,6 +157,9 @@ def _spread_dense(i0, val_sets, l_out: int, win: int, grp: int,
     pathologically spread scene) are dropped — callers choose win/grp so
     this cannot happen for sane scenes (tests compare against the scatter
     path on the reference scenes).
+    impl: 'xla' (HBM one-hot + dot_general) or 'pallas'/'pallas_interpret'
+    (ops/pallas/spread_kernel.py — the one-hot never leaves VMEM; requires
+    every value set at one K, which both callers satisfy).
     Returns (pc, l_out) f32 re/im fields.
     """
     pc, num_b = i0.shape
@@ -178,35 +189,58 @@ def _spread_dense(i0, val_sets, l_out: int, win: int, grp: int,
     # ONE one-hot serves every value set (built with the widest tap margin)
     k_max = max(v[0].shape[-1] for v in val_sets)
     ok = live & (c_rel >= 0) & (c_rel <= win - k_max)
-    oh = (jnp.where(ok, c_rel, -1)[..., None] == iota
-          ).astype(jnp.bfloat16)                              # (pc,g,bg,win)
 
-    fr = jnp.zeros((pc, l_pad), jnp.float32)
-    fi = jnp.zeros_like(fr)
-    for vr, vi, offset in val_sets:
-        k_taps = vr.shape[-1]
-
+    def _pack_vals(vr, vi, k_taps):
         # re/im stacked on the tap axis: ONE contraction against the big
         # one-hot serves both fields, halving the spread's dominant HBM
         # bill (the one-hot reads)
         v2 = jnp.concatenate([vr, vi], axis=-1)               # (pc,B,2K)
-        vt = jnp.swapaxes(
+        return jnp.swapaxes(
             jnp.pad(v2, ((0, 0), (0, b_pad - num_b), (0, 0))
                     ).reshape(pc, grp, bg, 2 * k_taps), 2, 3)  # (pc,g,2K,bg)
-        vh = vt.astype(jnp.bfloat16)
-        vl = (vt - vh.astype(jnp.float32)).astype(jnp.bfloat16)
 
-        def dg(a, oh=oh):
-            return jax.lax.dot_general(
-                a, oh, (((3,), (2,)), ((0, 1), (0, 1))),
-                preferred_element_type=jnp.float32)           # (pc,g,2K,win)
+    if impl == "xla":
+        oh = (jnp.where(ok, c_rel, -1)[..., None] == iota
+              ).astype(jnp.bfloat16)                          # (pc,g,bg,win)
+        wins = None
+    else:
+        # VMEM-resident one-hot: the kernel builds and consumes the
+        # selection matrix per (pulse, group) tile, writing only the group
+        # windows (ops/pallas/spread_kernel.py)
+        from nis_sar_amtigmti_video_tpu.ops.pallas.spread_kernel import (
+            spread_windows_pallas)
+        bgp = -(-bg // 128) * 128
+        c_ok = jnp.pad(jnp.where(ok, c_rel, -1).astype(jnp.int32),
+                       ((0, 0), (0, 0), (0, bgp - bg)), constant_values=-1)
+        vts = [jnp.pad(_pack_vals(vr, vi, vr.shape[-1]
+                                  ).astype(jnp.float32),
+                       ((0, 0), (0, 0), (0, 0), (0, bgp - bg)))
+               for vr, vi, _ in val_sets]
+        wins = spread_windows_pallas(c_ok, vts, win,
+                                     interpret=impl == "pallas_interpret")
 
-        part = dg(vh) + dg(vl)   # one-hot exact in bf16; split v only
-        out_r = jnp.zeros((pc, grp, win), jnp.float32)
-        out_i = jnp.zeros((pc, grp, win), jnp.float32)
-        for k in range(k_taps):
-            out_r = out_r + jnp.roll(part[:, :, k], k, axis=-1)
-            out_i = out_i + jnp.roll(part[:, :, k_taps + k], k, axis=-1)
+    fr = jnp.zeros((pc, l_pad), jnp.float32)
+    fi = jnp.zeros_like(fr)
+    for si, (vr, vi, offset) in enumerate(val_sets):
+        k_taps = vr.shape[-1]
+        if wins is not None:
+            out_r, out_i = wins[si]
+        else:
+            vt = _pack_vals(vr, vi, k_taps)
+            vh = vt.astype(jnp.bfloat16)
+            vl = (vt - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def dg(a, oh=oh):
+                return jax.lax.dot_general(
+                    a, oh, (((3,), (2,)), ((0, 1), (0, 1))),
+                    preferred_element_type=jnp.float32)       # (pc,g,2K,win)
+
+            part = dg(vh) + dg(vl)   # one-hot exact in bf16; split v only
+            out_r = jnp.zeros((pc, grp, win), jnp.float32)
+            out_i = jnp.zeros((pc, grp, win), jnp.float32)
+            for k in range(k_taps):
+                out_r = out_r + jnp.roll(part[:, :, k], k, axis=-1)
+                out_i = out_i + jnp.roll(part[:, :, k_taps + k], k, axis=-1)
 
         # sub-row part of the offset: pad one row and lane-roll the windows
         off_mod = offset % 128
@@ -268,8 +302,11 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
 
     spreader: 'scatter' (round-2 scatter-add), 'dense' (one-hot MXU
     spreading, :func:`_spread_dense` — requires the target axis sorted by
-    delay, which the echo engine's freq branch guarantees), or 'auto'
-    (dense on TPU, scatter elsewhere).
+    delay, which the echo engine's freq branch guarantees), 'dense_kernel'
+    (same semantics, one-hot built in VMEM by ops/pallas/spread_kernel.py;
+    needs a TPU — falls back to 'dense' elsewhere, with
+    'dense_kernel_interpret' as the test mode), or 'auto' (dense on TPU,
+    scatter elsewhere).
     """
     num_p, num_b = tau_rel.shape
     ns = opts.num_samples
@@ -277,7 +314,15 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
     fs_os = opts.fs_hz * os_
     if spreader == "auto":
         spreader = "dense" if jax.default_backend() == "tpu" else "scatter"
-    use_dense = spreader == "dense"
+    if spreader == "dense_kernel" and jax.default_backend() != "tpu":
+        spreader = "dense"                 # Mosaic needs a TPU (csa.py guard)
+    if spreader not in ("scatter", "dense", "dense_kernel",
+                        "dense_kernel_interpret"):
+        raise ValueError(f"unknown spreader {spreader!r}")
+    use_dense = spreader != "scatter"
+    d_impl = {"dense": "xla", "dense_kernel": "pallas",
+              "dense_kernel_interpret": "pallas_interpret",
+              "scatter": "xla"}[spreader]
     # group sizing: the (pc, grp, B/grp, win) one-hot IS the dense path's
     # HBM bill (~grp*(B/grp)*win bf16 per pulse); more/smaller groups cut it
     # linearly until a group's delay span approaches win - K (sorted scenes:
@@ -396,7 +441,7 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
                     er, ei = _spread_dense(
                         jnp.clip(cell0, -256.0, ns + 256.0
                                  ).astype(jnp.int32),
-                        [(vr, vi, 0)], ns, d_win_e, d_grp_e)
+                        [(vr, vi, 0)], ns, d_win_e, d_grp_e, impl=d_impl)
                     corr_r = corr_r + er
                     corr_i = corr_i + ei
                 continue
@@ -413,7 +458,7 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
         if use_dense:
             if share:
                 er, ei = _spread_dense(i0_lead, sets, ns, d_win_e, d_grp_e,
-                                       lo=delta + 256)
+                                       lo=delta + 256, impl=d_impl)
                 corr_r = corr_r + er
                 corr_i = corr_i + ei
             return jax.lax.complex(corr_r, corr_i)
@@ -440,7 +485,8 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
             # the margins (dropped, == the scatter path's ok-mask) without
             # dragging their group's window away from live neighbors
             i0_d = jnp.clip(i0, -256, l_imp + 256)
-            fr, fi = _spread_dense(i0_d, [(vr, vi, 0)], l_imp, d_win, d_grp)
+            fr, fi = _spread_dense(i0_d, [(vr, vi, 0)], l_imp, d_win, d_grp,
+                                   impl=d_impl)
             field = jax.lax.complex(fr, fi)
         else:
             ok = (pos >= 0) & (pos < l_imp)

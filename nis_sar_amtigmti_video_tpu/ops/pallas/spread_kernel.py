@@ -1,0 +1,120 @@
+"""Pallas TPU kernel for the dense NUFFT spreader's group windows.
+
+ops/echo_freq.py::_spread_dense is the XLA version: per pulse chunk it
+materializes a (pc, grp, B/grp, win) bf16 one-hot in HBM (the group
+cell-selection matrix), reads it twice for the hi/lo value contraction and
+once more per extra value set — ~100 MB of HBM traffic per pulse at the
+full-scale ATI shape (5,035 targets, win = 4096), which round-3 probes
+identified as the dense path's dominant bill (docs/ROUND3_NOTES.md §7).
+
+This kernel never lets the one-hot exist outside VMEM. Per (pulse, group)
+grid cell it
+
+    builds the transposed one-hot (win, bg) from a broadcasted iota
+    compare against the group's window-relative cells (one VPU pass in
+    VMEM) -> contracts every value set's (2K, bg) taps against it on the
+    MXU (A @ B^T form, hi/lo bf16 split, f32 accumulation) -> applies the
+    per-tap lane rolls -> writes only the (2*n_sets, win) group window.
+
+HBM traffic drops from ~(B*win) bf16 per pulse per read to the operands
+themselves: (B) i32 cells + (B, 2K) f32 taps in, (grp, 2*n_sets, win) f32
+windows out — two orders of magnitude less at the reference shape. The
+row-placement stage (dynamic base offsets into the field) stays in XLA:
+it touches only the already-small windows.
+
+Numerics match the XLA path: the one-hot is exact in bf16 (entries are
+0/1), values use the same hi/lo split and f32 accumulation, and the roll
+accumulation order is identical (equality-tested in interpret mode,
+tests/test_echo_freq.py). Reference behavior covered: the echo synthesis
+feeding sar_ati_dcpa_sim_csa.py:46-103's full-scale two-channel scene.
+
+Traced under jax.enable_x64(False) like every pallas kernel here (the
+global x64 flag injects an i64 the Mosaic compiler cannot legalize).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _kernel(c_ref, *refs, n_sets: int, k_taps: int):
+    out_ref = refs[n_sets]
+    win = out_ref.shape[3]
+    bg = c_ref.shape[2]
+
+    # transposed one-hot (win, bg): row j selects the targets whose tap-0
+    # cell is j. Dead/dropped targets carry cell -1 (matches no row). Built
+    # once per (pulse, group) cell and shared by every value set.
+    iota = jax.lax.broadcasted_iota(jnp.int32, (win, bg), 0)
+    oh_t = (iota == c_ref[0]).astype(jnp.bfloat16)
+
+    rows = []
+    for s in range(n_sets):
+        v = refs[s][0, 0]                               # (2K, bg) f32
+        vh = v.astype(jnp.bfloat16)
+        vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def dg(a):
+            # contract bg against the transposed one-hot (A @ B^T — the
+            # MXU-native form, no relayout of oh_t)
+            return jax.lax.dot_general(
+                a, oh_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (2K, win)
+
+        part = dg(vh) + dg(vl)   # one-hot exact in bf16; split v only
+        acc_r = part[0:1]
+        acc_i = part[k_taps:k_taps + 1]
+        for k in range(1, k_taps):
+            acc_r = acc_r + jnp.roll(part[k:k + 1], k, axis=1)
+            acc_i = acc_i + jnp.roll(part[k_taps + k:k_taps + k + 1], k,
+                                     axis=1)
+        rows += [acc_r, acc_i]
+    out_ref[0, 0] = jnp.concatenate(rows, axis=0)
+
+
+def spread_windows_pallas(c_ok, v_sets, win: int, interpret: bool = False):
+    """Group windows for :func:`ops.echo_freq._spread_dense`'s value sets.
+
+    c_ok: (pc, grp, bg) i32 window-relative tap-0 cells, -1 for targets to
+    drop (bg a 128-multiple; the wrapper in echo_freq pads).
+    v_sets: list of (pc, grp, 2K, bg) f32 tap values ([re | im] stacked on
+    the tap axis), all sets sharing one K.
+    Returns [(out_r, out_i)] per set, each (pc, grp, win) f32 — identical
+    contract to the XLA one-hot + roll chain it replaces.
+    """
+    pc, grp, bg = c_ok.shape
+    k2 = v_sets[0].shape[2]
+    if any(v.shape != (pc, grp, k2, bg) for v in v_sets):
+        raise ValueError(
+            "spread_windows_pallas needs every value set at the same "
+            f"(pc, grp, 2K, bg) = {(pc, grp, k2, bg)}, got "
+            f"{[v.shape for v in v_sets]}")
+    if bg % _LANE or win % _LANE:
+        raise ValueError(f"bg ({bg}) and win ({win}) must be 128-multiples")
+    n_sets = len(v_sets)
+    n_rows = 2 * n_sets
+
+    bs_c = pl.BlockSpec((1, 1, bg), lambda i, g: (i, g, 0))
+    bs_v = pl.BlockSpec((1, 1, k2, bg), lambda i, g: (i, g, 0, 0))
+    bs_o = pl.BlockSpec((1, 1, n_rows, win), lambda i, g: (i, g, 0, 0))
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            partial(_kernel, n_sets=n_sets, k_taps=k2 // 2),
+            grid=(pc, grp),
+            in_specs=[bs_c] + [bs_v] * n_sets,
+            out_specs=bs_o,
+            out_shape=jax.ShapeDtypeStruct((pc, grp, n_rows, win),
+                                           jnp.float32),
+            compiler_params=_VMEM,
+            interpret=interpret,
+        )(c_ok, *v_sets)
+    return [(out[:, :, 2 * s], out[:, :, 2 * s + 1]) for s in range(n_sets)]

@@ -40,9 +40,9 @@ car = jnp.asarray(rng.uniform(-np.pi, np.pi, (P, B)).astype(np.float32))
 amp = jnp.asarray(rng.uniform(0.5, 2.0, (P, B)).astype(np.float32))
 
 
-def run(win, grp):
+def run(win, grp, spreader="dense"):
     fn = jax.jit(lambda t, c, a: echo_freq.synthesize(
-        t, c, a, opts, spreader="dense", spread_win=win, spread_grp=grp))
+        t, c, a, opts, spreader=spreader, spread_win=win, spread_grp=grp))
     out = fn(tau, car, amp)
     float(jnp.sum(jnp.abs(jnp.real(out[:1, :1]))))
     t1 = time.perf_counter()
@@ -62,4 +62,21 @@ for win, grp in ((2048, 32), (1024, 64), (512, 128), (1024, 32)):
                 + jnp.max(jnp.abs(jnp.imag(a) - jnp.imag(b))))(out, out_ref)
     rel = float(d) / max(m_ref / (P * 13200) ** 0.5, 1e-30)
     print(f"win={win:4d} grp={grp:3d} : {t:6.2f} s  max-abs-err "
+          f"{float(d):.3e} (vs rms {rel:.2e})", flush=True)
+
+# VMEM one-hot kernel (ops/pallas/spread_kernel.py) at the same sizings —
+# equality-gated against the XLA dense anchor like every sweep row
+for win, grp in ((None, None), (2048, 32), (1024, 64), (512, 128)):
+    try:
+        t, out, m = run(win, grp, spreader="dense_kernel")
+    except Exception as e:  # Mosaic compile failure must not kill the sweep
+        print(f"KERNEL win={win} grp={grp}: FAILED {type(e).__name__}: "
+              f"{str(e)[:200]}", flush=True)
+        continue
+    d = jax.jit(lambda a, b: jnp.max(jnp.abs(jnp.real(a) - jnp.real(b)))
+                + jnp.max(jnp.abs(jnp.imag(a) - jnp.imag(b))))(out, out_ref)
+    rel = float(d) / max(m_ref / (P * 13200) ** 0.5, 1e-30)
+    wtxt = win or 4096
+    gtxt = grp or 16
+    print(f"KERNEL win={wtxt:4d} grp={gtxt:3d} : {t:6.2f} s  max-abs-err "
           f"{float(d):.3e} (vs rms {rel:.2e})", flush=True)

@@ -101,6 +101,39 @@ class TestFreqBackend:
             t_start=t0))
         assert np.abs(b - a).max() < 2e-5 * np.abs(a).max()
 
+    def test_dense_kernel_matches_dense_e2e(self, scene):
+        """The VMEM one-hot kernel (interpret mode) must reproduce the XLA
+        dense spreader through the full freq backend — exercises both the
+        main-pass single set and the shared two-set exact-edge pass."""
+        g, traj, tgts, t0 = scene
+        a = cplx.to_host(phase_history(
+            traj, tgts, _opts("freq", freq_spreader="dense"), t_start=t0))
+        b = cplx.to_host(phase_history(
+            traj, tgts, _opts("freq",
+                              freq_spreader="dense_kernel_interpret"),
+            t_start=t0))
+        assert np.abs(b - a).max() < 1e-6 * np.abs(a).max()
+
+    def test_dense_kernel_spread_unit(self):
+        """_spread_dense impl='pallas_interpret' == impl='xla' on a raw
+        multi-set spread with out-of-grid targets and duplicate cells."""
+        from nis_sar_amtigmti_video_tpu.ops import echo_freq as ef
+        import jax.numpy as jnp
+        rng = np.random.default_rng(7)
+        pc, num_b, k, l_out = 3, 200, 6, 900
+        i0 = np.sort(rng.integers(-40, l_out + 20, (pc, num_b)), axis=1)
+        sets = []
+        for off in (0, 37):
+            vr = rng.normal(size=(pc, num_b, k)).astype(np.float32)
+            vi = rng.normal(size=(pc, num_b, k)).astype(np.float32)
+            sets.append((jnp.asarray(vr), jnp.asarray(vi), off))
+        args = (jnp.asarray(i0, jnp.int32), sets, l_out, 512, 8)
+        ar, ai = ef._spread_dense(*args, lo=64, impl="xla")
+        br, bi = ef._spread_dense(*args, lo=64, impl="pallas_interpret")
+        scale = float(np.abs(np.asarray(ar)).max()) + 1e-9
+        assert np.abs(np.asarray(br) - np.asarray(ar)).max() < 1e-5 * scale
+        assert np.abs(np.asarray(bi) - np.asarray(ai)).max() < 1e-5 * scale
+
     def test_endpoint_grid_rejected(self, scene):
         g, traj, tgts, t0 = scene
         with pytest.raises(ValueError, match="uniform fast-time"):
