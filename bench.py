@@ -95,9 +95,12 @@ def main():
         # the full-plane sums below consume the XLA epilogue honestly.
         from nis_sar_amtigmti_video_tpu.gmti.fused import gmti_cpi_pallas
 
+        k2_var = os.environ.get("BENCH_K2", "restack")
+
         def gmti_one(x1r, x1i, x2r, x2i):
             s1r, s1i, s2r, s2i, cal, phase, dmag, det = gmti_cpi_pallas(
-                x1r, x1i, x2r, x2i, f, cfar_params=cfar_p)
+                x1r, x1i, x2r, x2i, f, cfar_params=cfar_p,
+                k2_variant=k2_var)
             summary = (jnp.sum(phase) + jnp.sum(dmag) + jnp.sum(det.snr)
                        + cal)
             return s1r, s1i, s2r, s2i, summary
@@ -283,9 +286,13 @@ def main():
             # TPU the spreader auto-falls back to scatter.
             sc_s = cfg.ati_dpca()
             rs, gs, cs = sc_s.radar, sc_s.geometry, sc_s.collect
-            opts_s = dataclasses.replace(echo_opts_for(sc_s),
-                                         backend="freq",
-                                         endpoint_grid=False)
+            sim_win = os.environ.get("BENCH_SIM_WIN")
+            sim_grp = os.environ.get("BENCH_SIM_GRP")
+            opts_s = dataclasses.replace(
+                echo_opts_for(sc_s), backend="freq", endpoint_grid=False,
+                freq_spreader=os.environ.get("BENCH_SIM_SPREADER", "auto"),
+                freq_spread_win=int(sim_win) if sim_win else None,
+                freq_spread_grp=int(sim_grp) if sim_grp else None)
             t0s = window_start_time(gs.slant_range_m, opts_s,
                                     cs.window_length_s, "centered")
             ship = T_.destroyer().rotate_z(90.0)
