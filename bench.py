@@ -292,7 +292,8 @@ def main():
                 echo_opts_for(sc_s), backend="freq", endpoint_grid=False,
                 freq_spreader=os.environ.get("BENCH_SIM_SPREADER", "auto"),
                 freq_spread_win=int(sim_win) if sim_win else None,
-                freq_spread_grp=int(sim_grp) if sim_grp else None)
+                freq_spread_grp=int(sim_grp) if sim_grp else None,
+                freq_conv=os.environ.get("BENCH_SIM_CONV", "xla"))
             t0s = window_start_time(gs.slant_range_m, opts_s,
                                     cs.window_length_s, "centered")
             ship = T_.destroyer().rotate_z(90.0)

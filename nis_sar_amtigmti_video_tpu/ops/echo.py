@@ -85,6 +85,11 @@ class EchoOpts:
     # slow-time stride of the exact f64 geometry pass for backend='freq'
     # (quadratic anchor interpolation between; 0/1 = exact at every pulse)
     freq_geom_stride: int = 8
+    # 'xla' | 'pallas' | 'pallas_interpret': the freq backend's FFT
+    # convolution. 'pallas' fuses forward DFT + filter + inverse DFT in one
+    # VMEM pass (ops/pallas/fft_kernel.py::fft_conv_pallas; TPU-only, falls
+    # back to 'xla' elsewhere or when the FFT length is unsupported)
+    freq_conv: str = "xla"
 
     @property
     def half_width(self) -> float:
@@ -304,7 +309,8 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
                               edge_taper=opts.freq_edge_taper,
                               spreader=opts.freq_spreader,
                               spread_win=opts.freq_spread_win,
-                              spread_grp=opts.freq_spread_grp)
+                              spread_grp=opts.freq_spread_grp,
+                              conv=opts.freq_conv)
         from nis_sar_amtigmti_video_tpu.ops.pallas.echo_kernel import (
             echo_accumulate)
         return echo_accumulate(

@@ -65,6 +65,7 @@ from nis_sar_amtigmti_video_tpu.utils.cplx import expj
 
 _W = 8                      # spreading taps
 _BETA = 2.30 * _W           # ES-kernel beta (FINUFFT's rule of thumb)
+_LANE_C = 128               # fused-conv output row width (TPU lane count)
 
 
 def _next_fast_len(n: int) -> int:
@@ -282,7 +283,7 @@ def _spread_dense(i0, val_sets, l_out: int, win: int, grp: int,
 def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
                pulse_chunk: int | None = None, edge_taper: float = 4.0,
                spreader: str = "auto", spread_win: int | None = None,
-               spread_grp: int | None = None):
+               spread_grp: int | None = None, conv: str = "xla"):
     """(P, B) per-(pulse,target) scalars -> (P, Ns) complex64 raw data.
 
     tau_rel: delay of each echo relative to the window start [s]
@@ -307,6 +308,9 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
     needs a TPU — falls back to 'dense' elsewhere, with
     'dense_kernel_interpret' as the test mode), or 'auto' (dense on TPU,
     scatter elsewhere).
+    conv: 'xla' (jnp fft round trips) or 'pallas'/'pallas_interpret' (the
+    fused four-step conv kernel, fft_conv_pallas — TPU-gated, falls back
+    to 'xla' when the padded FFT length is outside the kernel's range).
     """
     num_p, num_b = tau_rel.shape
     ns = opts.num_samples
@@ -354,6 +358,19 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
     # combined spectral filter: chirp response deconvolved by the spreader
     filt = np.fft.fft(g.astype(np.complex128), n=l_fft) / _kernel_ft(l_fft)
     filt_j = jnp.asarray(filt.astype(np.complex64))
+
+    if conv == "pallas" and jax.default_backend() != "tpu":
+        conv = "xla"                       # Mosaic needs a TPU (csa.py guard)
+    if conv not in ("xla", "pallas", "pallas_interpret"):
+        raise ValueError(f"unknown conv {conv!r}")
+    if conv != "xla":
+        from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel as _fftk
+        if not _fftk.supported(l_fft):
+            conv = "xla"                   # padded length outside the kernel
+    # inverse-band slicing for the fused conv: only the window's rows
+    p0c = lead // _LANE_C
+    p1c = -(-(lead + ns * os_) // _LANE_C)
+    off_c = lead - p0c * _LANE_C
 
     if pulse_chunk is None:
         per_pulse = max(num_b * _W, l_fft)
@@ -487,7 +504,6 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
             i0_d = jnp.clip(i0, -256, l_imp + 256)
             fr, fi = _spread_dense(i0_d, [(vr, vi, 0)], l_imp, d_win, d_grp,
                                    impl=d_impl)
-            field = jax.lax.complex(fr, fi)
         else:
             ok = (pos >= 0) & (pos < l_imp)
             pos = jnp.clip(pos, 0, l_imp - 1)
@@ -497,13 +513,21 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
             # separate f32 re/im scatters: complex64 scatter-adds at the
             # reference scale (10M+ updates) fault the TPU runtime
             fr = jnp.zeros((pc * l_imp,), jnp.float32).at[flat].add(
-                (wv * jnp.real(a_cplx)[:, :, None]).reshape(-1))
+                (wv * jnp.real(a_cplx)[:, :, None]).reshape(-1)
+                ).reshape(pc, l_imp)
             fi = jnp.zeros((pc * l_imp,), jnp.float32).at[flat].add(
-                (wv * jnp.imag(a_cplx)[:, :, None]).reshape(-1))
-            field = jax.lax.complex(fr, fi).reshape(pc, l_imp)
-        spec = jnp.fft.fft(field, n=l_fft, axis=-1) * filt_j
-        conv = jnp.fft.ifft(spec, axis=-1)
-        out_c = conv[:, lead:lead + ns * os_:os_]
+                (wv * jnp.imag(a_cplx)[:, :, None]).reshape(-1)
+                ).reshape(pc, l_imp)
+        if conv != "xla":
+            cr, ci2 = _fftk.fft_conv_pallas(
+                fr, fi, filt, l_fft, out_rows=(p0c, p1c),
+                interpret=conv == "pallas_interpret")
+            out_c = jax.lax.complex(cr, ci2)[:, off_c:off_c + ns * os_:os_]
+        else:
+            spec = jnp.fft.fft(jax.lax.complex(fr, fi),
+                               n=l_fft, axis=-1) * filt_j
+            conv_f = jnp.fft.ifft(spec, axis=-1)
+            out_c = conv_f[:, lead:lead + ns * os_:os_]
         if n_edge:
             out_c = out_c + _edge_exact(tau, a_cplx)
         return carry, out_c

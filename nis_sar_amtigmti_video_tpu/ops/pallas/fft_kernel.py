@@ -432,3 +432,83 @@ def recenter_presum_pallas(rc, sat_pos, sat_vel, t_slow, vel_focus, p, d: int,
     ci = jnp.arange(rc_b.shape[0]) * d + (d // 2)
     ci = jnp.minimum(ci, num_p - 1)
     return rc_b, sat_pos[ci], sat_vel[ci], t_slow[ci]
+
+
+def fft_conv_pallas(fr, fi, filt, nfft: int,
+                    out_rows: tuple[int, int] | None = None,
+                    mode: str = "bf16x3", groups: int = 2,
+                    interpret: bool = False):
+    """Row-wise linear FFT convolution through the four-step kernel:
+
+        ifft(fft(field, nfft) * filt)[p0*128 : p1*128]
+
+    — the echo NUFFT backend's convolution (ops/echo_freq.py::synthesize)
+    with the forward DFT, filter multiply and inverse DFT fused in ONE
+    VMEM-resident pass per pulse instead of XLA's three HBM round trips.
+    Same machinery as :func:`recenter_presum_pallas` with zero shift ramp,
+    zero carrier and no presum (d=1); the filter rides the (k, [m|m])
+    matched-filter tables.
+
+    fr/fi: (P, L) f32 real/imag field rows, L <= nfft (the zero tail is
+    never read: the forward weight columns are sliced to the populated
+    rows). filt: (nfft,) complex host spectrum. Returns (out_r, out_i)
+    (P, (p1-p0)*128) f32.
+    """
+    if not supported(nfft):
+        raise ValueError(f"fft_conv_pallas: nfft={nfft} unsupported")
+    num_p, l_in = fr.shape
+    if l_in > nfft:
+        raise ValueError(f"field length {l_in} exceeds nfft={nfft}")
+    b1 = nfft // _LANE
+    nsr = -(-l_in // _LANE)
+    if out_rows is not None:
+        p0, p1 = out_rows
+        if not (0 <= p0 < p1 <= b1):
+            raise ValueError(f"out_rows {out_rows} outside [0, {b1}]")
+        pb = p1 - p0
+    else:
+        pb = b1
+
+    blk = groups
+    p_pad = -(-num_p // blk) * blk
+    wl = jnp.ones((p_pad, 1), jnp.float32)
+    zi32 = jnp.zeros((p_pad, 1), jnp.int32)
+    zf32 = jnp.zeros((p_pad, 1), jnp.float32)
+
+    ref = np.asarray(filt, np.complex128)
+    (w1h, w1l), (w1ih, w1il), (w2h, w2l), (w2ih, w2il), tw_r, tw_i, \
+        a_ref, b_ref = _tables(nfft, ref, ns=l_in, out_rows=out_rows)
+
+    def pad_in(x):
+        return jnp.pad(x.astype(jnp.float32),
+                       ((0, p_pad - num_p), (0, nsr * _LANE - l_in))
+                       ).reshape(p_pad, nsr, _LANE)
+
+    grid = (p_pad // blk,)
+    bs_in = pl.BlockSpec((blk, nsr, _LANE), lambda i: (i, 0, 0))
+    bs_w1 = pl.BlockSpec((2 * b1, 2 * nsr), lambda i: (0, 0))
+    bs_w1i = pl.BlockSpec((2 * pb, 2 * b1), lambda i: (0, 0))
+    bs_w2 = pl.BlockSpec((2 * _LANE, 2 * _LANE), lambda i: (0, 0))
+    bs_f = pl.BlockSpec((b1, 2 * _LANE), lambda i: (0, 0))
+    bs_sc = pl.BlockSpec((blk, 1), lambda i: (i, 0))
+    bs_tw = pl.BlockSpec((b1, _LANE), lambda i: (0, 0))
+    bs_out = pl.BlockSpec((groups, pb, _LANE), lambda i: (i, 0, 0))
+
+    with jax.enable_x64(False):
+        our, oui = pl.pallas_call(
+            partial(_kernel, d=1, groups=groups, nfft=nfft, mode=mode,
+                    pb=pb),
+            grid=grid,
+            in_specs=[bs_in, bs_in, bs_sc, bs_sc, bs_sc, bs_sc,
+                      bs_w1, bs_w1, bs_w1i, bs_w1i, bs_w2, bs_w2, bs_w2,
+                      bs_w2, bs_tw, bs_tw, bs_f, bs_f],
+            out_specs=[bs_out, bs_out],
+            out_shape=[jax.ShapeDtypeStruct((p_pad, pb, _LANE),
+                                            jnp.float32)] * 2,
+            compiler_params=_VMEM,
+            interpret=interpret,
+        )(pad_in(fr), pad_in(fi), zi32, zf32, zf32, wl,
+          w1h, w1l, w1ih, w1il, w2h, w2l, w2ih, w2il, tw_r, tw_i,
+          a_ref, b_ref)
+    return (our.reshape(p_pad, pb * _LANE)[:num_p],
+            oui.reshape(p_pad, pb * _LANE)[:num_p])

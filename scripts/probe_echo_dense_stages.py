@@ -51,12 +51,21 @@ def stream(fn, args, n=2):
     return (time.perf_counter() - t1) / n
 
 
-for tag, et, spreader in (("dense full   ", 4.0, "dense"),
-                          ("dense no-edge", 0.0, "dense"),
-                          ("scatter no-edge", 0.0, "scatter")):
-    fn = jax.jit(lambda t, c, a, et=et, sp=spreader: echo_freq.synthesize(
-        t, c, a, opts, edge_taper=et, spreader=sp))
-    print(f"{tag}: {stream(fn, (tau, car, amp)):7.2f} s", flush=True)
+for tag, et, spreader, conv in (
+        ("dense full      ", 4.0, "dense", "xla"),
+        ("dense no-edge   ", 0.0, "dense", "xla"),
+        ("scatter no-edge ", 0.0, "scatter", "xla"),
+        ("kernel full     ", 4.0, "dense_kernel", "xla"),
+        ("dense conv-fused", 4.0, "dense", "pallas"),
+        ("kernel+conv     ", 4.0, "dense_kernel", "pallas")):
+    try:
+        fn = jax.jit(lambda t, c, a, et=et, sp=spreader, cv=conv:
+                     echo_freq.synthesize(t, c, a, opts, edge_taper=et,
+                                          spreader=sp, conv=cv))
+        print(f"{tag}: {stream(fn, (tau, car, amp)):7.2f} s", flush=True)
+    except Exception as e:
+        print(f"{tag}: FAILED {type(e).__name__}: {str(e)[:160]}",
+              flush=True)
 
 # geometry-only pass (what the echo engine spends before synthesize)
 from nis_sar_amtigmti_video_tpu.ops import echo as echo_mod

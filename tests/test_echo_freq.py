@@ -134,6 +134,31 @@ class TestFreqBackend:
         assert np.abs(np.asarray(br) - np.asarray(ar)).max() < 1e-5 * scale
         assert np.abs(np.asarray(bi) - np.asarray(ai)).max() < 1e-5 * scale
 
+    def test_fused_conv_matches_xla(self):
+        """conv='pallas_interpret' (fused four-step FFT convolution) ==
+        conv='xla' through synthesize at a window long enough for the
+        kernel's supported FFT range (l_fft >= 16384)."""
+        import jax.numpy as jnp
+        from nis_sar_amtigmti_video_tpu.ops import echo_freq as ef
+        from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
+        opts = _opts("freq", num_samples=4000)
+        rng = np.random.default_rng(11)
+        P, B = 3, 48
+        tau = jnp.asarray(np.sort(rng.uniform(5e-6, 5.5e-5, (P, B)), axis=1))
+        car = jnp.asarray(rng.uniform(-np.pi, np.pi, (P, B)
+                                      ).astype(np.float32))
+        amp = jnp.asarray(rng.uniform(0.5, 2.0, (P, B)).astype(np.float32))
+        # self-check: this shape must actually reach the kernel (no silent
+        # xla fallback making the comparison vacuous)
+        os_ = opts.freq_oversample
+        lead = int(round(opts.pulse_width_s * opts.fs_hz * os_)) + os_ + 8
+        l_fft = 1 << (lead + 4000 * os_ + os_ + 8 - 1).bit_length()
+        assert fft_kernel.supported(l_fft)
+        a = np.asarray(ef.synthesize(tau, car, amp, opts, conv="xla"))
+        b = np.asarray(ef.synthesize(tau, car, amp, opts,
+                                     conv="pallas_interpret"))
+        assert np.abs(b - a).max() < 3e-5 * np.abs(a).max()
+
     def test_endpoint_grid_rejected(self, scene):
         g, traj, tgts, t0 = scene
         with pytest.raises(ValueError, match="uniform fast-time"):
