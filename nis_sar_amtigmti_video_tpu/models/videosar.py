@@ -73,7 +73,7 @@ def bp_params_for(sc: ScenarioConfig, opts: EchoOpts,
 @partial(jax.jit, static_argnames=("p", "presum", "backend", "plan"))
 def form_frames_bp(raw_frames, pos_frames, vel_frames, t_frames, vel_focus,
                    t_start, p: bp_ops.BpParams, presum: int = 1,
-                   backend: str = "exact", plan=None):
+                   backend: str = "exact", plan=None, spectra_frames=None):
     """Vmapped mBP/StdBP formation: (F, cpi, Ns) -> (F, ny, nx) complex64.
     The leading F axis is the data-parallel (shardable) axis. ``presum > 1``
     decimates slow time first (bp_ops.presum_recenter) — choose it with
@@ -88,19 +88,27 @@ def form_frames_bp(raw_frames, pos_frames, vel_frames, t_frames, vel_focus,
     select the factorized (sub-aperture) accumulate — 'fast_factor'
     (XLA), 'fast_factor_pallas' (+ pallas recentre), 'fast_factor_kernel'
     (+ the fused coarse-tile inner-sum kernel) — the round-3 production
-    paths (the plan must be built with factorize=True)."""
+    paths (the plan must be built with factorize=True).
+
+    ``spectra_frames`` (F, cpi, nfft/128, 256): per-frame slices of cached
+    forward spectra (bp_fast.forward_spectra) — the streaming path for
+    overlapped CPIs; ``raw_frames`` is then ignored (pass None) and only
+    the recentre ramp/presum/inverse run per frame."""
     acc = {"fast": "xla", "fast_pallas": "pallas", "fast_factor": "factor",
            "fast_factor_pallas": "factor_pallas",
            "fast_factor_kernel": "factor_kernel"}.get(backend)
     fast = acc is not None
+    if spectra_frames is not None and not fast:
+        raise ValueError("spectra_frames needs a fast-BP backend")
     rc = raw_frames if fast else bp_ops.bp_range_compress(raw_frames, p)
 
-    def one(r_, po, ve, ts):
+    def one(r_, po, ve, ts, sp=None):
         if fast:
             img = bp_fast.backproject_fast(
                 r_, po, ve, ts, vel_focus, p, plan, presum=presum,
                 compress=True, accumulate=acc,
-                fit_stride=8 if acc.startswith("factor") else 0)
+                fit_stride=8 if acc.startswith("factor") else 0,
+                raw_spectra=sp)
             if presum > 1:
                 corr = bp_ops.presum_droop_correction(po, ve, ts, vel_focus,
                                                       p, presum)
@@ -115,6 +123,9 @@ def form_frames_bp(raw_frames, pos_frames, vel_frames, t_frames, vel_focus,
                                                       vel_focus, t_start, p)
         return bp_ops.backproject(r_, po, ve, ts, vel_focus, t_start, p)
 
+    if spectra_frames is not None:
+        return jax.vmap(lambda sp, po, ve, ts: one(None, po, ve, ts, sp))(
+            spectra_frames, pos_frames, vel_frames, t_frames)
     return jax.vmap(one)(rc, pos_frames, vel_frames, t_frames)
 
 
@@ -146,7 +157,8 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
         frames_per_batch: int = 4, key=None,
         avg_rcs: float | None = None, num_frames: int | None = None,
         frame_indices=None, precision: str = "f32",
-        bp_backend: str = "fast") -> VideoFrames:
+        bp_backend: str = "fast", noise_mode: str = "per_frame",
+        stream_spectra: bool = False) -> VideoFrames:
     """Full VideoSAR product: schedule -> per-frame sim -> batched formation.
 
     algorithm: 'mbp' (focus on target velocity), 'stdbp' (zero focus
@@ -162,6 +174,19 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
     recentre on TPU where the plan supports them, the XLA factor path
     elsewhere), or 'exact' (reference-semantics per-pixel path, ops/bp.py).
     Unsupported plan shapes fall back toward 'fast'.
+
+    noise_mode: 'per_frame' draws fresh noise on each assembled CPI — the
+    reference semantics (shared pulses get DIFFERENT noise in overlapping
+    frames: sar_batch_sim.py re-simulates every CPI). 'per_segment' draws
+    noise once per step-sized pulse segment — the physical sensor
+    semantics (each received pulse is noisy once) and the prerequisite
+    for ``stream_spectra``. SNR referencing is then per segment.
+
+    stream_spectra: cache each pulse's matched-filtered forward FFT
+    (bp_fast.forward_spectra) across the 80%-overlapped frames, so the
+    frame-independent half of the fast-BP recentre runs once per pulse
+    per collect instead of once per frame. Needs a fast BP backend, a
+    kernel-supported FFT length and noise_mode='per_segment'.
     """
     r, g, v = sc.radar, sc.geometry, sc.video
     sched = scheduler.make_schedule(v, r.prf_hz)
@@ -236,34 +261,86 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
                     and all(int(s) % step == 0 for s in sched.starts))
     segs_per_cpi = sched.cpi_pulses // step if use_segments else 0
     seg_cache = {}
+    spec_cache = {}
+
+    if noise_mode not in ("per_frame", "per_segment"):
+        raise ValueError(f"unknown noise_mode {noise_mode!r}")
+    if stream_spectra:
+        from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
+        if algorithm not in ("mbp", "stdbp") \
+                or not bp_backend.startswith("fast"):
+            raise ValueError("stream_spectra needs a fast-BP backend "
+                             f"(algorithm={algorithm!r}, "
+                             f"bp_backend={bp_backend!r})")
+        if key is not None and noise_mode != "per_segment":
+            raise ValueError(
+                "stream_spectra caches per-pulse forward spectra across "
+                "overlapped frames, so noise must be drawn per pulse: pass "
+                "noise_mode='per_segment'")
+        if not fft_kernel.supported(bp_plan.nfft):
+            raise ValueError(
+                f"stream_spectra: plan nfft={bp_plan.nfft} outside the FFT "
+                "kernel's supported range")
+        if not use_segments:
+            raise ValueError("stream_spectra needs a segment-aligned "
+                             "schedule (cpi/starts multiples of the step)")
 
     def segment(s):
         if s not in seg_cache:
             sl = traj.slice(s * step, (s + 1) * step)
-            seg_cache[s] = phase_history(sl, tgt, opts, t_start=t0,
-                                         target_velocity=vel_tgt)
+            raw_s = phase_history(sl, tgt, opts, t_start=t0,
+                                  target_velocity=vel_tgt)
+            if (noise_mode == "per_segment" and key is not None
+                    and snr_raw is not None):
+                ks = jax.random.fold_in(key, 1_000_000 + s)
+                raw_s = noise_ops.add_ocean_noise(ks, raw_s, snr_raw,
+                                                  sc.noise.scr_db,
+                                                  sc.noise.k_shape,
+                                                  ref_power_mode="peak")
+            seg_cache[s] = raw_s
         return seg_cache[s]
+
+    def segment_spectra(s):
+        if s not in spec_cache:
+            spec_cache[s] = bp_fast.forward_spectra(segment(s), p_bp)
+        return spec_cache[s]
+
+    def _drop_stale(s0):
+        for cache in (seg_cache, spec_cache):
+            for s in [k for k in cache if k < s0]:
+                del cache[s]       # earlier frames never need them again
 
     def frame_raw(f):
         if use_segments:
             s0 = int(sched.starts[f]) // step
             raw = jnp.concatenate([segment(s0 + j)
                                    for j in range(segs_per_cpi)], axis=0)
-            for s in [k for k in seg_cache if k < s0]:
-                del seg_cache[s]   # earlier frames never need them again
+            _drop_stale(s0)
             kf = (None if key is None
                   else jax.random.fold_in(key, int(orig_idx[f])))
-            if kf is not None and snr_raw is not None:
+            if (kf is not None and snr_raw is not None
+                    and noise_mode == "per_frame"):
                 raw = noise_ops.add_ocean_noise(kf, raw, snr_raw,
                                                 sc.noise.scr_db,
                                                 sc.noise.k_shape,
                                                 ref_power_mode="peak")
             return raw
+        if noise_mode == "per_segment":
+            raise ValueError("noise_mode='per_segment' needs a segment-"
+                             "aligned schedule (cpi/starts multiples of "
+                             "the step)")
         sl = traj.slice(int(sched.starts[f]),
                         int(sched.starts[f]) + sched.cpi_pulses)
         kf = (None if key is None
               else jax.random.fold_in(key, int(orig_idx[f])))
         return simulate_cpi(sc, tgt, sl, opts, t0, vel_tgt, kf, snr_raw)
+
+    def frame_spectra(f):
+        s0 = int(sched.starts[f]) // step
+        sp = jnp.concatenate([segment_spectra(s0 + j)
+                              for j in range(segs_per_cpi)], axis=0)
+        _drop_stale(s0)
+        return sp
 
     f_total = sched.num_frames
 
@@ -275,13 +352,20 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
         for f in range(b0, b1):
             i0 = int(sched.starts[f])
             sl = traj.slice(i0, i0 + sched.cpi_pulses)
-            raws.append(frame_raw(f))
+            raws.append(frame_spectra(f) if stream_spectra
+                        else frame_raw(f))
             poss.append(sl.positions); vels.append(sl.velocities); ts.append(sl.times)
         raw_b = jnp.stack(raws)
         pos_b = jnp.asarray(np.stack(poss))
         vel_b = jnp.asarray(np.stack(vels))
         t_b = jnp.asarray(np.stack(ts))
         if algorithm in ("mbp", "stdbp"):
+            if stream_spectra:
+                return form_frames_bp(None, pos_b, vel_b, t_b,
+                                      jnp.asarray(vel_focus),
+                                      jnp.float64(t0), p_bp, presum,
+                                      backend=bp_backend, plan=bp_plan,
+                                      spectra_frames=raw_b)
             return form_frames_bp(raw_b, pos_b, vel_b, t_b,
                                   jnp.asarray(vel_focus), jnp.float64(t0),
                                   p_bp, presum, backend=bp_backend,

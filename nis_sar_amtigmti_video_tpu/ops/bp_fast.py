@@ -820,7 +820,8 @@ def _resample_output(img_i, plan: FastBpPlan, p: BpParams, rdir, cdir, dy_m):
 def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
                      plan: FastBpPlan, presum: int = 1, t_mean=None,
                      compress: bool = False, accumulate: str = "xla",
-                     fit_stride: int = 0, math_mode: str = "exact"):
+                     fit_stride: int = 0, math_mode: str = "exact",
+                     raw_spectra=None):
     """Gather-free BP of range-compressed pulses onto the output grid.
 
     rc: (P, Ns) complex64; trajectory in f64; ``plan`` from :func:`make_plan`
@@ -839,6 +840,14 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
     both to single-pass bf16-input MXU dots (~3e-3 field rel-err,
     measured at reference scale by scripts/probe_bp_knobs.py) for the
     streaming-VideoSAR throughput path.
+
+    ``raw_spectra``: cached (P, nfft/128, 256) forward spectra from
+    ops/pallas/fft_kernel.py::forward_spectra_pallas (matched filter
+    fused). Overlapped VideoSAR CPIs (80%: sar_batch_sim.py:244-252) share
+    pulses, so the forward transform — the frame-independent half of the
+    recentre pass — is computed once per pulse per collect; only the
+    recentre ramp, presum and inverse run per frame. Requires compress=True
+    and a kernel-supported plan.nfft; ``rc`` is ignored (pass None).
     """
     fast_math = math_mode == "fast"
     pos = jnp.asarray(sat_pos, jnp.float64)
@@ -858,11 +867,30 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
         use_fkern and accumulate == "factor_kernel")
     interp = accumulate.endswith("_interpret")
     scope = jax.named_scope
-    if use_pfft and compress:
+    if (use_pfft and compress) or raw_spectra is not None:
         from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
     plan_acc = plan    # the plan the accumulate slices rc2 with (see below)
     with scope("bp_compress_recentre_presum"):
-        if use_pfft and compress and fft_kernel.supported(plan.nfft):
+        if raw_spectra is not None:
+            if not (compress and fft_kernel.supported(plan.nfft)):
+                raise ValueError(
+                    "raw_spectra needs compress=True and a kernel-supported "
+                    f"plan.nfft (got nfft={plan.nfft})")
+            band_end = (plan.band_start + plan.stride * (plan.ny_i - 1)
+                        + plan.w_win)
+            p0 = plan.band_start // 128
+            p1 = -(-band_end // 128)
+            rc2, pos2, vel2, t2 = fft_kernel.recentre_from_spectra_pallas(
+                raw_spectra, pos, vel, ts, vf, p, max(1, presum), plan.t_ref,
+                # interpret off-TPU: the streaming path has no XLA twin, so
+                # CPU tests run the same kernel through the interpreter
+                interpret=interp or jax.default_backend() != "tpu",
+                t_mean=t_mean_v, out_rows=(p0, p1),
+                mode="bf16" if fast_math else "bf16x3",
+                groups=8 if fast_math else 2)
+            plan_acc = _dc_replace(plan,
+                                   band_start=plan.band_start - p0 * 128)
+        elif use_pfft and compress and fft_kernel.supported(plan.nfft):
             # band-limit the kernel's inverse transform to the 128-aligned
             # rows the accumulate actually reads (exact — fewer output rows
             # computed, ~2.6x less inverse MXU + HBM at reference scale).
@@ -986,16 +1014,35 @@ def _finalize(img_i, phase_coeffs, pos2, vel2, t2, vf, t_mean_v, p: BpParams,
     return img * expj(ph_out)
 
 
+def forward_spectra(raw, p: BpParams, math_mode: str = "exact",
+                    interpret: bool | None = None):
+    """Cacheable forward half of the streaming fast-BP recentre: matched-
+    filtered forward spectra of raw pulses in the FFT kernel's layout
+    (ops/pallas/fft_kernel.py::forward_spectra_pallas). Feed slices of the
+    result to :func:`focus_bp_fast` / :func:`backproject_fast` via
+    ``raw_spectra=`` — overlapped VideoSAR CPIs then pay the forward
+    transform once per pulse instead of once per frame."""
+    from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
+    if interpret is None:                 # no XLA twin: interpret off-TPU
+        interpret = jax.default_backend() != "tpu"
+    return fft_kernel.forward_spectra_pallas(
+        raw, p, filter_compress=True,
+        mode="bf16" if math_mode == "fast" else "bf16x3",
+        interpret=interpret)
+
+
 def focus_bp_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
                   p: BpParams, presum: int = 1, plan: FastBpPlan = None,
                   accumulate: str = "xla", fit_stride: int = 0,
-                  math_mode: str = "exact"):
+                  math_mode: str = "exact", raw_spectra=None):
     """Fused range compression + fast BP + presum rescale/droop (drop-in
     for ops/bp.py::focus_bp at production scale). The matched filter rides
     the recentre FFT (``compress=True``), so raw pulses see exactly one
     fast-time FFT round trip end to end. ``accumulate='pallas'`` selects
     the fused pixel-tile kernel (needs a w_win=64 plan; see
-    ops/pallas/bp_kernel.py)."""
+    ops/pallas/bp_kernel.py). ``raw_spectra`` (from
+    :func:`forward_spectra`) skips the forward transform for streaming
+    overlapped CPIs; ``raw`` may then be None."""
     from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
 
     if plan is None:
@@ -1006,7 +1053,7 @@ def focus_bp_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
     img = backproject_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, p, plan,
                            presum=presum, compress=True,
                            accumulate=accumulate, fit_stride=fit_stride,
-                           math_mode=math_mode)
+                           math_mode=math_mode, raw_spectra=raw_spectra)
     if presum > 1:
         corr = bp_ops.presum_droop_correction(
             jnp.asarray(sat_pos, jnp.float64), jnp.asarray(sat_vel, jnp.float64),

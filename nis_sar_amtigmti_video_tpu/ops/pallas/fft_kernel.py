@@ -434,6 +434,240 @@ def recenter_presum_pallas(rc, sat_pos, sat_vel, t_slow, vel_focus, p, d: int,
     return rc_b, sat_pos[ci], sat_vel[ci], t_slow[ci]
 
 
+def _kernel_fwd(xr, xi, w1h, w1l, w2h, w2l, tw_r, tw_i, a_ref, b_ref, out,
+                *, blk: int, nfft: int, mode: str):
+    """Forward four-step + matched filter only — the frame-INDEPENDENT half
+    of :func:`_kernel`'s forward_spec (no recentre ramp, no carrier, no
+    presum weight). Emits each pulse's processed spectrum in the
+    (k, [m|m]) digit-swapped layout for :func:`_kernel_inv`."""
+    b1 = nfft // _LANE
+    b2 = _LANE
+
+    def dot_l(wh, wl_, z):
+        dd = partial(jnp.dot, preferred_element_type=jnp.float32)
+        zh = z.astype(jnp.bfloat16)
+        if mode == "bf16":
+            return dd(wh, zh)
+        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dd(wh, zh) + dd(wl_, zh) + dd(wh, zl)
+
+    def dot_m(z, wh, wl_):
+        dd = partial(jnp.dot, preferred_element_type=jnp.float32)
+        zh = z.astype(jnp.bfloat16)
+        if mode == "bf16":
+            return dd(zh, wh)
+        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dd(zh, wh) + dd(zh, wl_) + dd(zl, wh)
+
+    for t in range(blk):
+        z = jnp.concatenate([xr[t], xi[t]], axis=0)        # (2B1, B2)
+        y = dot_l(w1h[:], w1l[:], z)
+        yr, yi = y[:b1], y[b1:]
+        zr = yr * tw_r[:] + yi * tw_i[:]
+        zi = yi * tw_r[:] - yr * tw_i[:]
+        s = jnp.concatenate([zr, zi], axis=1)
+        s = dot_m(s, w2h[:], w2l[:])                       # (B1=k, [m|m])
+        out[t] = s * a_ref[:] + _roll_half(s) * b_ref[:]
+
+
+def _kernel_inv(sp, si, sf, car, wl, w1ih, w1il, w2ih, w2il, tw_r, tw_i,
+                out_r, out_i, *, d: int, groups: int, nfft: int, mode: str,
+                pb: int = 0):
+    """Recentre ramp + carrier + frequency-domain presum + inverse
+    four-step on cached spectra — the frame-DEPENDENT half of
+    :func:`_kernel` (same factored-trig ramp, same output layout)."""
+    b1 = nfft // _LANE
+    b2 = _LANE
+    pb = pb or b1
+
+    def dot_l(wh, wl_, z):
+        dd = partial(jnp.dot, preferred_element_type=jnp.float32)
+        zh = z.astype(jnp.bfloat16)
+        if mode == "bf16":
+            return dd(wh, zh)
+        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dd(wh, zh) + dd(wl_, zh) + dd(wh, zl)
+
+    def dot_m(z, wh, wl_):
+        dd = partial(jnp.dot, preferred_element_type=jnp.float32)
+        zh = z.astype(jnp.bfloat16)
+        if mode == "bf16":
+            return dd(zh, wh)
+        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dd(zh, wh) + dd(zh, wl_) + dd(zl, wh)
+
+    isgn = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * b2), 1)
+    hsgn = jnp.where(isgn >= b2, jnp.float32(1.0), jnp.float32(-1.0))
+    m_tab = jnp.where(isgn >= b2, isgn - b2, isgn)                # (1, 2B2)
+    wrap_mask = m_tab >= b2 // 2
+
+    def ramped(t):
+        s = sp[t]
+        si_t = si[t, 0]
+        sf_t = sf[t, 0]
+        k_io = jax.lax.broadcasted_iota(jnp.int32, (b1, 1), 0)
+        pha_i = (k_io * si_t) % nfft
+        pha = (_TWO_PI / nfft) * (pha_i.astype(jnp.float32)
+                                  + sf_t * k_io.astype(jnp.float32)) \
+            + car[t, 0]
+        ar, ai = jnp.cos(pha), jnp.sin(pha)
+        phb_i = b1 * ((m_tab * si_t) % b2)
+        phb = (_TWO_PI / nfft) * (phb_i.astype(jnp.float32)
+                                  + sf_t * (m_tab * b1).astype(jnp.float32))
+        br, bi = jnp.cos(phb), jnp.sin(phb)
+        cs = ar * br - ai * bi
+        sn = ar * bi + ai * br
+        phc = -_TWO_PI * sf_t
+        cr, ci_ = jnp.cos(phc), jnp.sin(phc)
+        cs, sn = (jnp.where(wrap_mask, cs * cr - sn * ci_, cs),
+                  jnp.where(wrap_mask, cs * ci_ + sn * cr, sn))
+        return (s * cs + _roll_half(s) * (sn * hsgn)) * (wl[t, 0] / d)
+
+    for g in range(groups):
+        def body(j, acc):
+            return acc + ramped(g * d + j)
+        s = jax.lax.fori_loop(0, d, body,
+                              jnp.zeros((b1, 2 * b2), jnp.float32))
+        s = dot_m(s, w2ih[:], w2il[:])
+        a2 = jnp.concatenate([tw_r[:], tw_r[:]], axis=1)
+        b2t = jnp.concatenate([tw_i[:], tw_i[:]], axis=1) * hsgn
+        s = s * a2 + _roll_half(s) * b2t
+        z2 = jnp.concatenate([s[:, :b2], s[:, b2:]], axis=0)
+        y2 = dot_l(w1ih[:], w1il[:], z2)
+        out_r[g] = y2[:pb]
+        out_i[g] = y2[pb:]
+
+
+def forward_spectra_pallas(rc, p, filter_compress: bool = True,
+                           mode: str = "bf16x3", blk: int = 8,
+                           interpret: bool = False):
+    """Frame-independent half of :func:`recenter_presum_pallas`: forward
+    four-step DFT + matched filter per raw pulse, returned as (P, B1, 2*B2)
+    f32 spectra in the kernel's digit-swapped (k, [m|m]) layout.
+
+    VideoSAR CPIs overlap (80% by default: sar_batch_sim.py:244-252), so
+    every pulse's forward transform serves ~5 frames; cache these spectra
+    once per collect and form each frame with
+    :func:`recentre_from_spectra_pallas` — only the recentre ramp, presum
+    and inverse remain per-frame."""
+    num_p, ns = rc.shape
+    nfft = 1 << (ns - 1).bit_length()
+    if not supported(nfft):
+        raise ValueError(f"forward_spectra_pallas: nfft={nfft} unsupported")
+    b1 = nfft // _LANE
+    nsr = -(-ns // _LANE)
+    ref = matched_filter_spectrum_of(p, nfft) if filter_compress else None
+    (w1h, w1l), _, (w2h, w2l), _, tw_r, tw_i, a_ref, b_ref = \
+        _tables(nfft, ref, ns=ns)
+
+    p_pad = -(-num_p // blk) * blk
+    rc_p = jnp.pad(rc, ((0, p_pad - num_p), (0, nsr * _LANE - ns)))
+    xr = jnp.real(rc_p).astype(jnp.float32).reshape(p_pad, nsr, _LANE)
+    xi = jnp.imag(rc_p).astype(jnp.float32).reshape(p_pad, nsr, _LANE)
+
+    grid = (p_pad // blk,)
+    bs_in = pl.BlockSpec((blk, nsr, _LANE), lambda i: (i, 0, 0))
+    bs_w1 = pl.BlockSpec((2 * b1, 2 * nsr), lambda i: (0, 0))
+    bs_w2 = pl.BlockSpec((2 * _LANE, 2 * _LANE), lambda i: (0, 0))
+    bs_f = pl.BlockSpec((b1, 2 * _LANE), lambda i: (0, 0))
+    bs_tw = pl.BlockSpec((b1, _LANE), lambda i: (0, 0))
+    bs_out = pl.BlockSpec((blk, b1, 2 * _LANE), lambda i: (i, 0, 0))
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            partial(_kernel_fwd, blk=blk, nfft=nfft, mode=mode),
+            grid=grid,
+            in_specs=[bs_in, bs_in, bs_w1, bs_w1, bs_w2, bs_w2,
+                      bs_tw, bs_tw, bs_f, bs_f],
+            out_specs=bs_out,
+            out_shape=jax.ShapeDtypeStruct((p_pad, b1, 2 * _LANE),
+                                           jnp.float32),
+            compiler_params=_VMEM,
+            interpret=interpret,
+        )(xr, xi, w1h, w1l, w2h, w2l, tw_r, tw_i, a_ref, b_ref)
+    return out[:num_p]
+
+
+def matched_filter_spectrum_of(p, nfft: int):
+    from nis_sar_amtigmti_video_tpu.ops.bp_fast import matched_filter_spectrum
+    return matched_filter_spectrum(p, nfft)
+
+
+def recentre_from_spectra_pallas(spec, sat_pos, sat_vel, t_slow, vel_focus,
+                                 p, d: int, t_ref: float,
+                                 mode: str = "bf16x3", groups: int = 2,
+                                 interpret: bool = False, t_mean=None,
+                                 out_rows: tuple[int, int] | None = None):
+    """Frame-dependent half of :func:`recenter_presum_pallas` on cached
+    spectra from :func:`forward_spectra_pallas`: recentre ramp + carrier +
+    frequency-domain presum + (optionally band-limited) inverse four-step.
+    Same return contract as recenter_presum_pallas."""
+    num_p = spec.shape[0]
+    b1 = spec.shape[1]
+    nfft = b1 * _LANE
+    if not supported(nfft):
+        raise ValueError(
+            f"recentre_from_spectra_pallas: nfft={nfft} unsupported")
+    if out_rows is not None:
+        p0, p1 = out_rows
+        if not (0 <= p0 < p1 <= b1):
+            raise ValueError(f"out_rows {out_rows} outside [0, {b1}]")
+        pb = p1 - p0
+    else:
+        pb = b1
+
+    dt = t_slow - (jnp.mean(t_slow) if t_mean is None else t_mean)
+    org = vel_focus[None, :] * dt[:, None]
+    d0 = jnp.linalg.norm(sat_pos - org, axis=1)            # (P,) f64
+
+    blk = d * groups
+    p_pad = -(-num_p // blk) * blk
+    wl = jnp.pad(jnp.ones((num_p,), jnp.float32),
+                 (0, p_pad - num_p)).reshape(-1, 1)
+    sp_p = jnp.pad(spec, ((0, p_pad - num_p), (0, 0), (0, 0)))
+    d0_p = jnp.pad(d0, (0, p_pad - num_p), mode="edge")
+
+    shift = (2.0 * d0_p / _C - t_ref) * p.fs_hz
+    si = jnp.round(shift)
+    sf = (shift - si).astype(jnp.float32).reshape(-1, 1)
+    si = jnp.mod(si, nfft).astype(jnp.int32).reshape(-1, 1)
+    car = _TWO_PI * (2.0 * p.fc_hz / _C) * d0_p
+    car = (car - _TWO_PI * jnp.round(car / _TWO_PI)
+           ).astype(jnp.float32).reshape(-1, 1)
+
+    _, (w1ih, w1il), _, (w2ih, w2il), tw_r, tw_i, _, _ = \
+        _tables(nfft, None, out_rows=out_rows)
+
+    n_out = p_pad // d
+    grid = (p_pad // blk,)
+    bs_sp = pl.BlockSpec((blk, b1, 2 * _LANE), lambda i: (i, 0, 0))
+    bs_sc = pl.BlockSpec((blk, 1), lambda i: (i, 0))
+    bs_w1i = pl.BlockSpec((2 * pb, 2 * b1), lambda i: (0, 0))
+    bs_w2 = pl.BlockSpec((2 * _LANE, 2 * _LANE), lambda i: (0, 0))
+    bs_tw = pl.BlockSpec((b1, _LANE), lambda i: (0, 0))
+    bs_out = pl.BlockSpec((groups, pb, _LANE), lambda i: (i, 0, 0))
+
+    with jax.enable_x64(False):
+        our, oui = pl.pallas_call(
+            partial(_kernel_inv, d=d, groups=groups, nfft=nfft, mode=mode,
+                    pb=pb),
+            grid=grid,
+            in_specs=[bs_sp, bs_sc, bs_sc, bs_sc, bs_sc,
+                      bs_w1i, bs_w1i, bs_w2, bs_w2, bs_tw, bs_tw],
+            out_specs=[bs_out, bs_out],
+            out_shape=[jax.ShapeDtypeStruct((n_out, pb, _LANE),
+                                            jnp.float32)] * 2,
+            compiler_params=_VMEM,
+            interpret=interpret,
+        )(sp_p, si, sf, car, wl, w1ih, w1il, w2ih, w2il, tw_r, tw_i)
+
+    rc_b = jax.lax.complex(our, oui).reshape(n_out, pb * _LANE)
+    rc_b = rc_b[: -(-num_p // d)]
+    ci = jnp.arange(rc_b.shape[0]) * d + (d // 2)
+    ci = jnp.minimum(ci, num_p - 1)
+    return rc_b, sat_pos[ci], sat_vel[ci], t_slow[ci]
+
+
 def fft_conv_pallas(fr, fi, filt, nfft: int,
                     out_rows: tuple[int, int] | None = None,
                     mode: str = "bf16x3", groups: int = 2,

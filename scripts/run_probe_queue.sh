@@ -14,6 +14,7 @@ for p in \
     probe_bp_fs \
     probe_echo_spread_sweep \
     probe_echo_dense_stages \
+    probe_bp_stream \
 ; do
     echo "=== $p $(date +%H:%M:%S) ===" | tee -a "$out/queue.log"
     timeout 1500 python "scripts/$p.py" > "$out/$p.log" 2>&1

@@ -340,6 +340,54 @@ class TestFastBp:
         for a, b in zip(want[1:], got[1:]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_streaming_spectra_split_matches_fused(self):
+        """The streaming-VideoSAR recentre split (cacheable forward spectra
+        + per-frame ramp/presum/inverse) must reproduce the fused recentre
+        kernel exactly, and the focus_bp_fast raw_spectra= entry must match
+        the raw-pulse path within the recentre kernel's f32 class."""
+        from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
+
+        rng = np.random.default_rng(8)
+        n_p, ns = 6, 10000                    # nfft = 16384 (B1 = 128)
+        sc = cfg.videosar()
+        g = sc.geometry
+        times = orbit.slow_time_grid(n_p / 5000.0, n_p)
+        traj = orbit.make_trajectory(g, times)
+        p = bp_ops.BpParams(fc_hz=9.65e9, chirp_rate=150e6 / 2e-6,
+                            fs_hz=180e6, pulse_width_s=2e-6,
+                            num_samples=ns, nx=64, ny=64,
+                            scene_size_m=400.0)
+        t_ref = float(2.0 * np.linalg.norm(traj.positions, axis=1).mean()
+                      / C)
+        rc = jnp.asarray(rng.standard_normal((n_p, ns))
+                         + 1j * rng.standard_normal((n_p, ns)),
+                         jnp.complex64)
+        pos = jnp.asarray(traj.positions)
+        vel = jnp.asarray(traj.velocities)
+        ts = jnp.asarray(traj.times)
+        vf = jnp.zeros(3, jnp.float64)
+        d = 3
+        # kernel level: split == fused, bit-for-bit (same dots, same ramp)
+        fused = fft_kernel.recenter_presum_pallas(rc, pos, vel, ts, vf, p,
+                                                  d, t_ref, interpret=True)
+        spec = fft_kernel.forward_spectra_pallas(rc, p, interpret=True)
+        split = fft_kernel.recentre_from_spectra_pallas(
+            spec, pos, vel, ts, vf, p, d, t_ref, interpret=True)
+        np.testing.assert_allclose(np.asarray(split[0]),
+                                   np.asarray(fused[0]), rtol=0, atol=0)
+        # focus level: raw_spectra= == raw-pulse path (XLA recentre there,
+        # f32 factored ramps here: the recenter kernel's tolerance class)
+        t0 = t_ref - 0.5 * ns / p.fs_hz
+        plan = bp_fast.make_plan(p, np.asarray(traj.positions),
+                                 np.asarray(traj.times), float(t0))
+        want = np.asarray(bp_fast.focus_bp_fast(
+            rc, pos, vel, ts, vf, t0, p, plan=plan, accumulate="xla"))
+        got = np.asarray(bp_fast.focus_bp_fast(
+            None, pos, vel, ts, vf, t0, p, plan=plan, accumulate="xla",
+            raw_spectra=bp_fast.forward_spectra(rc, p)))
+        err = np.abs(got - want).max() / np.abs(want).max()
+        assert err < 1e-3, err
+
     def test_band_does_not_fit_raises(self):
         raw, traj, p, t0 = _scene(ns=512)
         big = bp_ops.BpParams(fc_hz=p.fc_hz, chirp_rate=p.chirp_rate,

@@ -144,6 +144,45 @@ class TestVideoSar:
         pk_s = np.abs(std.images[0]).max()
         assert pk_m > 3.0 * pk_s
 
+    def test_stream_spectra_matches_per_frame_path(self):
+        """stream_spectra=True (cached forward spectra shared across the
+        overlapped CPIs, per-segment noise) must match the per-frame path
+        under identical per-segment noise — the recentre kernel's f32
+        class vs the XLA recentre. Needs a window long enough for the FFT
+        kernel (nfft >= 16384)."""
+        sc = cfg.videosar()
+        sc = sc.replace(
+            radar=dataclasses.replace(sc.radar, bandwidth_hz=120e6,
+                                      pulse_width_s=2e-6, fs_hz=150e6,
+                                      prf_hz=1000.0),
+            collect=dataclasses.replace(sc.collect,
+                                        window_length_s=9000 / 150e6),
+            processing=dataclasses.replace(sc.processing, bp_grid=32,
+                                           bp_scene_size_m=400.0),
+            video=cfg.VideoConfig(duration_s=1.0, fps=5.0, cpi_s=0.4),
+        )
+        import jax
+        key = jax.random.PRNGKey(3)
+        common = dict(heading_deg=90.0, speed_mps=30.0, algorithm="mbp",
+                      frames_per_batch=2, bp_backend="fast_factor",
+                      key=key, noise_mode="per_segment")
+        want = videosar.run(sc, T.point_target((0.0, 0.0, 0.0), 50.0),
+                            **common)
+        got = videosar.run(sc, T.point_target((0.0, 0.0, 0.0), 50.0),
+                           stream_spectra=True, **common)
+        assert got.images.shape == want.images.shape
+        err = (np.abs(got.images - want.images).max()
+               / np.abs(want.images).max())
+        assert err < 2e-3, err
+
+    def test_stream_spectra_rejects_per_frame_noise(self):
+        sc = self._reduced()
+        with pytest.raises(ValueError, match="per.segment"):
+            videosar.run(sc, T.point_target((0.0, 0.0, 0.0), 50.0),
+                         algorithm="mbp", bp_backend="fast_factor",
+                         key=__import__("jax").random.PRNGKey(0),
+                         stream_spectra=True)
+
     def test_schedule_windows(self):
         from nis_sar_amtigmti_video_tpu.video import scheduler
         sched = scheduler.make_schedule(cfg.VideoConfig(), 5000.0)
