@@ -277,9 +277,12 @@ def main():
                     and jax.default_backend() == "tpu":
                 step_p = 500                     # 10 fps at PRF 5 kHz
 
+                bp_math = os.environ.get("BENCH_BP_MATH", "exact")
+
                 @jax.jit
                 def stream_step(spec_buf, new_raw):
-                    new_spec = bp_fast.forward_spectra(new_raw, p_bp)
+                    new_spec = bp_fast.forward_spectra(new_raw, p_bp,
+                                                       math_mode=bp_math)
                     spec_next = jnp.concatenate(
                         [spec_buf[step_p:], new_spec], axis=0)
                     img = bp_fast.focus_bp_fast(

@@ -876,6 +876,11 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
                 raise ValueError(
                     "raw_spectra needs compress=True and a kernel-supported "
                     f"plan.nfft (got nfft={plan.nfft})")
+            if raw_spectra.shape[1] * 128 != plan.nfft:
+                raise ValueError(
+                    f"raw_spectra rows ({raw_spectra.shape[1]}) do not match "
+                    f"plan.nfft={plan.nfft}: the spectra were built from "
+                    "pulses with a different num_samples than the plan's")
             band_end = (plan.band_start + plan.stride * (plan.ny_i - 1)
                         + plan.w_win)
             p0 = plan.band_start // 128

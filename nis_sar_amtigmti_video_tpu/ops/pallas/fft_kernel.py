@@ -118,30 +118,36 @@ def _tables(nfft: int, ref_conj: np.ndarray | None, ns: int | None = None,
     return w1, w1i, w2, w2i, tw_r, tw_i, a_ref, b_ref
 
 
+def _dot_l(wh, wl_, z, mode: str):
+    """Leading-axis block dot W @ z (bf16x3-managed; shared by every
+    kernel here — the split/fused bit-identity contract depends on ONE
+    definition of the hi/lo term order)."""
+    dd = partial(jnp.dot, preferred_element_type=jnp.float32)
+    zh = z.astype(jnp.bfloat16)
+    if mode == "bf16":
+        return dd(wh, zh)
+    zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return dd(wh, zh) + dd(wl_, zh) + dd(wh, zl)
+
+
+def _dot_m(z, wh, wl_, mode: str):
+    """Minor-axis block dot z @ W (bf16x3-managed, see :func:`_dot_l`)."""
+    dd = partial(jnp.dot, preferred_element_type=jnp.float32)
+    zh = z.astype(jnp.bfloat16)
+    if mode == "bf16":
+        return dd(zh, wh)
+    zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return dd(zh, wh) + dd(zh, wl_) + dd(zl, wh)
+
+
 def _kernel(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
             w2ih, w2il, tw_r, tw_i, a_ref, b_ref, out_r, out_i,
             *, d: int, groups: int, nfft: int, mode: str, pb: int = 0):
     b1 = nfft // _LANE
     b2 = _LANE
     pb = pb or b1                   # inverse output rows (band-limited)
-
-    def dot_l(wh, wl_, z):
-        """Leading-axis block dot W @ z (bf16x3-managed)."""
-        dd = partial(jnp.dot, preferred_element_type=jnp.float32)
-        zh = z.astype(jnp.bfloat16)
-        if mode == "bf16":
-            return dd(wh, zh)
-        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
-        return dd(wh, zh) + dd(wl_, zh) + dd(wh, zl)
-
-    def dot_m(z, wh, wl_):
-        """Minor-axis block dot z @ W."""
-        dd = partial(jnp.dot, preferred_element_type=jnp.float32)
-        zh = z.astype(jnp.bfloat16)
-        if mode == "bf16":
-            return dd(zh, wh)
-        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
-        return dd(zh, wh) + dd(zh, wl_) + dd(zl, wh)
+    dot_l = partial(_dot_l, mode=mode)
+    dot_m = partial(_dot_m, mode=mode)
 
     isgn = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * b2), 1)
     hsgn = jnp.where(isgn >= b2, jnp.float32(1.0), jnp.float32(-1.0))
@@ -229,22 +235,8 @@ def _kernel_wide(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
     b2 = _LANE
     blk = d * groups
     pb = pb or b1                   # inverse output rows (band-limited)
-
-    def dot_l(wh, wl_, z):
-        dd = partial(jnp.dot, preferred_element_type=jnp.float32)
-        zh = z.astype(jnp.bfloat16)
-        if mode == "bf16":
-            return dd(wh, zh)
-        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
-        return dd(wh, zh) + dd(wl_, zh) + dd(wh, zl)
-
-    def dot_m(z, wh, wl_):
-        dd = partial(jnp.dot, preferred_element_type=jnp.float32)
-        zh = z.astype(jnp.bfloat16)
-        if mode == "bf16":
-            return dd(zh, wh)
-        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
-        return dd(zh, wh) + dd(zh, wl_) + dd(zl, wh)
+    dot_l = partial(_dot_l, mode=mode)
+    dot_m = partial(_dot_m, mode=mode)
 
     def rollh(x):
         return jnp.concatenate([x[..., b2:], x[..., :b2]], axis=-1)
@@ -442,22 +434,8 @@ def _kernel_fwd(xr, xi, w1h, w1l, w2h, w2l, tw_r, tw_i, a_ref, b_ref, out,
     (k, [m|m]) digit-swapped layout for :func:`_kernel_inv`."""
     b1 = nfft // _LANE
     b2 = _LANE
-
-    def dot_l(wh, wl_, z):
-        dd = partial(jnp.dot, preferred_element_type=jnp.float32)
-        zh = z.astype(jnp.bfloat16)
-        if mode == "bf16":
-            return dd(wh, zh)
-        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
-        return dd(wh, zh) + dd(wl_, zh) + dd(wh, zl)
-
-    def dot_m(z, wh, wl_):
-        dd = partial(jnp.dot, preferred_element_type=jnp.float32)
-        zh = z.astype(jnp.bfloat16)
-        if mode == "bf16":
-            return dd(zh, wh)
-        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
-        return dd(zh, wh) + dd(zh, wl_) + dd(zl, wh)
+    dot_l = partial(_dot_l, mode=mode)
+    dot_m = partial(_dot_m, mode=mode)
 
     for t in range(blk):
         z = jnp.concatenate([xr[t], xi[t]], axis=0)        # (2B1, B2)
@@ -479,22 +457,8 @@ def _kernel_inv(sp, si, sf, car, wl, w1ih, w1il, w2ih, w2il, tw_r, tw_i,
     b1 = nfft // _LANE
     b2 = _LANE
     pb = pb or b1
-
-    def dot_l(wh, wl_, z):
-        dd = partial(jnp.dot, preferred_element_type=jnp.float32)
-        zh = z.astype(jnp.bfloat16)
-        if mode == "bf16":
-            return dd(wh, zh)
-        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
-        return dd(wh, zh) + dd(wl_, zh) + dd(wh, zl)
-
-    def dot_m(z, wh, wl_):
-        dd = partial(jnp.dot, preferred_element_type=jnp.float32)
-        zh = z.astype(jnp.bfloat16)
-        if mode == "bf16":
-            return dd(zh, wh)
-        zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
-        return dd(zh, wh) + dd(zh, wl_) + dd(zl, wh)
+    dot_l = partial(_dot_l, mode=mode)
+    dot_m = partial(_dot_m, mode=mode)
 
     isgn = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * b2), 1)
     hsgn = jnp.where(isgn >= b2, jnp.float32(1.0), jnp.float32(-1.0))
@@ -554,9 +518,11 @@ def forward_spectra_pallas(rc, p, filter_compress: bool = True,
     nfft = 1 << (ns - 1).bit_length()
     if not supported(nfft):
         raise ValueError(f"forward_spectra_pallas: nfft={nfft} unsupported")
+    from nis_sar_amtigmti_video_tpu.ops.bp_fast import matched_filter_spectrum
+
     b1 = nfft // _LANE
     nsr = -(-ns // _LANE)
-    ref = matched_filter_spectrum_of(p, nfft) if filter_compress else None
+    ref = matched_filter_spectrum(p, nfft) if filter_compress else None
     (w1h, w1l), _, (w2h, w2l), _, tw_r, tw_i, a_ref, b_ref = \
         _tables(nfft, ref, ns=ns)
 
@@ -586,11 +552,6 @@ def forward_spectra_pallas(rc, p, filter_compress: bool = True,
             interpret=interpret,
         )(xr, xi, w1h, w1l, w2h, w2l, tw_r, tw_i, a_ref, b_ref)
     return out[:num_p]
-
-
-def matched_filter_spectrum_of(p, nfft: int):
-    from nis_sar_amtigmti_video_tpu.ops.bp_fast import matched_filter_spectrum
-    return matched_filter_spectrum(p, nfft)
 
 
 def recentre_from_spectra_pallas(spec, sat_pos, sat_vel, t_slow, vel_focus,

@@ -54,7 +54,9 @@ raw = jax.lax.complex(
                       (sched, opts.num_samples), jnp.float32))
 
 
-def timed(fn, *args, chain=3):
+def timed(fn, *args):
+    """One warm run then one timed run; each jitted fn chains 3 frames
+    internally, so callers divide the result by 3."""
     out = fn(*args)
     lead = out[-1] if isinstance(out, tuple) else out
     float(jnp.sum(jnp.abs(lead[:1, :1])))

@@ -8,8 +8,14 @@ mkdir -p "$out"
 cd /root/repo
 echo "WAIT START $(date -u +%H:%M:%S)" >> "$out/wait.log"
 while true; do
-    if timeout 120 python -c "import jax; print(jax.devices())" \
-        >> "$out/wait.log" 2>&1; then
+    # require a real TPU device: on a fast init failure JAX falls back to
+    # CPU and a bare jax.devices() would "succeed"
+    if timeout 120 python -c "
+import jax
+d = jax.devices()
+print(d)
+assert d and d[0].platform != 'cpu', 'cpu fallback'
+" >> "$out/wait.log" 2>&1; then
         echo "TPU UP $(date -u +%H:%M:%S)" >> "$out/wait.log"
         break
     fi
