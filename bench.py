@@ -44,6 +44,31 @@ def main():
     from nis_sar_amtigmti_video_tpu.ops.echo import window_start_time
     from nis_sar_amtigmti_video_tpu.ops.pallas import csa_kernel
 
+    # the axon pool can be unreachable, and it HANGS device init inside a
+    # C call rather than failing (SIGALRM never fires). Probe in a bounded
+    # subprocess first so the driver gets an honest error line instead of
+    # a silent hang past its own timeout.
+    import subprocess
+    plat = jax.config.jax_platforms or ""
+    if "cpu" in plat:
+        dev_ok = True          # explicitly CPU-pinned (smoke runs): no pool
+    else:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0])"],
+                timeout=int(os.environ.get("BENCH_DEV_TIMEOUT", "600")),
+                capture_output=True)
+            dev_ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            dev_ok = False
+    if not dev_ok:
+        print(json.dumps({
+            "metric": "videosar_gmti_stream", "value": 0.0,
+            "unit": "frames/sec", "vs_baseline": None,
+            "error": "tpu_unavailable: device acquisition timed out "
+                     "(axon pool unreachable)"}))
+        return
     dev = jax.devices()[0]
     size = int(os.environ.get("BENCH_SIZE", "4096"))
     ncpi = int(os.environ.get("BENCH_NCPI", "2"))
