@@ -121,11 +121,12 @@ def main():
         from nis_sar_amtigmti_video_tpu.gmti.fused import gmti_cpi_pallas
 
         k2_var = os.environ.get("BENCH_K2", "restack")
+        lead_var = os.environ.get("BENCH_LEAD", "swap")
 
         def gmti_one(x1r, x1i, x2r, x2i):
             s1r, s1i, s2r, s2i, cal, phase, dmag, det = gmti_cpi_pallas(
                 x1r, x1i, x2r, x2i, f, cfar_params=cfar_p,
-                k2_variant=k2_var)
+                k2_variant=k2_var, lead_variant=lead_var)
             summary = (jnp.sum(phase) + jnp.sum(dmag) + jnp.sum(det.snr)
                        + cal)
             return s1r, s1i, s2r, s2i, summary

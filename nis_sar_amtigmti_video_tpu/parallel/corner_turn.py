@@ -17,6 +17,7 @@ Distributed CSA layout walk (3 corner turns):
 
 from __future__ import annotations
 
+from dataclasses import replace as _dc_replace
 from functools import partial
 
 import jax
@@ -137,7 +138,8 @@ def _bp_factor_kernel_supported(plan) -> bool:
 
 def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
                     p, plan, mesh, axis: str = "seq", presum: int = 1,
-                    accumulate: str = "xla", fit_stride: int = 0):
+                    accumulate: str = "xla", fit_stride: int = 0,
+                    recentre: str = "xla", raw_spectra=None):
     """Pulse-sharded *fast* backprojection: each device runs the fused
     compress+recentre+presum and iso-range accumulation on its slow-time
     shard, partial internal images psum over ``axis``, and the (cheap)
@@ -158,6 +160,14 @@ def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
     sub-aperture factorization; needs a factorize=True plan). Sub-aperture
     anchors are then per-shard, which changes only the band-limited merge's
     ~-100 dB interpolation error, not the exact phase totals.
+
+    ``recentre='pallas'`` runs each shard's compress+recentre+presum
+    through the fused four-step FFT kernel with its band-limited inverse
+    (the path that serves single-chip BP; needs a kernel-supported
+    plan.nfft). ``raw_spectra`` (P, nfft/128, 256, from
+    ops/bp_fast.forward_spectra) feeds cached forward spectra instead of
+    raw pulses — the streaming-VideoSAR path sharded over pulses; ``raw``
+    is then ignored.
     """
     import jax
     from jax.sharding import PartitionSpec as P_
@@ -169,9 +179,28 @@ def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
             accumulate = "xla"          # backproject_fast
         elif accumulate == "factor_kernel":
             accumulate = "factor"
+        if recentre == "pallas":        # interpret stays available
+            recentre = "pallas_interpret" if raw_spectra is not None \
+                else "xla"
+    if recentre not in ("xla", "pallas", "pallas_interpret"):
+        raise ValueError(f"unknown recentre {recentre!r}")
+    use_krec = (recentre != "xla") or raw_spectra is not None
+    if use_krec:
+        from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
+        if not fft_kernel.supported(plan.nfft):
+            if raw_spectra is not None:
+                raise ValueError(
+                    f"raw_spectra needs a kernel-supported plan.nfft "
+                    f"(got {plan.nfft})")
+            use_krec = False
+            recentre = "xla"
+    if raw_spectra is not None and raw_spectra.shape[1] * 128 != plan.nfft:
+        raise ValueError(
+            f"raw_spectra rows ({raw_spectra.shape[1]}) do not match "
+            f"plan.nfft={plan.nfft}")
     d = max(1, presum)
     n_sh = mesh.shape[axis]
-    num_p = raw.shape[0]
+    num_p = (raw_spectra if raw_spectra is not None else raw).shape[0]
     if num_p % n_sh or (num_p // n_sh) % d:
         raise ValueError(
             f"bp_fast_sharded needs pulses ({num_p}) divisible into "
@@ -192,39 +221,64 @@ def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
                                               fit_stride=fit_stride)
     ref_conj = bf.matched_filter_spectrum(p, plan.nfft)
 
+    # band-limited kernel recentre: rc2 is then band-relative, so only the
+    # accumulate's slicing plan shifts (mirrors backproject_fast)
+    plan_acc = plan
+    p0 = p1 = 0
+    if use_krec:
+        band_end = (plan.band_start + plan.stride * (plan.ny_i - 1)
+                    + plan.w_win)
+        p0 = plan.band_start // 128
+        p1 = -(-band_end // 128)
+        plan_acc = _dc_replace(plan, band_start=plan.band_start - p0 * 128)
+    krec_interp = recentre == "pallas_interpret"
+
     def body(raw_l, pos_l, vel_l, ts_l, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l):
-        rc2, _, _, _ = bf.recenter_presum(raw_l, pos_l, vel_l, ts_l, vf, p,
-                                          d, plan.t_ref, ref_conj=ref_conj,
-                                          t_mean=t_mean)
+        if raw_spectra is not None:
+            rc2, _, _, _ = fft_kernel.recentre_from_spectra_pallas(
+                raw_l, pos_l, vel_l, ts_l, vf, p, d, plan.t_ref,
+                interpret=krec_interp, t_mean=t_mean, out_rows=(p0, p1))
+        elif use_krec:
+            rc2, _, _, _ = fft_kernel.recenter_presum_pallas(
+                raw_l, pos_l, vel_l, ts_l, vf, p, d, plan.t_ref,
+                interpret=krec_interp, t_mean=t_mean, out_rows=(p0, p1))
+        else:
+            rc2, _, _, _ = bf.recenter_presum(raw_l, pos_l, vel_l, ts_l, vf,
+                                              p, d, plan.t_ref,
+                                              ref_conj=ref_conj,
+                                              t_mean=t_mean)
         if accumulate in ("pallas", "pallas_interpret"):
             from nis_sar_amtigmti_video_tpu.ops.pallas import bp_kernel
             img = bp_kernel.accumulate_pallas(
-                rc2, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l, plan,
+                rc2, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l, plan_acc,
                 interpret=(accumulate == "pallas_interpret"))
         elif (accumulate in ("factor_kernel", "factor_kernel_interpret")
               and plan.sub_raw > 0
               and _bp_factor_kernel_supported(plan)):
             from nis_sar_amtigmti_video_tpu.ops.pallas import bp_factor_kernel
             img = bp_factor_kernel.accumulate_factor_pallas(
-                rc2, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l, plan,
+                rc2, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l, plan_acc,
                 max(1, plan.sub_raw // d),
                 interpret=accumulate.endswith("_interpret"))
         elif accumulate.startswith("factor") and plan.sub_raw > 0:
             img = bf._accumulate_factor(rc2, u0_l, pa_l, pb_l, pc_l, bt_l,
-                                        ct_l, plan,
+                                        ct_l, plan_acc,
                                         max(1, plan.sub_raw // d))
         else:
             img = bf._accumulate(rc2, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l,
-                                 plan)
+                                 plan_acc)
         return jax.lax.psum(img, axis)[None]
 
+    lead = raw_spectra if raw_spectra is not None else raw
+    lead_spec = (P_(axis, None, None) if raw_spectra is not None
+                 else P_(axis, None))
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P_(axis, None), P_(axis, None), P_(axis, None), P_(axis),
+        in_specs=(lead_spec, P_(axis, None), P_(axis, None), P_(axis),
                   P_(axis, None), P_(axis, None), P_(axis, None),
                   P_(axis, None), P_(axis), P_(axis)),
         out_specs=P_(None, None, None),
         check_vma=False)
-    img_i = fn(raw, pos, vel, ts, u0, pa, pb, pc, b_t, c_t)[0]
+    img_i = fn(lead, pos, vel, ts, u0, pa, pb, pc, b_t, c_t)[0]
     return bf._finalize(img_i, (pa, pb, pc), pos2, vel2, t2, vf, t_mean,
                         p, plan, rdir, cdir, dy_m)

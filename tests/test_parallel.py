@@ -259,7 +259,7 @@ class TestShardedBP:
             presum=2))
         np.testing.assert_allclose(got, want, atol=2e-4 * np.abs(want).max())
 
-    def _bp_scene(self, w_win=32, factorize=False):
+    def _bp_scene(self, w_win=32, factorize=False, n_s=1024):
         from nis_sar_amtigmti_video_tpu.geometry import orbit
         from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
         from nis_sar_amtigmti_video_tpu.ops import bp_fast
@@ -269,7 +269,7 @@ class TestShardedBP:
 
         sc = cfg.videosar()
         g = sc.geometry
-        n_p, n_s = 64, 1024
+        n_p = 64
         traj = orbit.make_trajectory(g, orbit.slow_time_grid(n_p / 5000.0,
                                                              n_p))
         opts = EchoOpts(fc_hz=9.65e9, chirp_rate=150e6 / 2e-6,
@@ -368,6 +368,37 @@ class TestShardedBP:
             raw, pos, ve, ts, vf, jnp.float64(t0), p, plan, m, axis="seq",
             presum=2, accumulate="factor_kernel_interpret"))
         np.testing.assert_allclose(got, want, atol=2e-3 * np.abs(want).max())
+
+    def test_fast_bp_sharded_kernel_recentre_and_spectra(self):
+        """Sharded fused-kernel recentre (band-limited inverse per shard)
+        and the sharded streaming raw_spectra feed must both match the
+        single-device path; the spectra feed must equal the in-shard
+        kernel recentre exactly (split == fused)."""
+        from nis_sar_amtigmti_video_tpu.ops import bp_fast
+        from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
+
+        raw, traj, p, plan, t0, vel = self._bp_scene(n_s=9000)
+        assert fft_kernel.supported(plan.nfft)
+        pos = jnp.asarray(traj.positions)
+        ve = jnp.asarray(traj.velocities)
+        ts = jnp.asarray(traj.times)
+        vf = jnp.asarray(vel, jnp.float64)
+        want = cplx.to_host(bp_fast.backproject_fast(
+            raw, pos, ve, ts, vf, p, plan, presum=2, compress=True,
+            accumulate="xla"))
+        m = mesh_mod.make_mesh((1, 1, 8))
+        krec = cplx.to_host(corner_turn.bp_fast_sharded(
+            raw, pos, ve, ts, vf, jnp.float64(t0), p, plan, m, axis="seq",
+            presum=2, accumulate="xla", recentre="pallas_interpret"))
+        np.testing.assert_allclose(krec, want,
+                                   atol=1e-3 * np.abs(want).max())
+        spec = bp_fast.forward_spectra(raw, p)
+        sspec = cplx.to_host(corner_turn.bp_fast_sharded(
+            None, pos, ve, ts, vf, jnp.float64(t0), p, plan, m, axis="seq",
+            presum=2, accumulate="xla", recentre="pallas_interpret",
+            raw_spectra=spec))
+        np.testing.assert_allclose(sspec, krec,
+                                   atol=1e-6 * np.abs(want).max())
 
     def test_fast_bp_sharded_rejects_ragged(self):
         from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
