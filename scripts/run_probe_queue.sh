@@ -6,15 +6,17 @@ set -u
 out=${1:-/tmp/probe_queue}
 mkdir -p "$out"
 cd /root/repo
+# ordered by decision value (a short pool window should still settle the
+# BP accumulate, the GMTI K2/lead variants and the echo spreader sizing)
 for p in \
     probe_bp_factor_kernel \
-    probe_bp_cuts \
     probe_csa_k2_variant \
+    probe_echo_spread_sweep \
+    probe_bp_stream \
+    probe_bp_cuts \
     probe_bp_knobs \
     probe_bp_fs \
-    probe_echo_spread_sweep \
     probe_echo_dense_stages \
-    probe_bp_stream \
 ; do
     echo "=== $p $(date +%H:%M:%S) ===" | tee -a "$out/queue.log"
     timeout 1500 python "scripts/$p.py" > "$out/$p.log" 2>&1
