@@ -384,6 +384,37 @@ def main():
     except Exception:
         pass
 
+    # ---- full-scale END-TO-END GMTI: scene -> two-channel echo -> DPCA
+    # coregister -> dual CSA -> balance/ATI/DPCA products at the reference
+    # 7,200 x 13,200 shape (sar_ati_dcpa_sim_csa.py's complete pipeline,
+    # timed warm as one chain) ----
+    e2e_fullscale_s = None
+    try:
+        if sim_pass_s is not None \
+                and os.environ.get("BENCH_SKIP_E2E", "0") != "1" \
+                and (time.perf_counter() - t_proc0) < 0.6 * budget_s:
+            from nis_sar_amtigmti_video_tpu.models import gmti as gmti_model
+            from nis_sar_amtigmti_video_tpu.ops.echo import (
+                multi_channel_phase_history)
+
+            traj_e = orbit.make_trajectory(
+                gs, orbit.slow_time_grid(cs.integration_time_s, n_ps))
+            offs = sc_s.channels.rx_offsets()
+
+            def e2e_once():
+                raw2 = multi_channel_phase_history(
+                    traj_e, scene, opts_s, t_start=t0s, rx_offsets=offs)
+                prod = gmti_model.focus_and_products(raw2, sc_s, float(t0s))
+                return float(jnp.sum(jnp.abs(prod.ati_phase[:1, :1]))
+                             + jnp.sum(jnp.abs(prod.dpca_mag[:1, :1])))
+
+            e2e_once()                         # compile + first run
+            t1 = time.perf_counter()
+            e2e_once()
+            e2e_fullscale_s = time.perf_counter() - t1
+    except Exception:
+        pass
+
     # ---- NumPy reference baseline: the same 2-channel GMTI step ----
     numpy_gmti_fps = None
     try:
@@ -429,6 +460,8 @@ def main():
         "bp_stream_frame_ms": (round(bp_stream_ms, 1)
                                if bp_stream_ms else None),
         "sim_pass_s": round(sim_pass_s, 2) if sim_pass_s else None,
+        "e2e_fullscale_s": (round(e2e_fullscale_s, 2)
+                            if e2e_fullscale_s else None),
         "numpy_gmti_fps": round(numpy_gmti_fps, 5) if numpy_gmti_fps else None,
         "fft_impl": fft_impl,
         "gmti_path": "kernel_fused" if kernel_path else "composed",
