@@ -183,11 +183,14 @@ def cmd_videosar(args):
     sc = _apply_fast_sim(sc)
     key = jax.random.PRNGKey(args.seed) if not args.no_noise else None
     t0 = time.time()
+    stream = getattr(args, "stream", False)
     out = videosar.run(sc, T.destroyer(), heading_deg=args.heading,
                        speed_mps=args.speed, algorithm=args.algo,
                        frames_per_batch=args.frames_per_batch, key=key,
                        avg_rcs=5000.0, num_frames=args.frames or None,
-                       bp_backend=args.bp_backend)
+                       bp_backend=args.bp_backend,
+                       noise_mode="per_segment" if stream else "per_frame",
+                       stream_spectra=stream)
     n = out.images.shape[0]
     run_id = f"Destroyer_{int(args.speed)}_{int(args.heading)}_{args.algo}"
     frame_dir = os.path.join(args.out, f"frames_{run_id}")
@@ -463,6 +466,10 @@ def main(argv=None):
     p.add_argument("--speed", type=float, default=15.0)
     p.add_argument("--frames", type=int, default=0)
     p.add_argument("--frames-per-batch", type=int, default=4)
+    p.add_argument("--stream", action="store_true",
+                   help="cache per-pulse forward spectra across the "
+                        "overlapped CPIs (implies per-segment noise; "
+                        "needs a fast BP backend and a long window)")
     p.set_defaults(fn=cmd_videosar)
 
     p = add_cmd("videosar-batch")
