@@ -215,17 +215,18 @@ def _k1_call(xr, xi, u, c1, w, a: int, interpret: bool, mode: str,
     bs_az = pl.BlockSpec((n, 1), lambda j: (0, 0))
     bs_c = pl.BlockSpec((a, a), lambda j: (0, 0))
     bs_blk = pl.BlockSpec((2 * a, 2 * a), lambda j: (0, 0))
-    return pl.pallas_call(
-        partial(_k1_body, a=a, mode=mode, variant=variant),
-        grid=grid,
-        in_specs=[bs_dat, bs_dat, bs_u, bs_az, bs_az,
-                  bs_blk, bs_blk, bs_c, bs_c],
-        out_specs=[bs_dat, bs_dat],
-        out_shape=[jax.ShapeDtypeStruct((n, n_rg), jnp.float32)] * 2,
-        input_output_aliases={0: 0, 1: 1},
-        compiler_params=_VMEM,
-        interpret=interpret,
-    )(xr, xi, u, c1, w, wh, wl, tr_m, ti_m)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            partial(_k1_body, a=a, mode=mode, variant=variant),
+            grid=grid,
+            in_specs=[bs_dat, bs_dat, bs_u, bs_az, bs_az,
+                      bs_blk, bs_blk, bs_c, bs_c],
+            out_specs=[bs_dat, bs_dat],
+            out_shape=[jax.ShapeDtypeStruct((n, n_rg), jnp.float32)] * 2,
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=_VMEM,
+            interpret=interpret,
+        )(xr, xi, u, c1, w, wh, wl, tr_m, ti_m)
 
 
 def _k3_body(xr, xi, wh, wl, tr_m, ti_m, our, oui, *, a: int, mode: str,
@@ -249,16 +250,17 @@ def _k3_call(xr, xi, a: int, interpret: bool, mode: str,
     bs_dat = pl.BlockSpec((n, _LANE), lambda j: (0, j))
     bs_c = pl.BlockSpec((a, a), lambda j: (0, 0))
     bs_blk = pl.BlockSpec((2 * a, 2 * a), lambda j: (0, 0))
-    return pl.pallas_call(
-        partial(_k3_body, a=a, mode=mode, variant=variant),
-        grid=grid,
-        in_specs=[bs_dat, bs_dat, bs_blk, bs_blk, bs_c, bs_c],
-        out_specs=[bs_dat, bs_dat],
-        out_shape=[jax.ShapeDtypeStruct((n, n_rg), jnp.float32)] * 2,
-        input_output_aliases={0: 0, 1: 1},
-        compiler_params=_VMEM,
-        interpret=interpret,
-    )(xr, xi, wh, wl, tr_m, ti_m)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            partial(_k3_body, a=a, mode=mode, variant=variant),
+            grid=grid,
+            in_specs=[bs_dat, bs_dat, bs_blk, bs_blk, bs_c, bs_c],
+            out_specs=[bs_dat, bs_dat],
+            out_shape=[jax.ShapeDtypeStruct((n, n_rg), jnp.float32)] * 2,
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=_VMEM,
+            interpret=interpret,
+        )(xr, xi, wh, wl, tr_m, ti_m)
 
 
 # --------------------------------------------------------------------------
@@ -374,23 +376,24 @@ def _k2_call(xr, xi, f, b: int, interpret: bool, mode: str, rows: int = 128,
     def col(v):                                            # (n_az,) -> (.,1,1)
         return jnp.asarray(v).reshape(-1, 1, 1)
 
-    our, oui = pl.pallas_call(
-        partial(_k2_body, b=b, mode=mode, variant=variant),
-        grid=grid,
-        in_specs=[bs_dat, bs_dat, bs_tab, bs_az, bs_az, bs_tab, bs_tab,
-                  bs_tab, bs_az, bs_az, bs_az, bs_w, bs_w, bs_w, bs_w,
-                  bs_tab, bs_tab, bs_tab, bs_tab,
-                  bs_tab, bs_tab, bs_tab, bs_tab],
-        out_specs=[bs_dat, bs_dat],
-        out_shape=[jax.ShapeDtypeStruct((n_az, b, b), jnp.float32)] * 2,
-        input_output_aliases={0: 0, 1: 1},
-        compiler_params=_VMEM,
-        interpret=interpret,
-    )(xr.reshape(n_az, b, b), xi.reshape(n_az, b, b), frs2,
-      col(f.alpha), col(f.beta), cph3, dr3, usq3,
-      col(f.rphase), col(f.g), col(f.c3),
-      wf_hi, wf_lo, wi_hi, wi_lo, fc_hi, fc_lo, ic_hi, ic_lo,
-      a1, b1, a2, b2)
+    with jax.enable_x64(False):
+        our, oui = pl.pallas_call(
+            partial(_k2_body, b=b, mode=mode, variant=variant),
+            grid=grid,
+            in_specs=[bs_dat, bs_dat, bs_tab, bs_az, bs_az, bs_tab, bs_tab,
+                      bs_tab, bs_az, bs_az, bs_az, bs_w, bs_w, bs_w, bs_w,
+                      bs_tab, bs_tab, bs_tab, bs_tab,
+                      bs_tab, bs_tab, bs_tab, bs_tab],
+            out_specs=[bs_dat, bs_dat],
+            out_shape=[jax.ShapeDtypeStruct((n_az, b, b), jnp.float32)] * 2,
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=_VMEM,
+            interpret=interpret,
+        )(xr.reshape(n_az, b, b), xi.reshape(n_az, b, b), frs2,
+          col(f.alpha), col(f.beta), cph3, dr3, usq3,
+          col(f.rphase), col(f.g), col(f.c3),
+          wf_hi, wf_lo, wi_hi, wi_lo, fc_hi, fc_lo, ic_hi, ic_lo,
+          a1, b1, a2, b2)
     return our.reshape(n_az, n), oui.reshape(n_az, n)
 
 

@@ -631,7 +631,7 @@ def recentre_from_spectra_pallas(spec, sat_pos, sat_vel, t_slow, vel_focus,
 
 def fft_conv_pallas(fr, fi, filt, nfft: int,
                     out_rows: tuple[int, int] | None = None,
-                    mode: str = "bf16x3", groups: int = 2,
+                    mode: str = "bf16x3", groups: int = 8,
                     interpret: bool = False):
     """Row-wise linear FFT convolution through the four-step kernel:
 
@@ -651,6 +651,11 @@ def fft_conv_pallas(fr, fi, filt, nfft: int,
     """
     if not supported(nfft):
         raise ValueError(f"fft_conv_pallas: nfft={nfft} unsupported")
+    if groups % 8:
+        # the per-pulse scalar blocks are (groups, 1); Mosaic requires the
+        # sublane block dim to be a multiple of 8 (or the full array dim)
+        raise ValueError(f"fft_conv_pallas: groups={groups} must be a "
+                         "multiple of 8")
     num_p, l_in = fr.shape
     if l_in > nfft:
         raise ValueError(f"field length {l_in} exceeds nfft={nfft}")

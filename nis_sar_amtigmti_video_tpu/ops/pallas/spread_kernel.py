@@ -48,13 +48,13 @@ _VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 def _kernel(c_ref, *refs, n_sets: int, k_taps: int):
     out_ref = refs[n_sets]
     win = out_ref.shape[3]
-    bg = c_ref.shape[2]
+    bg = c_ref.shape[3]
 
     # transposed one-hot (win, bg): row j selects the targets whose tap-0
     # cell is j. Dead/dropped targets carry cell -1 (matches no row). Built
     # once per (pulse, group) cell and shared by every value set.
     iota = jax.lax.broadcasted_iota(jnp.int32, (win, bg), 0)
-    oh_t = (iota == c_ref[0]).astype(jnp.bfloat16)
+    oh_t = (iota == c_ref[0, 0]).astype(jnp.bfloat16)
 
     rows = []
     for s in range(n_sets):
@@ -102,7 +102,10 @@ def spread_windows_pallas(c_ok, v_sets, win: int, interpret: bool = False):
     n_sets = len(v_sets)
     n_rows = 2 * n_sets
 
-    bs_c = pl.BlockSpec((1, 1, bg), lambda i, g: (i, g, 0))
+    # cells ride as (pc, grp, 1, bg): Mosaic requires the last two block
+    # dims to be (8k, 128k) or equal to the array dims — a (1, 1, bg) block
+    # of a (pc, grp, bg) array has sublane dim 1 != grp and fails to lower
+    bs_c = pl.BlockSpec((1, 1, 1, bg), lambda i, g: (i, g, 0, 0))
     bs_v = pl.BlockSpec((1, 1, k2, bg), lambda i, g: (i, g, 0, 0))
     bs_o = pl.BlockSpec((1, 1, n_rows, win), lambda i, g: (i, g, 0, 0))
 
@@ -116,5 +119,5 @@ def spread_windows_pallas(c_ok, v_sets, win: int, interpret: bool = False):
                                            jnp.float32),
             compiler_params=_VMEM,
             interpret=interpret,
-        )(c_ok, *v_sets)
+        )(c_ok[:, :, None, :], *v_sets)
     return [(out[:, :, 2 * s], out[:, :, 2 * s + 1]) for s in range(n_sets)]
