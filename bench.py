@@ -424,14 +424,18 @@ def main():
         rng = np.random.default_rng(0)
         nsz = min(size, 4096)
         s_pair = []
+        ch_dt = []
         t2 = time.perf_counter()
         for _c in range(2):
             raw = (rng.standard_normal((nsz, nsz))
                    + 1j * rng.standard_normal((nsz, nsz)))
+            tc = time.perf_counter()
             s_pair.append(oracle.focus_csa(
                 raw, p.wavelength_m, p.chirp_rate, p.fs_hz, p.prf_hz,
                 p.velocity_mps, p.range_ref_m, p.t_start_fast)[0].T)
+            ch_dt.append(time.perf_counter() - tc)
         s1o, s2o = s_pair
+        t3 = time.perf_counter()
         cal = np.angle(np.mean(s1o * np.conj(s2o)))
         s2o = s2o * np.exp(1j * cal)
         interf = s1o * np.conj(s2o)
@@ -441,6 +445,11 @@ def main():
         dmag = np.abs(s1o - s2o)
         _ = phase.sum() + dmag.sum()           # products (CFAR omitted:
         numpy_dt = time.perf_counter() - t2    # favours the baseline)
+        # the two channel passes are identical workloads; 2x the faster one
+        # + products is a host-contention-robust estimate that still
+        # favours the baseline (single-shot runs swung 4x between benches)
+        numpy_dt = min(numpy_dt,
+                       2.0 * min(ch_dt) + (time.perf_counter() - t3))
         work = (size * size * np.log2(size)) / (nsz * nsz * np.log2(nsz))
         numpy_gmti_fps = (1.0 / numpy_dt) / work
     except Exception:
