@@ -120,7 +120,9 @@ def main():
         # the full-plane sums below consume the XLA epilogue honestly.
         from nis_sar_amtigmti_video_tpu.gmti.fused import gmti_cpi_pallas
 
-        k2_var = os.environ.get("BENCH_K2", "restack")
+        # k2='dots' loses standalone (8.5 vs 8.1 ms) but wins the full
+        # CPI (16.7 vs 17.3 ms measured) — adopted as the GMTI default
+        k2_var = os.environ.get("BENCH_K2", "dots")
         lead_var = os.environ.get("BENCH_LEAD", "swap")
 
         def gmti_one(x1r, x1i, x2r, x2i):

@@ -69,7 +69,7 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
                     mask_threshold: float = 0.05,
                     cfar_params: cfar_mod.CfarParams | None = None,
                     mode: str = "bf16x3", interpret: bool = False,
-                    k2_variant: str = "restack",
+                    k2_variant: str = "dots",
                     lead_variant: str = "swap"):
     """Full 2-channel GMTI CPI — raw phase-history planes in, SLC planes +
     products out — with the product step fused into the CSA megakernel's

@@ -98,7 +98,7 @@ def inv_only(groups):
     def body(s):
         rc2, _, _, _ = fft_kernel.recentre_from_spectra_pallas(
             s, traj.positions, traj.velocities, traj.times,
-            jnp.zeros(3), p, max(1, d), plan.t_ref,
+            np.zeros(3), p, max(1, d), plan.t_ref,
             out_rows=(p0, p1), mode="bf16x3", groups=groups)
         return rc2
     return chain3(body)
@@ -110,7 +110,7 @@ for grp in (2, 4, 8):
 
 # rest-of-frame from a precomputed rc2: focus minus the recentre pass
 rc2_0, pos2, vel2, t2 = fft_kernel.recentre_from_spectra_pallas(
-    spec0, traj.positions, traj.velocities, traj.times, jnp.zeros(3),
+    spec0, traj.positions, traj.velocities, traj.times, np.zeros(3),
     p, max(1, d), plan.t_ref, out_rows=(p0, p1))
 float(jnp.sum(jnp.abs(rc2_0[:1, :1])))
 import dataclasses
@@ -121,7 +121,7 @@ def rest_body(rc2):
     rdir, cdir, dy_m = bp_fast._frame_geometry(
         pos2[pos2.shape[0] // 2], p, plan)
     u0, pa, pb_, pc, b_t, c_t = bp_fast._fit_coeffs(
-        pos2, vel2, t2, jnp.zeros(3), p, plan, None, rdir, cdir, dy_m,
+        pos2, vel2, t2, np.zeros(3), p, plan, None, rdir, cdir, dy_m,
         fit_stride=8)
     img_i = bp_fast._accumulate_factor(rc2, u0, pa, pb_, pc, b_t, c_t,
                                        plan_acc, "factor_pallas")
