@@ -821,7 +821,7 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
                      plan: FastBpPlan, presum: int = 1, t_mean=None,
                      compress: bool = False, accumulate: str = "xla",
                      fit_stride: int = 0, math_mode: str = "exact",
-                     raw_spectra=None):
+                     raw_spectra=None, ring_offset=None):
     """Gather-free BP of range-compressed pulses onto the output grid.
 
     rc: (P, Ns) complex64; trajectory in f64; ``plan`` from :func:`make_plan`
@@ -848,6 +848,15 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
     recentre pass — is computed once per pulse per collect; only the
     recentre ramp, presum and inverse run per frame. Requires compress=True
     and a kernel-supported plan.nfft; ``rc`` is ignored (pass None).
+
+    ``ring_offset`` (traced i32, pulses, a multiple of ``presum``): marks
+    ``raw_spectra`` as a RING buffer — slot j holds chronological pulse
+    (j - ring_offset) % P. The streaming product then advances its cached
+    spectra window with one dynamic_update_slice per step instead of
+    re-concatenating the full multi-hundred-MB window every frame (see
+    recentre_from_spectra_pallas). Needs P divisible by presum*groups, so
+    the recentre group count is auto-lowered to the largest supported
+    divisor.
     """
     fast_math = math_mode == "fast"
     pos = jnp.asarray(sat_pos, jnp.float64)
@@ -885,6 +894,12 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
                         + plan.w_win)
             p0 = plan.band_start // 128
             p1 = -(-band_end // 128)
+            grp = 8 if fast_math else 2
+            if ring_offset is not None:
+                d_ps = max(1, presum)
+                num_p = raw_spectra.shape[0]
+                grp = next((g for g in (grp, 5, 4, 2, 1)
+                            if num_p % (d_ps * g) == 0), 1)
             rc2, pos2, vel2, t2 = fft_kernel.recentre_from_spectra_pallas(
                 raw_spectra, pos, vel, ts, vf, p, max(1, presum), plan.t_ref,
                 # interpret off-TPU: the streaming path has no XLA twin, so
@@ -892,7 +907,7 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
                 interpret=interp or jax.default_backend() != "tpu",
                 t_mean=t_mean_v, out_rows=(p0, p1),
                 mode="bf16" if fast_math else "bf16x3",
-                groups=8 if fast_math else 2)
+                groups=grp, ring_offset=ring_offset)
             plan_acc = _dc_replace(plan,
                                    band_start=plan.band_start - p0 * 128)
         elif use_pfft and compress and fft_kernel.supported(plan.nfft):
@@ -1039,7 +1054,8 @@ def forward_spectra(raw, p: BpParams, math_mode: str = "exact",
 def focus_bp_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
                   p: BpParams, presum: int = 1, plan: FastBpPlan = None,
                   accumulate: str = "xla", fit_stride: int = 0,
-                  math_mode: str = "exact", raw_spectra=None):
+                  math_mode: str = "exact", raw_spectra=None,
+                  ring_offset=None):
     """Fused range compression + fast BP + presum rescale/droop (drop-in
     for ops/bp.py::focus_bp at production scale). The matched filter rides
     the recentre FFT (``compress=True``), so raw pulses see exactly one
@@ -1047,7 +1063,8 @@ def focus_bp_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
     the fused pixel-tile kernel (needs a w_win=64 plan; see
     ops/pallas/bp_kernel.py). ``raw_spectra`` (from
     :func:`forward_spectra`) skips the forward transform for streaming
-    overlapped CPIs; ``raw`` may then be None."""
+    overlapped CPIs; ``raw`` may then be None, and ``ring_offset`` marks
+    the spectra as a ring buffer (see :func:`backproject_fast`)."""
     from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
 
     if plan is None:
@@ -1058,7 +1075,8 @@ def focus_bp_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
     img = backproject_fast(raw, sat_pos, sat_vel, t_slow, vel_focus, p, plan,
                            presum=presum, compress=True,
                            accumulate=accumulate, fit_stride=fit_stride,
-                           math_mode=math_mode, raw_spectra=raw_spectra)
+                           math_mode=math_mode, raw_spectra=raw_spectra,
+                           ring_offset=ring_offset)
     if presum > 1:
         corr = bp_ops.presum_droop_correction(
             jnp.asarray(sat_pos, jnp.float64), jnp.asarray(sat_vel, jnp.float64),

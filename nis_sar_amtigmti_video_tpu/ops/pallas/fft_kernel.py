@@ -558,11 +558,21 @@ def recentre_from_spectra_pallas(spec, sat_pos, sat_vel, t_slow, vel_focus,
                                  p, d: int, t_ref: float,
                                  mode: str = "bf16x3", groups: int = 2,
                                  interpret: bool = False, t_mean=None,
-                                 out_rows: tuple[int, int] | None = None):
+                                 out_rows: tuple[int, int] | None = None,
+                                 ring_offset=None):
     """Frame-dependent half of :func:`recenter_presum_pallas` on cached
     spectra from :func:`forward_spectra_pallas`: recentre ramp + carrier +
     frequency-domain presum + (optionally band-limited) inverse four-step.
-    Same return contract as recenter_presum_pallas."""
+    Same return contract as recenter_presum_pallas.
+
+    ``ring_offset`` (traced i32 scalar, pulses, a multiple of ``d``): the
+    spectra buffer is a RING — slot ``j`` holds chronological pulse
+    ``(j - ring_offset) % P``. The streaming VideoSAR product advances the
+    buffer by dynamic_update_slice (131 MB written per 500-pulse step)
+    instead of re-concatenating the full ~655 MB window each frame; only
+    the tiny per-pulse scalars roll into ring order here, and the ~9 MB
+    presummed output rolls back to chronological order. Requires
+    ``P % (d * groups) == 0`` (no pad row may interleave the ring)."""
     num_p = spec.shape[0]
     b1 = spec.shape[1]
     nfft = b1 * _LANE
@@ -583,9 +593,14 @@ def recentre_from_spectra_pallas(spec, sat_pos, sat_vel, t_slow, vel_focus,
 
     blk = d * groups
     p_pad = -(-num_p // blk) * blk
+    if ring_offset is not None and p_pad != num_p:
+        raise ValueError(
+            f"ring_offset needs P % (d*groups) == 0 (a pad row would "
+            f"interleave the ring): P={num_p}, d={d}, groups={groups}")
     wl = jnp.pad(jnp.ones((num_p,), jnp.float32),
                  (0, p_pad - num_p)).reshape(-1, 1)
-    sp_p = jnp.pad(spec, ((0, p_pad - num_p), (0, 0), (0, 0)))
+    sp_p = (spec if p_pad == num_p
+            else jnp.pad(spec, ((0, p_pad - num_p), (0, 0), (0, 0))))
     d0_p = jnp.pad(d0, (0, p_pad - num_p), mode="edge")
 
     shift = (2.0 * d0_p / _C - t_ref) * p.fs_hz
@@ -595,6 +610,11 @@ def recentre_from_spectra_pallas(spec, sat_pos, sat_vel, t_slow, vel_focus,
     car = _TWO_PI * (2.0 * p.fc_hz / _C) * d0_p
     car = (car - _TWO_PI * jnp.round(car / _TWO_PI)
            ).astype(jnp.float32).reshape(-1, 1)
+    if ring_offset is not None:
+        # scalars are chronological; the spectra are in ring order — move
+        # the scalars to ring slots (roll(x, off)[j] = x[(j - off) % P])
+        si, sf, car = (jnp.roll(x, ring_offset, axis=0)
+                       for x in (si, sf, car))
 
     _, (w1ih, w1il), _, (w2ih, w2il), tw_r, tw_i, _, _ = \
         _tables(nfft, None, out_rows=out_rows)
@@ -624,8 +644,14 @@ def recentre_from_spectra_pallas(spec, sat_pos, sat_vel, t_slow, vel_focus,
 
     rc_b = jax.lax.complex(our, oui).reshape(n_out, pb * _LANE)
     rc_b = rc_b[: -(-num_p // d)]
-    ci = jnp.arange(rc_b.shape[0]) * d + (d // 2)
-    ci = jnp.minimum(ci, num_p - 1)
+    if ring_offset is not None:
+        # ring row m covers slots [m*d, (m+1)*d) — roll the presummed rows
+        # (the small output) back to chronological order. ring_offset must
+        # be a multiple of d so no presum group straddles the ring seam.
+        rc_b = jnp.roll(rc_b, -(ring_offset // d), axis=0)
+    # static index set — numpy keeps host-array callers (probes) traceable
+    # and avoids a device gather when the trajectory is a jnp constant
+    ci = np.minimum(np.arange(rc_b.shape[0]) * d + (d // 2), num_p - 1)
     return rc_b, sat_pos[ci], sat_vel[ci], t_slow[ci]
 
 

@@ -104,7 +104,7 @@ def inv_only(groups):
     return chain3(body)
 
 
-for grp in (2, 4, 8):
+for grp in (2, 4, 5, 8):   # blk=d*grp: only grp=5 divides 2500 (no pad copy)
     print(f"inv groups={grp}     : {timed(inv_only(grp), spec0):7.1f} ms",
           flush=True)
 
@@ -121,8 +121,8 @@ def rest_body(rc2):
     rdir, cdir, dy_m = bp_fast._frame_geometry(
         pos2[pos2.shape[0] // 2], p, plan)
     u0, pa, pb_, pc, b_t, c_t = bp_fast._fit_coeffs(
-        pos2, vel2, t2, np.zeros(3), p, plan, None, rdir, cdir, dy_m,
-        fit_stride=8)
+        pos2, vel2, t2, np.zeros(3), p, plan, float(np.mean(t2)),
+        rdir, cdir, dy_m, fit_stride=8)
     img_i = bp_fast._accumulate_factor(rc2, u0, pa, pb_, pc, b_t, c_t,
                                        plan_acc, "factor_pallas")
     return bp_fast._resample_output(img_i, plan, p, rdir, cdir, dy_m)

@@ -388,6 +388,65 @@ class TestFastBp:
         err = np.abs(got - want).max() / np.abs(want).max()
         assert err < 1e-3, err
 
+    def test_streaming_ring_offset_matches_chronological(self):
+        """A ring-ordered spectra buffer (slot j = chronological pulse
+        (j - off) % P) with ring_offset=off must reproduce the
+        chronological split call: the streaming product advances the
+        cached-spectra window by dynamic_update_slice instead of
+        re-concatenating it each frame."""
+        from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
+
+        rng = np.random.default_rng(11)
+        n_p, ns, d = 12, 10000, 3             # blk = d*groups = 6 | 12
+        sc = cfg.videosar()
+        g = sc.geometry
+        times = orbit.slow_time_grid(n_p / 5000.0, n_p)
+        traj = orbit.make_trajectory(g, times)
+        p = bp_ops.BpParams(fc_hz=9.65e9, chirp_rate=150e6 / 2e-6,
+                            fs_hz=180e6, pulse_width_s=2e-6,
+                            num_samples=ns, nx=64, ny=64,
+                            scene_size_m=400.0)
+        t_ref = float(2.0 * np.linalg.norm(traj.positions, axis=1).mean()
+                      / C)
+        rc = jnp.asarray(rng.standard_normal((n_p, ns))
+                         + 1j * rng.standard_normal((n_p, ns)),
+                         jnp.complex64)
+        pos = jnp.asarray(traj.positions)
+        vel = jnp.asarray(traj.velocities)
+        ts = jnp.asarray(traj.times)
+        vf = jnp.zeros(3, jnp.float64)
+        spec = fft_kernel.forward_spectra_pallas(rc, p, interpret=True)
+        want = fft_kernel.recentre_from_spectra_pallas(
+            spec, pos, vel, ts, vf, p, d, t_ref, interpret=True)
+        for off in (3, 6, 9):                 # multiples of d, incl. != blk
+            ring = jnp.roll(spec, off, axis=0)
+            got = fft_kernel.recentre_from_spectra_pallas(
+                ring, pos, vel, ts, vf, p, d, t_ref, interpret=True,
+                ring_offset=jnp.int32(off))
+            np.testing.assert_allclose(np.asarray(got[0]),
+                                       np.asarray(want[0]), rtol=0,
+                                       atol=1e-6 * float(
+                                           np.abs(want[0]).max()))
+            for a, b in zip(want[1:], got[1:]):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        with pytest.raises(ValueError, match="ring_offset"):
+            fft_kernel.recentre_from_spectra_pallas(
+                spec[:-2], pos[:-2], vel[:-2], ts[:-2], vf, p, d, t_ref,
+                interpret=True, ring_offset=jnp.int32(3))
+        # focus level: a ring-ordered buffer + ring_offset == chronological
+        t0 = t_ref - 0.5 * ns / p.fs_hz
+        plan = bp_fast.make_plan(p, np.asarray(traj.positions),
+                                 np.asarray(traj.times), float(t0))
+        want_img = np.asarray(bp_fast.focus_bp_fast(
+            None, pos, vel, ts, vf, t0, p, presum=d, plan=plan,
+            accumulate="xla", raw_spectra=spec))
+        got_img = np.asarray(bp_fast.focus_bp_fast(
+            None, pos, vel, ts, vf, t0, p, presum=d, plan=plan,
+            accumulate="xla", raw_spectra=jnp.roll(spec, 6, axis=0),
+            ring_offset=jnp.int32(6)))
+        err = np.abs(got_img - want_img).max() / np.abs(want_img).max()
+        assert err < 1e-6, err
+
     def test_band_does_not_fit_raises(self):
         raw, traj, p, t0 = _scene(ns=512)
         big = bp_ops.BpParams(fc_hz=p.fc_hz, chirp_rate=p.chirp_rate,
