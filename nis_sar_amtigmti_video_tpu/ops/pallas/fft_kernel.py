@@ -450,10 +450,17 @@ def _kernel_fwd(xr, xi, w1h, w1l, w2h, w2l, tw_r, tw_i, a_ref, b_ref, out,
 
 def _kernel_inv(sp, si, sf, car, wl, w1ih, w1il, w2ih, w2il, tw_r, tw_i,
                 out_r, out_i, *, d: int, groups: int, nfft: int, mode: str,
-                pb: int = 0):
+                pb: int = 0, wide: bool = False):
     """Recentre ramp + carrier + frequency-domain presum + inverse
     four-step on cached spectra — the frame-DEPENDENT half of
-    :func:`_kernel` (same factored-trig ramp, same output layout)."""
+    :func:`_kernel` (same factored-trig ramp, same output layout).
+
+    ``wide=False`` (d*groups % 8 == 0): scalars arrive as (blk, 1) columns
+    read with the dynamic sublane index — bit-identical to :func:`_kernel`.
+    ``wide=True`` (any blk — the ring path, whose P %% blk == 0 constraint
+    can exclude every 8-divisible blk): scalars arrive as (1, 1, blk) rows;
+    Mosaic has no dynamic lane loads, so the presum loop statically
+    unrolls."""
     b1 = nfft // _LANE
     b2 = _LANE
     pb = pb or b1
@@ -467,13 +474,13 @@ def _kernel_inv(sp, si, sf, car, wl, w1ih, w1il, w2ih, w2il, tw_r, tw_i,
 
     def ramped(t):
         s = sp[t]
-        si_t = si[t, 0]
-        sf_t = sf[t, 0]
+        si_t = si[0, 0, t] if wide else si[t, 0]
+        sf_t = sf[0, 0, t] if wide else sf[t, 0]
         k_io = jax.lax.broadcasted_iota(jnp.int32, (b1, 1), 0)
         pha_i = (k_io * si_t) % nfft
         pha = (_TWO_PI / nfft) * (pha_i.astype(jnp.float32)
                                   + sf_t * k_io.astype(jnp.float32)) \
-            + car[t, 0]
+            + (car[0, 0, t] if wide else car[t, 0])
         ar, ai = jnp.cos(pha), jnp.sin(pha)
         phb_i = b1 * ((m_tab * si_t) % b2)
         phb = (_TWO_PI / nfft) * (phb_i.astype(jnp.float32)
@@ -485,13 +492,21 @@ def _kernel_inv(sp, si, sf, car, wl, w1ih, w1il, w2ih, w2il, tw_r, tw_i,
         cr, ci_ = jnp.cos(phc), jnp.sin(phc)
         cs, sn = (jnp.where(wrap_mask, cs * cr - sn * ci_, cs),
                   jnp.where(wrap_mask, cs * ci_ + sn * cr, sn))
-        return (s * cs + _roll_half(s) * (sn * hsgn)) * (wl[t, 0] / d)
+        return (s * cs + _roll_half(s) * (sn * hsgn)) * (
+            (wl[0, 0, t] if wide else wl[t, 0]) / d)
 
     for g in range(groups):
-        def body(j, acc):
-            return acc + ramped(g * d + j)
-        s = jax.lax.fori_loop(0, d, body,
-                              jnp.zeros((b1, 2 * b2), jnp.float32))
+        if wide:
+            # static unroll: the (1, 1, blk) scalar rows only allow
+            # statically-indexed lane reads (no dynamic lane loads)
+            s = jnp.zeros((b1, 2 * b2), jnp.float32)
+            for j in range(d):
+                s = s + ramped(g * d + j)
+        else:
+            def body(j, acc):
+                return acc + ramped(g * d + j)
+            s = jax.lax.fori_loop(0, d, body,
+                                  jnp.zeros((b1, 2 * b2), jnp.float32))
         s = dot_m(s, w2ih[:], w2il[:])
         a2 = jnp.concatenate([tw_r[:], tw_r[:]], axis=1)
         b2t = jnp.concatenate([tw_i[:], tw_i[:]], axis=1) * hsgn
@@ -619,10 +634,25 @@ def recentre_from_spectra_pallas(spec, sat_pos, sat_vel, t_slow, vel_focus,
     _, (w1ih, w1il), _, (w2ih, w2il), tw_r, tw_i, _, _ = \
         _tables(nfft, None, out_rows=out_rows)
 
+    # scalar layout: (blk, 1) sublane columns when Mosaic's block rule
+    # (blk % 8 == 0) allows — bit-identical to the fused kernel — else the
+    # wide (1, 1, blk) row layout, which works for ANY blk (a ring at
+    # P=2500/d=4 can never provide an 8-divisible blk). On TPU the two
+    # layouts produce identical results (probe_bp_stream: 0.0 rel-err);
+    # XLA-CPU interpret shows FMA-fusion-level (~2e-6) differences, so the
+    # wide path is gated to ring mode to keep the non-ring split's
+    # bitwise-equality contract with the fused kernel.
+    wide = ring_offset is not None and blk % 8 != 0
+    if wide:
+        def row(v):
+            return v.reshape(-1, blk)[:, None, :]
+        si, sf, car, wl = row(si), row(sf), row(car), row(wl)
+
     n_out = p_pad // d
     grid = (p_pad // blk,)
     bs_sp = pl.BlockSpec((blk, b1, 2 * _LANE), lambda i: (i, 0, 0))
-    bs_sc = pl.BlockSpec((blk, 1), lambda i: (i, 0))
+    bs_sc = (pl.BlockSpec((1, 1, blk), lambda i: (i, 0, 0)) if wide
+             else pl.BlockSpec((blk, 1), lambda i: (i, 0)))
     bs_w1i = pl.BlockSpec((2 * pb, 2 * b1), lambda i: (0, 0))
     bs_w2 = pl.BlockSpec((2 * _LANE, 2 * _LANE), lambda i: (0, 0))
     bs_tw = pl.BlockSpec((b1, _LANE), lambda i: (0, 0))
@@ -631,6 +661,7 @@ def recentre_from_spectra_pallas(spec, sat_pos, sat_vel, t_slow, vel_focus,
     with jax.enable_x64(False):
         our, oui = pl.pallas_call(
             partial(_kernel_inv, d=d, groups=groups, nfft=nfft, mode=mode,
+                    wide=wide,
                     pb=pb),
             grid=grid,
             in_specs=[bs_sp, bs_sc, bs_sc, bs_sc, bs_sc,

@@ -102,6 +102,27 @@ def stream_frame(spec_buf, new_raw):
     return spec_buf, img
 
 
+@jax.jit
+def stream_frame_ring(spec_buf, wp, new_raw):
+    """Ring variant: the buffer advances by dynamic_update_slice (131 MB
+    written/step) instead of the full-window concat (~655 MB RW/frame);
+    ring_offset rolls only the tiny scalars + the 9 MB presummed rows."""
+    img = None
+    for _ in range(3):
+        new_spec = bp_fast.forward_spectra(new_raw, p)
+        zero = jnp.zeros((), wp.dtype)
+        spec_buf = jax.lax.dynamic_update_slice(spec_buf, new_spec,
+                                                (wp, zero, zero))
+        wp = (wp + step) % sched
+        img = bp_fast.focus_bp_fast(None, traj.positions, traj.velocities,
+                                    traj.times, np.zeros(3), float(t0), p,
+                                    presum=d, plan=plan, accumulate=acc,
+                                    fit_stride=8, raw_spectra=spec_buf,
+                                    ring_offset=wp)
+        new_raw = new_raw + (jnp.sum(img[:1, :1]) * 0).astype(new_raw.dtype)
+    return spec_buf, wp, img
+
+
 print(f"acc={acc} d={d} plan nfft={plan.nfft} sub_raw={plan.sub_raw}",
       flush=True)
 t_full = timed(full_frame, raw) / 3
@@ -113,3 +134,15 @@ float(jnp.sum(jnp.abs(spec0[:1, :1, :1])))
 t_str = timed(stream_frame, spec0, raw[:step]) / 3
 print(f"stream frame: {1000 * t_str:8.1f} ms "
       f"({1000 / max(t_str, 1e-9) / 1000:.1f} fps amortized)", flush=True)
+try:
+    t_ring = timed(stream_frame_ring, spec0, jnp.int32(0), raw[:step]) / 3
+    print(f"ring frame  : {1000 * t_ring:8.1f} ms "
+          f"({1000 / max(t_ring, 1e-9) / 1000:.1f} fps amortized)",
+          flush=True)
+    # equality spot check: one ring step vs one concat step (same inputs)
+    sb_c, img_c = stream_frame(spec0, raw[:step])
+    sb_r, _, img_r = stream_frame_ring(spec0, jnp.int32(0), raw[:step])
+    e = float(jnp.max(jnp.abs(img_r - img_c)) / jnp.max(jnp.abs(img_c)))
+    print(f"ring vs concat rel-err: {e:.2e}", flush=True)
+except Exception as ex:                    # keep the other rows on failure
+    print(f"ring frame  : FAILED {type(ex).__name__}: {ex}", flush=True)

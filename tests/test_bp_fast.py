@@ -423,9 +423,14 @@ class TestFastBp:
             got = fft_kernel.recentre_from_spectra_pallas(
                 ring, pos, vel, ts, vf, p, d, t_ref, interpret=True,
                 ring_offset=jnp.int32(off))
+            # blk=6 forces the ring call onto the wide scalar layout
+            # (statically unrolled presum); XLA-CPU interpret fuses the
+            # unrolled ramp into FMAs, so ring-vs-chronological differs at
+            # the FMA class here (on TPU the two layouts measure exactly
+            # equal — scripts/probe_bp_stream.py rel-err 0.0)
             np.testing.assert_allclose(np.asarray(got[0]),
                                        np.asarray(want[0]), rtol=0,
-                                       atol=1e-6 * float(
+                                       atol=5e-6 * float(
                                            np.abs(want[0]).max()))
             for a, b in zip(want[1:], got[1:]):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b))
