@@ -308,28 +308,40 @@ def main():
                 bp_math = os.environ.get("BENCH_BP_MATH", "exact")
 
                 @jax.jit
-                def stream_step(spec_buf, new_raw):
-                    new_spec = bp_fast.forward_spectra(new_raw, p_bp,
-                                                       math_mode=bp_math)
-                    spec_next = jnp.concatenate(
-                        [spec_buf[step_p:], new_spec], axis=0)
-                    img = bp_fast.focus_bp_fast(
-                        None, trajb.positions, trajb.velocities, trajb.times,
-                        np.zeros(3), float(t0b), p_bp, presum=d_ps,
-                        plan=plan_bp, accumulate=bp_acc, fit_stride=8,
-                        math_mode=os.environ.get("BENCH_BP_MATH", "exact"),
-                        raw_spectra=spec_next)
-                    return spec_next, img
+                def stream_step(spec_buf, wp, new_raw):
+                    # ring buffer: advance the cached-spectra window with
+                    # ONE dynamic_update_slice (131 MB written/step) instead
+                    # of re-concatenating the ~655 MB window every frame;
+                    # ring_offset rolls only the per-pulse scalars + the
+                    # small presummed rows. The chain frames ride inside one
+                    # jit like bp_stream above (one dispatch per chain).
+                    img = None
+                    for _c in range(chain):
+                        new_spec = bp_fast.forward_spectra(
+                            new_raw, p_bp, math_mode=bp_math)
+                        zero = jnp.zeros((), wp.dtype)
+                        spec_buf = jax.lax.dynamic_update_slice(
+                            spec_buf, new_spec, (wp, zero, zero))
+                        wp = (wp + step_p) % sched_pulses
+                        img = bp_fast.focus_bp_fast(
+                            None, trajb.positions, trajb.velocities,
+                            trajb.times, np.zeros(3), float(t0b), p_bp,
+                            presum=d_ps, plan=plan_bp, accumulate=bp_acc,
+                            fit_stride=8, math_mode=bp_math,
+                            raw_spectra=spec_buf, ring_offset=wp)
+                        new_raw = new_raw + (jnp.sum(img[:1, :1])
+                                             * 0).astype(new_raw.dtype)
+                    return spec_buf, wp, img
 
                 spec0 = bp_fast.forward_spectra(raw_bp, p_bp)
+                wp0 = jnp.int32(0)
                 new0 = raw_bp[:step_p]
-                spec0, img0 = stream_step(spec0, new0)
+                spec0, wp0, img0 = stream_step(spec0, wp0, new0)
                 _ = float(jnp.sum(jnp.abs(img0[:2, :2])))
                 lat = []
                 for _i in range(3):
                     t1 = time.perf_counter()
-                    for _c in range(chain):
-                        spec0, img0 = stream_step(spec0, new0)
+                    spec0, wp0, img0 = stream_step(spec0, wp0, new0)
                     _ = float(jnp.sum(jnp.abs(img0[:2, :2])))
                     lat.append((time.perf_counter() - t1) / chain)
                 bp_stream_ms = 1000.0 * float(np.median(lat))

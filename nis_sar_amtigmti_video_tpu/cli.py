@@ -466,10 +466,13 @@ def main(argv=None):
     p.add_argument("--speed", type=float, default=15.0)
     p.add_argument("--frames", type=int, default=0)
     p.add_argument("--frames-per-batch", type=int, default=4)
-    p.add_argument("--stream", action="store_true",
+    p.add_argument("--stream", nargs="?", const=True, default=False,
+                   metavar="{concat,ring}",
                    help="cache per-pulse forward spectra across the "
                         "overlapped CPIs (implies per-segment noise; "
-                        "needs a fast BP backend and a long window)")
+                        "needs a fast BP backend and a long window); "
+                        "'ring' keeps the window as a device ring buffer "
+                        "(the sequential streaming-product path)")
     p.set_defaults(fn=cmd_videosar)
 
     p = add_cmd("videosar-batch")

@@ -175,6 +175,41 @@ class TestVideoSar:
                / np.abs(want.images).max())
         assert err < 2e-3, err
 
+    def test_stream_spectra_ring_matches_concat(self):
+        """stream_spectra='ring' (device-resident ring window advanced by
+        dynamic_update_slice) must reproduce the concat streaming path.
+        On TPU the two measure exactly equal; CPU interpret differs at the
+        FMA-fusion class of the wide scalar layout (see test_bp_fast)."""
+        sc = cfg.videosar()
+        sc = sc.replace(
+            radar=dataclasses.replace(sc.radar, bandwidth_hz=120e6,
+                                      pulse_width_s=2e-6, fs_hz=150e6,
+                                      prf_hz=1000.0),
+            collect=dataclasses.replace(sc.collect,
+                                        window_length_s=9000 / 150e6),
+            processing=dataclasses.replace(sc.processing, bp_grid=32,
+                                           bp_scene_size_m=400.0),
+            video=cfg.VideoConfig(duration_s=1.0, fps=5.0, cpi_s=0.4),
+        )
+        import jax
+        key = jax.random.PRNGKey(3)
+        common = dict(heading_deg=90.0, speed_mps=30.0, algorithm="mbp",
+                      frames_per_batch=2, bp_backend="fast_factor",
+                      key=key, noise_mode="per_segment")
+        want = videosar.run(sc, T.point_target((0.0, 0.0, 0.0), 50.0),
+                            stream_spectra=True, **common)
+        got = videosar.run(sc, T.point_target((0.0, 0.0, 0.0), 50.0),
+                           stream_spectra="ring", **common)
+        assert got.images.shape == want.images.shape
+        err = (np.abs(got.images - want.images).max()
+               / np.abs(want.images).max())
+        assert err < 1e-4, err
+        # non-contiguous frames cannot ring-stream
+        with pytest.raises(ValueError, match="contiguous"):
+            videosar.run(sc, T.point_target((0.0, 0.0, 0.0), 50.0),
+                         stream_spectra="ring", frame_indices=[0, 2],
+                         **common)
+
     def test_stream_spectra_rejects_per_frame_noise(self):
         sc = self._reduced()
         with pytest.raises(ValueError, match="per.segment"):
