@@ -364,10 +364,11 @@ def main():
             from nis_sar_amtigmti_video_tpu.scene.clutter import (
                 ocean_clutter_field)
 
-            # round-3 production path: 'freq' NUFFT backend with the dense
-            # one-hot MXU spreader (scatter-free; 14.6 s -> 2.86 s measured
-            # on one v5e chip, == scatter to 2e-6; ops/echo_freq.py). Off
-            # TPU the spreader auto-falls back to scatter.
+            # round-3 production path: 'freq' NUFFT backend with the VMEM
+            # one-hot spread kernel + fused conv (scatter-free; 14.6 ->
+            # 2.87 -> ~1.0 s measured on one v5e chip, spread == XLA dense
+            # bit-for-bit; ops/echo_freq.py + ops/pallas/spread_kernel.py).
+            # Off TPU the spreader auto-falls back to scatter.
             sc_s = cfg.ati_dpca()
             rs, gs, cs = sc_s.radar, sc_s.geometry, sc_s.collect
             sim_win = os.environ.get("BENCH_SIM_WIN")
@@ -377,7 +378,7 @@ def main():
                 freq_spreader=os.environ.get("BENCH_SIM_SPREADER", "auto"),
                 freq_spread_win=int(sim_win) if sim_win else None,
                 freq_spread_grp=int(sim_grp) if sim_grp else None,
-                freq_conv=os.environ.get("BENCH_SIM_CONV", "xla"))
+                freq_conv=os.environ.get("BENCH_SIM_CONV", "auto"))
             t0s = window_start_time(gs.slant_range_m, opts_s,
                                     cs.window_length_s, "centered")
             ship = T_.destroyer().rotate_z(90.0)

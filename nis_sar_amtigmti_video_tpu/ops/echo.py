@@ -85,11 +85,13 @@ class EchoOpts:
     # slow-time stride of the exact f64 geometry pass for backend='freq'
     # (quadratic anchor interpolation between; 0/1 = exact at every pulse)
     freq_geom_stride: int = 8
-    # 'xla' | 'pallas' | 'pallas_interpret': the freq backend's FFT
+    # 'auto' | 'xla' | 'pallas' | 'pallas_interpret': the freq backend's FFT
     # convolution. 'pallas' fuses forward DFT + filter + inverse DFT in one
     # VMEM pass (ops/pallas/fft_kernel.py::fft_conv_pallas; TPU-only, falls
-    # back to 'xla' elsewhere or when the FFT length is unsupported)
-    freq_conv: str = "xla"
+    # back to 'xla' elsewhere or when the FFT length is unsupported);
+    # 'auto' picks pallas on TPU (measured ~8% faster at full ATI scale,
+    # 4.4e-5-of-rms error — inside every fidelity budget)
+    freq_conv: str = "auto"
 
     @property
     def half_width(self) -> float:

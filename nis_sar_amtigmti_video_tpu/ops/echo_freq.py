@@ -283,7 +283,7 @@ def _spread_dense(i0, val_sets, l_out: int, win: int, grp: int,
 def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
                pulse_chunk: int | None = None, edge_taper: float = 4.0,
                spreader: str = "auto", spread_win: int | None = None,
-               spread_grp: int | None = None, conv: str = "xla"):
+               spread_grp: int | None = None, conv: str = "auto"):
     """(P, B) per-(pulse,target) scalars -> (P, Ns) complex64 raw data.
 
     tau_rel: delay of each echo relative to the window start [s]
@@ -317,7 +317,11 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
     os_ = oversample
     fs_os = opts.fs_hz * os_
     if spreader == "auto":
-        spreader = "dense" if jax.default_backend() == "tpu" else "scatter"
+        # dense_kernel == dense bit-for-bit since the hi/lo halves split
+        # outside the kernel, and ~1.9x faster at full ATI scale (1.11 vs
+        # 2.07 s/channel pass, scripts/probe_echo_spread_sweep.py)
+        spreader = ("dense_kernel" if jax.default_backend() == "tpu"
+                    else "scatter")
     if spreader == "dense_kernel" and jax.default_backend() != "tpu":
         spreader = "dense"                 # Mosaic needs a TPU (csa.py guard)
     if spreader not in ("scatter", "dense", "dense_kernel",
@@ -359,6 +363,11 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
     filt = np.fft.fft(g.astype(np.complex128), n=l_fft) / _kernel_ft(l_fft)
     filt_j = jnp.asarray(filt.astype(np.complex64))
 
+    if conv == "auto":
+        # the fused conv wins ~8% on the full ATI pass (1.02 vs 1.10 s) at
+        # 4.4e-5-of-rms error — 20x inside the golden fidelity budgets
+        # (probe: /tmp-level full-scale A/B, docs/ROUND3_NOTES.md)
+        conv = "pallas" if jax.default_backend() == "tpu" else "xla"
     if conv == "pallas" and jax.default_backend() != "tpu":
         conv = "xla"                       # Mosaic needs a TPU (csa.py guard)
     if conv not in ("xla", "pallas", "pallas_interpret"):
