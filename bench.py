@@ -128,7 +128,8 @@ def main():
         def gmti_one(x1r, x1i, x2r, x2i):
             s1r, s1i, s2r, s2i, cal, phase, dmag, det = gmti_cpi_pallas(
                 x1r, x1i, x2r, x2i, f, cfar_params=cfar_p,
-                k2_variant=k2_var, lead_variant=lead_var)
+                k2_variant=k2_var, lead_variant=lead_var,
+                balance_impl=os.environ.get("BENCH_BAL", "pallas"))
             summary = (jnp.sum(phase) + jnp.sum(dmag) + jnp.sum(det.snr)
                        + cal)
             return s1r, s1i, s2r, s2i, summary

@@ -125,6 +125,51 @@ def _col_box(x, half: int):
     return acc[pad - half:pad - half + n]
 
 
+def _balance_body(x1r, x1i, x2r, x2i, osum):
+    """One-pass cross-channel balance reduction: per lane-block partial
+    sums of re/im(sum x1 conj x2), accumulated across grid steps in one
+    revisited (8, 2*LANE) block ([.., :LANE] = re, [.., LANE:] = im)."""
+    j = pl.program_id(0)
+    a1r, a1i, a2r, a2i = x1r[:], x1i[:], x2r[:], x2i[:]
+    pr = a1r * a2r + a1i * a2i
+    pi = a1i * a2r - a1r * a2i
+    # keep the reduction partially vectorized: collapse sublanes only, so
+    # the cross-lane tree stays out of the inner loop (summed in XLA)
+    row = jnp.concatenate([jnp.sum(pr, axis=0, keepdims=True),
+                           jnp.sum(pi, axis=0, keepdims=True)], axis=1)
+    blk = jnp.broadcast_to(row, (8, 2 * _LANE)) * jnp.float32(0.125)
+
+    @pl.when(j == 0)
+    def _init():
+        osum[:] = blk
+
+    @pl.when(j != 0)
+    def _acc():
+        osum[:] = osum[:] + blk
+
+
+def raw_balance_pallas(x1r, x1i, x2r, x2i, interpret: bool = False):
+    """angle(sum x1 conj x2) inputs in ONE HBM pass over the four raw
+    planes (the XLA twin reduction costs ~1.4 ms of the 16.5 ms GMTI CPI
+    at 4096^2). Returns (xs_re, xs_im) f32 scalars; the caller applies
+    arctan2. Same value class as the jnp reduction (f32 partial sums,
+    different association order)."""
+    n, n_rg = x1r.shape
+    grid = (n_rg // _LANE,)
+    bs = pl.BlockSpec((n, _LANE), lambda j: (0, j))
+    bs_o = pl.BlockSpec((8, 2 * _LANE), lambda j: (0, 0))
+    out = pl.pallas_call(
+        _balance_body,
+        grid=grid,
+        in_specs=[bs] * 4,
+        out_specs=bs_o,
+        out_shape=jax.ShapeDtypeStruct((8, 2 * _LANE), jnp.float32),
+        compiler_params=_VMEM,
+        interpret=interpret,
+    )(x1r, x1i, x2r, x2i)
+    return jnp.sum(out[:, :_LANE]), jnp.sum(out[:, _LANE:])
+
+
 def _k3g_body(x1r, x1i, x2r, x2i, cal, wh, wl, tr_m, ti_m,
               o1r, o1i, o2r, o2i, oph, omg, opw, ocso, ocsi, opk,
               *, a: int, mode: str, h_out: int, h_in: int, variant: str):
