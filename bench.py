@@ -247,15 +247,20 @@ def main():
                                         factorize=True)
             bp_acc = os.environ.get("BENCH_BP_ACC", "")
             if bp_acc and bp_acc not in ("xla", "factor", "factor_pallas",
-                                         "factor_kernel"):
+                                         "factor_kernel", "factor2",
+                                         "factor2_pallas"):
                 raise ValueError(f"BENCH_BP_ACC={bp_acc!r}: pick one of "
-                                 "xla|factor|factor_pallas|factor_kernel "
+                                 "xla|factor|factor_pallas|factor_kernel|"
+                                 "factor2|factor2_pallas "
                                  "(the w_win=32 factorize plan)")
             if not bp_acc:
-                bp_acc = ("factor_pallas" if plan_bp.sub_raw > 0
-                          and jax.default_backend() == "tpu" else "factor")
-                if plan_bp.sub_raw == 0:
-                    bp_acc = "xla"
+                # two-level factorization where the plan supports it
+                # (36.0 vs 39.2 ms/frame measured, docs/ROUND3_NOTES.md)
+                if jax.default_backend() == "tpu" and plan_bp.sub_raw > 0:
+                    bp_acc = ("factor2_pallas" if plan_bp.sub_raw1 > 0
+                              else "factor_pallas")
+                else:
+                    bp_acc = "factor" if plan_bp.sub_raw > 0 else "xla"
 
             @jax.jit
             def mk_bp(key):

@@ -87,8 +87,10 @@ def form_frames_bp(raw_frames, pos_frames, vel_frames, t_frames, vel_focus,
     'fast_pallas' adds the pixel-tile kernel; the 'fast_factor*' variants
     select the factorized (sub-aperture) accumulate — 'fast_factor'
     (XLA), 'fast_factor_pallas' (+ pallas recentre), 'fast_factor_kernel'
-    (+ the fused coarse-tile inner-sum kernel) — the round-3 production
-    paths (the plan must be built with factorize=True).
+    (+ the fused coarse-tile inner-sum kernel), 'fast_factor2' /
+    'fast_factor2_pallas' (two-level factorization, the fastest measured
+    path where plan.sub_raw1 > 0) — the round-3 production paths (the
+    plan must be built with factorize=True).
 
     ``spectra_frames`` (F, cpi, nfft/128, 256): per-frame slices of cached
     forward spectra (bp_fast.forward_spectra) — the streaming path for
@@ -96,7 +98,9 @@ def form_frames_bp(raw_frames, pos_frames, vel_frames, t_frames, vel_focus,
     the recentre ramp/presum/inverse run per frame."""
     acc = {"fast": "xla", "fast_pallas": "pallas", "fast_factor": "factor",
            "fast_factor_pallas": "factor_pallas",
-           "fast_factor_kernel": "factor_kernel"}.get(backend)
+           "fast_factor_kernel": "factor_kernel",
+           "fast_factor2": "factor2",
+           "fast_factor2_pallas": "factor2_pallas"}.get(backend)
     fast = acc is not None
     if spectra_frames is not None and not fast:
         raise ValueError("spectra_frames needs a fast-BP backend")
@@ -170,7 +174,7 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
     bp_backend: 'fast' (default — gather-free iso-range BP, ops/bp_fast.py),
     'fast_pallas' (the pixel-tile + fused-FFT pallas kernels),
     'fast_factor' (factorized sub-aperture accumulation — the round-3
-    production path: resolves to the fused coarse-tile kernel / pallas
+    production path: resolves to the two-level factorization + pallas
     recentre on TPU where the plan supports them, the XLA factor path
     elsewhere), or 'exact' (reference-semantics per-pixel path, ops/bp.py).
     Unsupported plan shapes fall back toward 'fast'.
@@ -243,14 +247,19 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
             bp_backend = "fast"        # bounds refused: plain fast path
             factor = False
         if bp_backend == "fast_factor":
-            # resolve to the best supported concrete factor accumulate
+            # resolve to the best *measured* concrete factor accumulate:
+            # two-level XLA factorization where the plan supports it (36.0
+            # vs 39.2 ms/frame at reference scale), single-level otherwise;
+            # the coarse-tile kernel stays an explicit opt-in (it measured
+            # slower e2e — docs/ROUND3_NOTES.md §9)
             if jax.default_backend() == "tpu":
-                from nis_sar_amtigmti_video_tpu.ops.pallas import (
-                    bp_factor_kernel, fft_kernel)
-                if bp_factor_kernel.supported(bp_plan):
-                    bp_backend = "fast_factor_kernel"
-                elif fft_kernel.supported(bp_plan.nfft):
-                    bp_backend = "fast_factor_pallas"
+                from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
+                if fft_kernel.supported(bp_plan.nfft):
+                    bp_backend = ("fast_factor2_pallas"
+                                  if bp_plan.sub_raw1 > 0
+                                  else "fast_factor_pallas")
+            elif bp_plan.sub_raw1 > 0:
+                bp_backend = "fast_factor2"
         if bp_backend == "fast_pallas":
             from nis_sar_amtigmti_video_tpu.ops.pallas import bp_kernel
             if (not bp_kernel.supported(bp_plan)
@@ -374,7 +383,9 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
         acc = {"fast": "xla", "fast_pallas": "pallas",
                "fast_factor": "factor",
                "fast_factor_pallas": "factor_pallas",
-               "fast_factor_kernel": "factor_kernel"}[bp_backend]
+               "fast_factor_kernel": "factor_kernel",
+               "fast_factor2": "factor2",
+               "fast_factor2_pallas": "factor2_pallas"}[bp_backend]
         fs = 8 if acc.startswith("factor") else 0
         vfj = jnp.asarray(vel_focus)
 

@@ -86,6 +86,14 @@ class FastBpPlan:
     # :func:`make_plan` factorize= and :func:`_accumulate_factor`)
     sub_raw: int = 0
     nx_c: int = 0
+    # second factorization level (0 = not planned / infeasible): level-1
+    # sub-apertures of ``sub_raw1`` raw pulses run their inner sums on
+    # ``nx_c1`` columns (half of nx_c), and groups of ``grp`` level-1
+    # images merge onto the nx_c grid before the final merge to the fine
+    # grid — see :func:`_accumulate_factor2`
+    sub_raw1: int = 0
+    nx_c1: int = 0
+    grp: int = 0
 
 
 def _look_geometry(p: BpParams, pos_c: np.ndarray):
@@ -178,21 +186,38 @@ def _factor_bounds(p: BpParams, sat_pos: np.ndarray, ny_i: int, nx_i: int,
 _UPS_FC = 0.4      # lowpass cutoff [cycles / coarse sample]
 _UPS_D = 10        # one-sided support [coarse samples]
 _UPS_BETA = 10.0   # Kaiser shape
+# level-1 merge kernel (factor2): shorter support so the edge truncation
+# stays inside the planned column margin at the doubled coarse pitch —
+# measured -73 dB reconstruction error at the factor2 content budget
+_UPS1_D = 6
+_UPS1_BETA = 7.0
+
+
+def _interp_matrix(n_from: int, n_to: int, h_from: float, h_to: float,
+                   fc: float, d_sup: int, beta: float) -> np.ndarray:
+    """(n_from, n_to) f32 band-limited Kaiser-sinc interpolation matrix
+    between two centred grids with pitches ``h_from``/``h_to`` in fine-pixel
+    units (host/numpy; plan-static). Tap distances are in source samples."""
+    xt = (np.arange(n_to) - (n_to - 1) / 2.0) * h_to
+    xf = (np.arange(n_from) - (n_from - 1) / 2.0) * h_from
+    d = (xt[None, :] - xf[:, None]) / h_from
+    w = np.zeros_like(d)
+    m = np.abs(d) < d_sup
+    w[m] = np.i0(beta * np.sqrt(1.0 - (d[m] / d_sup) ** 2)) / np.i0(beta)
+    return (2.0 * fc * np.sinc(2.0 * fc * d) * w).astype(np.float32)
 
 
 def _upsample_matrix(plan: FastBpPlan) -> np.ndarray:
     """(nx_c, nx_i) f32 band-limited interpolation matrix taking the coarse
     inner-sum columns to the fine internal grid (host/numpy; plan-static)."""
-    nx, nxc = plan.nx_i, plan.nx_c
-    h = nx / nxc
-    xf = np.arange(nx) - (nx - 1) / 2.0
-    xc = (np.arange(nxc) - (nxc - 1) / 2.0) * h
-    d = (xf[None, :] - xc[:, None]) / h
-    w = np.zeros_like(d)
-    m = np.abs(d) < _UPS_D
-    w[m] = (np.i0(_UPS_BETA * np.sqrt(1.0 - (d[m] / _UPS_D) ** 2))
-            / np.i0(_UPS_BETA))
-    return (2.0 * _UPS_FC * np.sinc(2.0 * _UPS_FC * d) * w).astype(np.float32)
+    return _interp_matrix(plan.nx_c, plan.nx_i, plan.nx_i / plan.nx_c, 1.0,
+                          _UPS_FC, _UPS_D, _UPS_BETA)
+
+
+def _upsample_matrix_l1(plan: FastBpPlan) -> np.ndarray:
+    """(nx_c1, nx_c) f32 level-1 -> level-2 merge matrix (factor2)."""
+    return _interp_matrix(plan.nx_c1, plan.nx_c, plan.nx_i / plan.nx_c1,
+                          plan.nx_i / plan.nx_c, _UPS_FC, _UPS1_D, _UPS1_BETA)
 
 
 def make_plan(p: BpParams, sat_pos: np.ndarray, t_slow: np.ndarray,
@@ -281,6 +306,7 @@ def make_plan(p: BpParams, sat_pos: np.ndarray, t_slow: np.ndarray,
             stacklevel=2)
 
     sub_raw = nx_c = 0
+    sub_raw1 = nx_c1 = grp = 0
     if factorize:
         # coarse columns: lane-multiple, ~4-6x coarser than the fine grid
         nx_c = 128 if nx_i >= 512 else max(32, nx_i // 4)
@@ -299,10 +325,30 @@ def make_plan(p: BpParams, sat_pos: np.ndarray, t_slow: np.ndarray,
             sub_raw = max(1, min(sub_raw, sat_pos.shape[0]))
         if sub_raw == 0:
             nx_c = 0                         # bounds refuse: fall back
+        else:
+            # second level: inner sums on nx_c1 = nx_c/2 columns. Budget
+            # split on the nx_c grid: the level-1 images occupy their full
+            # band B/h1; the rest (s2 = B/h2 - B/h1) is the level-1-anchor
+            # Doppler-offset allowance, which bounds how many level-1
+            # sub-apertures one group may span. Edge rule: the level-1
+            # merge kernel's support must stay inside the planned column
+            # margin (_UPS1_D * h1 <= margin_cols - mask guard).
+            nx_c1 = nx_c // 2
+            h1 = nx_i / nx_c1
+            s1 = 0.8 * 0.25 / h1 - f_val
+            s2 = 0.8 * 0.25 / h - 0.8 * 0.25 / h1
+            if (nx_c1 >= 16 and s1 > 0.1 * 0.25 / h1 and rate > 0.0
+                    and _UPS1_D * h1 <= margin_cols - 4):
+                sub_raw1 = int(2.0 * s1 * _TWO_PI / rate)
+                sub_raw1 = max(1, min(sub_raw1, sub_raw))
+                grp = 1 + int(2.0 * s2 * _TWO_PI / (rate * sub_raw1))
+            if sub_raw1 < 1 or grp < 2:
+                sub_raw1 = nx_c1 = grp = 0   # no win: single level only
     return FastBpPlan(
         ny_i=ny_i, nx_i=nx_i, w_win=w_win, stride=stride,
         band_start=band_start, nfft=nfft, dx_m=float(dx_m),
-        t_ref=t_ref, n_org=float(n_org), sub_raw=sub_raw, nx_c=nx_c)
+        t_ref=t_ref, n_org=float(n_org), sub_raw=sub_raw, nx_c=nx_c,
+        sub_raw1=sub_raw1, nx_c1=nx_c1, grp=grp)
 
 
 # --------------------------------------------------------------------------
@@ -647,6 +693,20 @@ def _accumulate(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
     return img
 
 
+def _taper_field(u0_b, e_t, w: int, taper_pow: int):
+    """Taper at u = u0[t,y] + e_t[t,x] via the angle-sum identity: trig on
+    the (t,y) and (t,x) marginals only, never on the full (t,y,x) field
+    (the plain path's single biggest trig bill)."""
+    if taper_pow % 2 == 0:
+        aa = (jnp.pi / w) * (u0_b + 0.5)                     # (sub, ny)
+        bb = (jnp.pi / w) * e_t                              # (sub, nxc)
+        s_u = (jnp.sin(aa)[:, :, None] * jnp.cos(bb)[:, None, :]
+               + jnp.cos(aa)[:, :, None] * jnp.sin(bb)[:, None, :])
+        t2_ = s_u * s_u
+        return t2_ * t2_ if taper_pow == 4 else t2_ ** (taper_pow // 2)
+    return _taper(u0_b[:, :, None] + e_t[:, None, :], w, taper_pow)
+
+
 def _cein_tyx(g, kern, prec: str):
     """The factor-accumulate's (t,m,y)x(t,m,x)->(t,y,x) complex einsum with
     managed precision. HIGHEST costs 6 bf16 MXU passes per real dot (24
@@ -718,6 +778,8 @@ def _accumulate_factor(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
 
     n_sub = -(-num_p // sub_p)
     p_pad = n_sub * sub_p
+    m_prec = (jax.lax.Precision.DEFAULT if einsum_prec == "default"
+              else jax.lax.Precision.HIGHEST)
 
     def padp(x, edge=False):
         cfg = [(0, p_pad - num_p)] + [(0, 0)] * (x.ndim - 1)
@@ -743,27 +805,125 @@ def _accumulate_factor(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
         e_t = bt_b[:, None] * xic[None, :] + ct_b[:, None] * xic[None, :] ** 2
         kern = expj(_TWO_PI * f_m[None, :, None] * e_t[:, None, :])
         val = _cein_tyx(g, kern, einsum_prec)
-        # taper division at u = u0[t,y] + e_t[t,x] via the angle-sum
-        # identity: trig on the (t,y) and (t,x) marginals only, never on
-        # the full (t,y,x) field (the plain path's single biggest trig bill)
-        if plan.taper_pow % 2 == 0:
-            aa = (jnp.pi / w) * (u0_b + 0.5)                 # (sub, ny)
-            bb = (jnp.pi / w) * e_t                          # (sub, nxc)
-            s_u = (jnp.sin(aa)[:, :, None] * jnp.cos(bb)[:, None, :]
-                   + jnp.cos(aa)[:, :, None] * jnp.sin(bb)[:, None, :])
-            t2_ = s_u * s_u
-            tp = t2_ * t2_ if plan.taper_pow == 4 \
-                else t2_ ** (plan.taper_pow // 2)
-        else:
-            tp = _taper(u0_b[:, :, None] + e_t[:, None, :], w, plan.taper_pow)
-        val = val / jnp.maximum(tp, 1e-4)
+        val = val / jnp.maximum(
+            _taper_field(u0_b, e_t, w, plan.taper_pow), 1e-4)
         d_ph = ((pa_b - pac[None])[:, :, None]
                 + (pb_b - pbc[None])[:, :, None] * xic[None, None, :]
                 + (pc_b - pcc[None])[:, :, None] * xic[None, None, :] ** 2)
         j_s = jnp.sum(val * expj(d_ph) * wl_b[:, None, None], axis=0)
-        j_up = j_s @ u_mat                                   # (ny, nx)
+        # the merge matmul is tiny (one (ny, nxc) @ (nxc, nx) per
+        # sub-aperture) — run it exact unless math_mode='fast' asked for
+        # the single-pass bf16 class throughout
+        j_up = jnp.matmul(j_s, u_mat, precision=m_prec)      # (ny, nx)
         carrier = expj(pac[:, None] + pbc[:, None] * xi[None, :]
                        + pcc[:, None] * xi[None, :] ** 2)
+        return img + carrier * j_up, None
+
+    img0 = jnp.zeros((ny, nx), jnp.complex64)
+    img, _ = jax.lax.scan(step, img0, xs)
+    return img
+
+
+def _accumulate_factor2(rc2, u0, pa, pb, pc, b_t, c_t, plan: FastBpPlan,
+                        sub_p1: int, grp: int,
+                        einsum_prec: str = "highest"):
+    """Two-level factorized accumulation (the round-3 follow-through to
+    :func:`_accumulate_factor`).
+
+    Every per-pulse cost of the single-level path — the inner-sum trig and
+    taper fields, the (t, m, y) x (t, m, x) einsum, and the (t, y, nx_c)
+    HBM intermediates — scales with the coarse column count, so running
+    the inner sums on ``plan.nx_c1`` = nx_c/2 columns halves all of them.
+    The price is a second (cheap) merge level:
+
+        level 1:  J1_i(y, xc1) = sum_t val * exp(j(ph_t - ph_a1))     (nx_c1)
+        level 2:  J2_j(y, xc2) = sum_{i in group j}
+                      exp(j(ph_a1 - ph_a2)) * (J1_i @ U12)            (nx_c)
+        final:    img += exp(j ph_a2) * (J2_j @ U)                    (nx_i)
+
+    where a1/a2 are the level-1/level-2 anchor pulses. Phase totals stay
+    exact (a2 + (a1 - a2) + (t - a1) telescopes); the new approximations
+    are the level-1 band-limited merge (~-73 dB, :func:`_upsample_matrix_l1`)
+    and the budget split sized by :func:`make_plan`: the level-1 images
+    keep their full band on the nx_c grid, and the level-1-anchor Doppler
+    offsets within a group are bounded by the remaining band (s2), so the
+    final merge sees content inside the same alias-free budget as the
+    single-level path. Same operand contract as :func:`_accumulate`.
+    Reference semantics covered: sar_batch_sim.py:171-238.
+    """
+    num_p = rc2.shape[0]
+    w = plan.w_win
+    ny, nx, nxc, nxc1 = plan.ny_i, plan.nx_i, plan.nx_c, plan.nx_c1
+    f_m = jnp.fft.fftfreq(w).astype(jnp.float32)
+    xi = (jnp.arange(nx, dtype=jnp.float32) - (nx - 1) / 2.0)
+    xic = (jnp.arange(nxc, dtype=jnp.float32) - (nxc - 1) / 2.0
+           ) * jnp.float32(nx / nxc)
+    xic1 = (jnp.arange(nxc1, dtype=jnp.float32) - (nxc1 - 1) / 2.0
+            ) * jnp.float32(nx / nxc1)
+    u_mat = jnp.asarray(_upsample_matrix(plan))
+    u12 = jnp.asarray(_upsample_matrix_l1(plan))
+
+    band = jax.lax.slice_in_dim(
+        rc2, plan.band_start,
+        plan.band_start + plan.stride * (ny - 1) + w, 1, axis=1)
+
+    t_grp = grp * sub_p1                     # pulses per level-2 group
+    n_sub2 = -(-num_p // t_grp)
+    p_pad = n_sub2 * t_grp
+    m_prec = (jax.lax.Precision.DEFAULT if einsum_prec == "default"
+              else jax.lax.Precision.HIGHEST)
+
+    def padp(x, edge=False):
+        cfg = [(0, p_pad - num_p)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, mode="edge" if edge else "constant").reshape(
+            (n_sub2, t_grp) + x.shape[1:])
+
+    # level-1 anchors (one per sub-aperture, clipped to live pulses) and
+    # level-2 anchors (one per group)
+    i1 = jnp.arange(n_sub2 * grp)
+    ci1 = jnp.minimum(i1 * sub_p1 + sub_p1 // 2, num_p - 1)
+    cj = jnp.minimum(jnp.arange(n_sub2) * t_grp + t_grp // 2, num_p - 1)
+
+    def a1(v):
+        return v[ci1].reshape(n_sub2, grp, *v.shape[1:])
+
+    w_live = jnp.pad(jnp.ones((num_p,), jnp.float32), (0, p_pad - num_p))
+    xs = (padp(band), padp(u0, edge=True), padp(pa, edge=True),
+          padp(pb, edge=True), padp(pc, edge=True), padp(b_t, edge=True),
+          padp(c_t, edge=True), w_live.reshape(n_sub2, t_grp),
+          a1(pa), a1(pb), a1(pc), pa[cj], pb[cj], pc[cj])
+
+    def step(img, x):
+        (band_b, u0_b, pa_b, pb_b, pc_b, bt_b, ct_b, wl_b,
+         pa1, pb1, pc1, pa2, pb2, pc2) = x
+        w_hat = _window_spectra(band_b, plan)               # (T, W, ny)
+        g = w_hat * expj(_TWO_PI * f_m[None, :, None] * u0_b[:, None, :])
+        e_t = (bt_b[:, None] * xic1[None, :]
+               + ct_b[:, None] * xic1[None, :] ** 2)
+        kern = expj(_TWO_PI * f_m[None, :, None] * e_t[:, None, :])
+        val = _cein_tyx(g, kern, einsum_prec)               # (T, ny, nxc1)
+        val = val / jnp.maximum(
+            _taper_field(u0_b, e_t, w, plan.taper_pow), 1e-4)
+        # residual phase vs the pulse's LEVEL-1 anchor
+        pa_r = jnp.repeat(pa1, sub_p1, axis=0)              # (T, ny)
+        pb_r = jnp.repeat(pb1, sub_p1, axis=0)
+        pc_r = jnp.repeat(pc1, sub_p1, axis=0)
+        d_ph = ((pa_b - pa_r)[:, :, None]
+                + (pb_b - pb_r)[:, :, None] * xic1[None, None, :]
+                + (pc_b - pc_r)[:, :, None] * xic1[None, None, :] ** 2)
+        contrib = val * expj(d_ph) * wl_b[:, None, None]
+        j1 = contrib.reshape(grp, sub_p1, ny, nxc1).sum(axis=1)
+        # both merge matmuls are tiny — run them exact unless
+        # math_mode='fast' asked for the single-pass bf16 class throughout
+        j12 = jnp.einsum("gyc,cd->gyd", j1, u12,
+                         precision=m_prec)                  # (grp, ny, nxc)
+        car12 = expj((pa1 - pa2[None])[:, :, None]
+                     + (pb1 - pb2[None])[:, :, None] * xic[None, None, :]
+                     + (pc1 - pc2[None])[:, :, None] * xic[None, None, :] ** 2)
+        j2 = jnp.sum(car12 * j12, axis=0)                   # (ny, nxc)
+        j_up = jnp.matmul(j2, u_mat, precision=m_prec)      # (ny, nx)
+        carrier = expj(pa2[:, None] + pb2[:, None] * xi[None, :]
+                       + pc2[:, None] * xi[None, :] ** 2)
         return img + carrier * j_up, None
 
     img0 = jnp.zeros((ny, nx), jnp.complex64)
@@ -870,10 +1030,13 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
             accumulate = "xla"           # available for tests anywhere
         elif accumulate in ("factor_pallas", "factor_kernel"):
             accumulate = "factor"
+        elif accumulate == "factor2_pallas":
+            accumulate = "factor2"
     use_pallas = accumulate in ("pallas", "pallas_interpret")
     use_fkern = accumulate in ("factor_kernel", "factor_kernel_interpret")
-    use_pfft = use_pallas or accumulate == "factor_pallas" or (
-        use_fkern and accumulate == "factor_kernel")
+    use_pfft = (use_pallas or accumulate in ("factor_pallas",
+                                             "factor2_pallas")
+                or (use_fkern and accumulate == "factor_kernel"))
     interp = accumulate.endswith("_interpret")
     scope = jax.named_scope
     if (use_pfft and compress) or raw_spectra is not None:
@@ -956,6 +1119,12 @@ def backproject_fast(rc, sat_pos, sat_vel, t_slow, vel_focus, p: BpParams,
                 img_i = _accumulate_factor(
                     rc2, u0, pa, pb, pc, b_t, c_t, plan_acc, sub_p,
                     einsum_prec="default" if fast_math else "highest")
+        elif (accumulate in ("factor2", "factor2_pallas")
+              and plan.sub_raw1 > 0):
+            sub_p1 = max(1, plan.sub_raw1 // max(1, presum))
+            img_i = _accumulate_factor2(
+                rc2, u0, pa, pb, pc, b_t, c_t, plan_acc, sub_p1, plan.grp,
+                einsum_prec="default" if fast_math else "highest")
         elif accumulate.startswith("factor") and plan.sub_raw > 0:
             sub_p = max(1, plan.sub_raw // max(1, presum))
             img_i = _accumulate_factor(

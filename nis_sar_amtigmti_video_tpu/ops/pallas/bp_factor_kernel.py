@@ -246,11 +246,14 @@ def accumulate_factor_pallas(rc2, u0, pa, pb, pc, b_t, c_t,
     u_mat = jnp.asarray(_upsample_matrix(plan))
     xi = (jnp.arange(nx, dtype=jnp.float32) - (nx - 1) / 2.0)
 
+    m_prec = (jax.lax.Precision.DEFAULT if mode == "bf16"
+              else jax.lax.Precision.HIGHEST)   # tiny matmul: exact is free
+
     def merge(img, x):
         js_s, pac, pbc, pcc = x
         carrier = expj(pac[:, None] + pbc[:, None] * xi[None, :]
                        + pcc[:, None] * xi[None, :] ** 2)
-        return img + carrier * (js_s @ u_mat), None
+        return img + carrier * jnp.matmul(js_s, u_mat, precision=m_prec), None
 
     img0 = jnp.zeros((ny, nx), jnp.complex64)
     img, _ = jax.lax.scan(merge, img0, (j_s, pa_c, pb_c, pc_c))

@@ -174,6 +174,8 @@ def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
 
     from nis_sar_amtigmti_video_tpu.ops import bp_fast as bf
 
+    if accumulate == "factor2_pallas":  # recentre= is a separate knob here
+        accumulate = "factor2"
     if jax.default_backend() != "tpu":
         if accumulate == "pallas":      # Mosaic needs a TPU; mirrors
             accumulate = "xla"          # backproject_fast
@@ -260,6 +262,10 @@ def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
                 rc2, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l, plan_acc,
                 max(1, plan.sub_raw // d),
                 interpret=accumulate.endswith("_interpret"))
+        elif accumulate == "factor2" and plan.sub_raw1 > 0:
+            img = bf._accumulate_factor2(rc2, u0_l, pa_l, pb_l, pc_l, bt_l,
+                                         ct_l, plan_acc,
+                                         max(1, plan.sub_raw1 // d), plan.grp)
         elif accumulate.startswith("factor") and plan.sub_raw > 0:
             img = bf._accumulate_factor(rc2, u0_l, pa_l, pb_l, pc_l, bt_l,
                                         ct_l, plan_acc,

@@ -187,6 +187,44 @@ class TestFastBp:
             accumulate="factor"))
         _check(got, want, **ck)
 
+    @pytest.mark.parametrize("case", ["static", "mbp", "squint", "stride2"])
+    def test_factor2_meets_oracle(self, case):
+        """Two-level factorized accumulation under the same oracle budgets
+        as the single-level path, across the geometry matrix."""
+        kw = dict(static={}, mbp=dict(vel=(12.0, 5.0, 0.0)),
+                  squint=dict(t_offset=0.08),
+                  stride2=dict(fs=360e6, ns=2048))[case]
+        raw, traj, p, t0 = _scene(**kw)
+        vf = np.asarray(kw.get("vel", (0.0, 0.0, 0.0)), float)
+        plan = bp_fast.make_plan(p, traj.positions, traj.times, t0,
+                                 factorize=True)
+        assert plan.sub_raw1 > 0 and plan.nx_c1 > 0 and plan.grp >= 2
+        ck = dict(peak_db=0.12, peak_phase=0.02,
+                  field=0.012) if case == "squint" else {}
+        want = _oracle_upsampled(raw, traj, p, t0, vf)
+        got = np.asarray(bp_fast.focus_bp_fast(
+            cplx.to_device(raw), traj.positions, traj.velocities,
+            traj.times, vf, t0, p, plan=plan, accumulate="factor2"))
+        _check(got, want, **ck)
+
+    def test_factor2_matches_single_level(self):
+        """factor2 vs factor on the same operands: the only differences
+        allowed are the level-1 band-limited merge (~-73 dB) and the
+        budget re-split."""
+        raw, traj, p, t0 = _scene()
+        vf = np.zeros(3)
+        plan = bp_fast.make_plan(p, traj.positions, traj.times, t0,
+                                 factorize=True)
+        assert plan.sub_raw1 > 0
+        want = np.asarray(bp_fast.focus_bp_fast(
+            cplx.to_device(raw), traj.positions, traj.velocities,
+            traj.times, vf, t0, p, plan=plan, accumulate="factor"))
+        got = np.asarray(bp_fast.focus_bp_fast(
+            cplx.to_device(raw), traj.positions, traj.velocities,
+            traj.times, vf, t0, p, plan=plan, accumulate="factor2"))
+        err = np.abs(got - want).max() / np.abs(want).max()
+        assert err < 5e-4, err
+
     def test_factorized_multi_subaperture_matches_plain(self):
         """Force several small sub-apertures (sub_p exercised > 1 anchor)
         and compare against the plain accumulate on the same operands: the

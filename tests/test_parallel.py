@@ -335,6 +335,27 @@ class TestShardedBP:
             presum=2, accumulate="factor"))
         np.testing.assert_allclose(got, want, atol=2e-3 * np.abs(want).max())
 
+    def test_fast_bp_sharded_factor2_accumulate(self):
+        """Sharded two-level factorized accumulate vs the single-device
+        factor2 path (per-shard anchors again change only the band-limited
+        merge error)."""
+        from nis_sar_amtigmti_video_tpu.ops import bp_fast
+
+        raw, traj, p, plan, t0, vel = self._bp_scene(factorize=True)
+        assert plan.sub_raw1 > 0 and plan.grp >= 2
+        pos = jnp.asarray(traj.positions)
+        ve = jnp.asarray(traj.velocities)
+        ts = jnp.asarray(traj.times)
+        vf = jnp.asarray(vel, jnp.float64)
+        want = cplx.to_host(bp_fast.backproject_fast(
+            raw, pos, ve, ts, vf, p, plan, presum=2, compress=True,
+            accumulate="factor2"))
+        m = mesh_mod.make_mesh((1, 1, 8))
+        got = cplx.to_host(corner_turn.bp_fast_sharded(
+            raw, pos, ve, ts, vf, jnp.float64(t0), p, plan, m, axis="seq",
+            presum=2, accumulate="factor2"))
+        np.testing.assert_allclose(got, want, atol=2e-3 * np.abs(want).max())
+
     def test_fast_bp_sharded_factor_kernel(self):
         """Sharded fused factor-accumulate kernel (interpret mode) vs the
         single-device kernel path — the factor analog of the pixel-tile
