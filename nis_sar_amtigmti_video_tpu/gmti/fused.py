@@ -71,7 +71,8 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
                     mode: str = "bf16x3", interpret: bool = False,
                     k2_variant: str = "dots",
                     lead_variant: str = "swap",
-                    balance_impl: str = "pallas"):
+                    balance_impl: str = "pallas",
+                    k1_impl: str = "fused2ch"):
     """Full 2-channel GMTI CPI — raw phase-history planes in, SLC planes +
     products out — with the product step fused into the CSA megakernel's
     K3 output pass (ops/pallas/gmti_kernel.py).
@@ -86,40 +87,57 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
 
     p = cfar_params or cfar_mod.CfarParams()
     size_az, size_rg = x1r.shape[-2], x1r.shape[-1]
+    b = int(math.isqrt(size_rg))
+    interp = interpret or jax.default_backend() != "tpu"
 
-    # balance phase from the raw pair (K1/K2/K3 unitary up to + scale);
-    # the pallas reduction makes ONE HBM pass over the four planes where
-    # the jnp twin costs ~1.4 ms of the CPI at 4096^2
-    if balance and balance_impl == "pallas":
+    if k1_impl == "fused2ch":
+        # two-channel K1 with the balance reduction riding its tile read —
+        # one pallas pass replaces two K1 calls AND the raw_balance pass
+        # (the shared tables/Phi1 and the saved 256 MB read)
         with jax.enable_x64(False):
-            xs_re, xs_im = gmti_kernel.raw_balance_pallas(
-                x1r, x1i, x2r, x2i,
-                interpret=interpret or jax.default_backend() != "tpu")
-        cal = jnp.arctan2(xs_im, xs_re)
-    elif balance:
-        xs_re = jnp.sum(x1r * x2r + x1i * x2i)
-        xs_im = jnp.sum(x1i * x2r - x1r * x2i)
-        cal = jnp.arctan2(xs_im, xs_re)
+            z1r, z1i, z2r, z2i, xs_re, xs_im = gmti_kernel.k1_gmti_planes(
+                x1r, x1i, x2r, x2i, f, interpret=interp, mode=mode,
+                lead_variant=lead_variant, balance=balance)
+        cal = (jnp.arctan2(xs_im, xs_re) if balance
+               else jnp.zeros((), jnp.float32))
+        cal_cs = jnp.stack([jnp.cos(cal), jnp.sin(cal)]).reshape(1, 2)
+        with jax.enable_x64(False):
+            z1r, z1i = csa_kernel._k2_call(z1r, z1i, f, b, interpret, mode,
+                                           variant=k2_variant)
+            z2r, z2i = csa_kernel._k2_call(z2r, z2i, f, b, interpret, mode,
+                                           variant=k2_variant)
     else:
-        cal = jnp.zeros((), jnp.float32)
-    cal_cs = jnp.stack([jnp.cos(cal), jnp.sin(cal)]).reshape(1, 2)
+        # balance phase from the raw pair (K1/K2/K3 unitary up to + scale);
+        # the pallas reduction makes ONE HBM pass over the four planes where
+        # the jnp twin costs ~1.4 ms of the CPI at 4096^2
+        if balance and balance_impl == "pallas":
+            with jax.enable_x64(False):
+                xs_re, xs_im = gmti_kernel.raw_balance_pallas(
+                    x1r, x1i, x2r, x2i, interpret=interp)
+            cal = jnp.arctan2(xs_im, xs_re)
+        elif balance:
+            xs_re = jnp.sum(x1r * x2r + x1i * x2i)
+            xs_im = jnp.sum(x1i * x2r - x1r * x2i)
+            cal = jnp.arctan2(xs_im, xs_re)
+        else:
+            cal = jnp.zeros((), jnp.float32)
+        cal_cs = jnp.stack([jnp.cos(cal), jnp.sin(cal)]).reshape(1, 2)
 
-    def k12(zr, zi):
-        a = int(math.isqrt(size_az))
-        b = int(math.isqrt(size_rg))
-        with jax.enable_x64(False):
-            zr, zi = csa_kernel._k1_call(zr, zi, f.u.reshape(1, -1),
-                                         f.c1.reshape(-1, 1),
-                                         f.w.reshape(-1, 1), a, interpret,
-                                         mode, variant=lead_variant)
-            return csa_kernel._k2_call(zr, zi, f, b, interpret, mode,
-                                       variant=k2_variant)
+        def k12(zr, zi):
+            a = int(math.isqrt(size_az))
+            with jax.enable_x64(False):
+                zr, zi = csa_kernel._k1_call(zr, zi, f.u.reshape(1, -1),
+                                             f.c1.reshape(-1, 1),
+                                             f.w.reshape(-1, 1), a, interpret,
+                                             mode, variant=lead_variant)
+                return csa_kernel._k2_call(zr, zi, f, b, interpret, mode,
+                                           variant=k2_variant)
 
-    # separate per-channel K1/K2 calls measure faster than one vmapped
-    # batched dispatch here (18.5 vs 21.0 ms full-CPI): the stack/unstack
-    # copies around the batched kernel outweigh the grid batching gain
-    z1r, z1i = k12(x1r, x1i)
-    z2r, z2i = k12(x2r, x2i)
+        # separate per-channel K1/K2 calls measure faster than one vmapped
+        # batched dispatch here (18.5 vs 21.0 ms full-CPI): the stack/unstack
+        # copies around the batched kernel outweigh the grid batching gain
+        z1r, z1i = k12(x1r, x1i)
+        z2r, z2i = k12(x2r, x2i)
     (s1r, s1i, s2r, s2i, ph_raw, mag, power, cso, csi,
      peaks) = gmti_kernel.k3_gmti_planes(
         z1r, z1i, z2r, z2i, cal_cs, h_out=p.guard + p.train, h_in=p.guard,

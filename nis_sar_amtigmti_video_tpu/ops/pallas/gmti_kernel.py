@@ -54,7 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import (split_pair as
                                                           _split_pair)
 from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import blk_lhs as _blk_lhs
-from nis_sar_amtigmti_video_tpu.ops.pallas.csa_kernel import (_dft_consts,
+from nis_sar_amtigmti_video_tpu.ops.pallas.csa_kernel import (_cmul,
+                                                              _dft_consts,
                                                               _fft_lead)
 
 _LANE = 128
@@ -168,6 +169,92 @@ def raw_balance_pallas(x1r, x1i, x2r, x2i, interpret: bool = False):
         interpret=interpret,
     )(x1r, x1i, x2r, x2i)
     return jnp.sum(out[:, :_LANE]), jnp.sum(out[:, _LANE:])
+
+
+def _k1g_body(x1r, x1i, x2r, x2i, u, c1, w, wh, wl, tr_m, ti_m,
+              o1r, o1i, o2r, o2i, obal,
+              *, a: int, mode: str, variant: str, balance: bool):
+    """Two-channel CSA K1 (azimuth four-step FFT + Phi1) with the raw
+    balance reduction riding the same tile read.
+
+    The composed path runs K1 once per channel plus a third pass
+    (raw_balance_pallas) over the same four raw planes. Here both channels
+    share one grid step — the Phi1 cos/sin and the DFT/twiddle tables are
+    computed/fetched once for two channels, there are no stack/unstack HBM
+    copies (the measured cost of the vmapped batching dead end,
+    docs/ROUND3_NOTES.md §3), and the balance partials accumulate into a
+    revisited block exactly as in :func:`raw_balance_pallas` while the raw
+    tiles are already in VMEM."""
+    lane = x1r.shape[-1]
+    if balance:
+        pr = x1r[:] * x2r[:] + x1i[:] * x2i[:]
+        pi = x1i[:] * x2r[:] - x1r[:] * x2i[:]
+        row = jnp.concatenate([jnp.sum(pr, axis=0, keepdims=True),
+                               jnp.sum(pi, axis=0, keepdims=True)], axis=1)
+        blk = jnp.broadcast_to(row, (8, 2 * _LANE)) * jnp.float32(0.125)
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _init():
+            obal[:] = blk
+
+        @pl.when(j != 0)
+        def _acc():
+            obal[:] = obal[:] + blk
+    else:
+        @pl.when(pl.program_id(0) == 0)
+        def _zero():
+            obal[:] = jnp.zeros((8, 2 * _LANE), jnp.float32)
+
+    du = u[:] - w[:]
+    ph = c1[:] * du * du
+    pr1, pi1 = jnp.cos(ph), jnp.sin(ph)
+    for xr, xi, our, oui in ((x1r, x1i, o1r, o1i), (x2r, x2i, o2r, o2i)):
+        sr, si = _fft_lead(xr[:], xi[:], wh[:], wl[:], tr_m[:], ti_m[:],
+                           jnp.float32(1.0), a, lane, mode, variant=variant)
+        our[:], oui[:] = _cmul(sr, si, pr1, pi1)
+
+
+def k1_gmti_planes(x1r, x1i, x2r, x2i, f, *, interpret: bool = False,
+                   mode: str = "bf16x3", lead_variant: str = "swap",
+                   balance: bool = True):
+    """Two-channel K1 + raw balance in one pallas pass.
+
+    Returns (z1r, z1i, z2r, z2i, xs_re, xs_im) — the K1 outputs of both
+    channels plus the re/im of sum(x1 conj x2) over the raw pair (zeros
+    when balance=False)."""
+    n_az, n_rg = x1r.shape
+    a = int(math.isqrt(n_az))
+    f_m, t_m = _dft_consts(a, n_az)
+    wh, wl = _split_pair(_blk_lhs(f_m))
+    tr_m = t_m.real.astype(np.float32)
+    ti_m = t_m.imag.astype(np.float32)
+    grid = (n_rg // _LANE,)
+    bs_dat = pl.BlockSpec((n_az, _LANE), lambda j: (0, j))
+    bs_u = pl.BlockSpec((1, _LANE), lambda j: (0, j))
+    bs_az = pl.BlockSpec((n_az, 1), lambda j: (0, 0))
+    bs_c = pl.BlockSpec((a, a), lambda j: (0, 0))
+    bs_blk = pl.BlockSpec((2 * a, 2 * a), lambda j: (0, 0))
+    bs_bal = pl.BlockSpec((8, 2 * _LANE), lambda j: (0, 0))
+    big = jax.ShapeDtypeStruct((n_az, n_rg), jnp.float32)
+    with jax.enable_x64(False):
+        o = pl.pallas_call(
+            partial(_k1g_body, a=a, mode=mode, variant=lead_variant,
+                    balance=balance),
+            grid=grid,
+            in_specs=[bs_dat] * 4 + [bs_u, bs_az, bs_az, bs_blk, bs_blk,
+                                     bs_c, bs_c],
+            out_specs=[bs_dat] * 4 + [bs_bal],
+            out_shape=[big] * 4
+            + [jax.ShapeDtypeStruct((8, 2 * _LANE), jnp.float32)],
+            input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+            compiler_params=_VMEM,
+            interpret=interpret,
+        )(x1r, x1i, x2r, x2i, f.u.reshape(1, -1), f.c1.reshape(-1, 1),
+          f.w.reshape(-1, 1), wh, wl, tr_m, ti_m)
+    bal = o[4]
+    return o[0], o[1], o[2], o[3], jnp.sum(bal[:, :_LANE]), \
+        jnp.sum(bal[:, _LANE:])
 
 
 def _k3g_body(x1r, x1i, x2r, x2i, cal, wh, wl, tr_m, ti_m,

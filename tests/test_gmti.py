@@ -346,6 +346,53 @@ class TestFusedKernel:
         pg, pc = np.asarray(phase), np.asarray(phase_c)
         assert np.abs((pg - pc)[clear]).max() < 2e-3
 
+    def test_fused2ch_k1_matches_split(self):
+        """k1_impl='fused2ch' (two-channel K1 + in-kernel balance) vs the
+        split path: same kernel math, so every output matches to f32
+        rounding and the balance phase is bit-for-bit (same association
+        order as raw_balance_pallas)."""
+        import jax.numpy as jnp
+        from nis_sar_amtigmti_video_tpu import config as cfg2
+        from nis_sar_amtigmti_video_tpu.gmti import cfar
+        from nis_sar_amtigmti_video_tpu.gmti.fused import gmti_cpi_pallas
+        from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+        from nis_sar_amtigmti_video_tpu.ops.echo import window_start_time
+
+        size = 256
+        sc = cfg2.videosar()
+        g, r = sc.geometry, sc.radar
+        t0 = window_start_time(g.slant_range_m, None,
+                               sc.collect.window_length_s, "centered")
+        p = csa_ops.CsaParams(
+            wavelength_m=r.wavelength_m, chirp_rate=r.chirp_rate,
+            fs_hz=r.fs_hz, prf_hz=r.prf_hz,
+            velocity_mps=g.effective_velocity_mps,
+            range_ref_m=g.slant_range_m, t_start_fast=t0,
+            num_pulses=size, num_samples=size)
+        f = csa_ops.csa_factors(p)
+        cp = cfar.CfarParams(guard=2, train=8)
+        rng = np.random.default_rng(11)
+        x1 = (rng.standard_normal((size, size))
+              + 1j * rng.standard_normal((size, size))).astype(np.complex64)
+        x2 = (x1 * np.exp(1j * 0.31)
+              + 0.05 * (rng.standard_normal((size, size))
+                        + 1j * rng.standard_normal((size, size)))
+              ).astype(np.complex64)
+        args = (jnp.asarray(x1.real), jnp.asarray(x1.imag),
+                jnp.asarray(x2.real), jnp.asarray(x2.imag), f)
+        want = gmti_cpi_pallas(*args, cfar_params=cp, interpret=True)
+        got = gmti_cpi_pallas(*args, cfar_params=cp, interpret=True,
+                              k1_impl="fused2ch")
+        assert abs(float(got[4]) - float(want[4])) < 1e-6   # balance phase
+        for i in (0, 1, 2, 3, 5, 6):                        # SLCs + products
+            w = np.asarray(want[i])
+            scale = max(np.abs(w).max(), 1e-30)
+            np.testing.assert_allclose(np.asarray(got[i]), w,
+                                       atol=1e-5 * scale)
+        np.testing.assert_allclose(np.asarray(got[7].snr),
+                                   np.asarray(want[7].snr),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_no_balance_kernel(self):
         import jax.numpy as jnp
         from nis_sar_amtigmti_video_tpu import config as cfg2
