@@ -72,7 +72,8 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
                     k2_variant: str = "dots",
                     lead_variant: str = "swap",
                     balance_impl: str = "pallas",
-                    k1_impl: str = "fused2ch"):
+                    k1_impl: str = "fused2ch",
+                    k2_impl: str = "split"):
     """Full 2-channel GMTI CPI — raw phase-history planes in, SLC planes +
     products out — with the product step fused into the CSA megakernel's
     K3 output pass (ops/pallas/gmti_kernel.py).
@@ -102,10 +103,19 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
                else jnp.zeros((), jnp.float32))
         cal_cs = jnp.stack([jnp.cos(cal), jnp.sin(cal)]).reshape(1, 2)
         with jax.enable_x64(False):
-            z1r, z1i = csa_kernel._k2_call(z1r, z1i, f, b, interpret, mode,
-                                           variant=k2_variant)
-            z2r, z2i = csa_kernel._k2_call(z2r, z2i, f, b, interpret, mode,
-                                           variant=k2_variant)
+            if k2_impl == "pair":
+                # one pass for both channels: the Phi2/Phi3 trig fields are
+                # data-independent, so the pair kernel evaluates them once
+                # (half of K2's transcendental bill) — bit-identical per
+                # channel to the split calls
+                z1r, z1i, z2r, z2i = csa_kernel.k2_pair_call(
+                    z1r, z1i, z2r, z2i, f, b, interpret, mode,
+                    variant=k2_variant)
+            else:
+                z1r, z1i = csa_kernel._k2_call(z1r, z1i, f, b, interpret,
+                                               mode, variant=k2_variant)
+                z2r, z2i = csa_kernel._k2_call(z2r, z2i, f, b, interpret,
+                                               mode, variant=k2_variant)
     else:
         # balance phase from the raw pair (K1/K2/K3 unitary up to + scale);
         # the pallas reduction makes ONE HBM pass over the four planes where

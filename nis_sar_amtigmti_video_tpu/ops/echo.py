@@ -72,10 +72,12 @@ class EchoOpts:
     # the flanks themselves are synthesized exactly. 0 = round-1 approximate
     # mode (no exact-edge pass, ~-25 dB field floor)
     freq_edge_taper: float = 4.0
-    # 'auto' | 'dense' | 'dense_kernel' | 'scatter': how the NUFFT impulses
-    # reach the grid (dense = one-hot MXU spreading, the TPU scatter-wall
-    # fix; targets are delay-sorted below so its group windows stay narrow;
-    # dense_kernel keeps the one-hot in VMEM — ops/pallas/spread_kernel.py)
+    # 'auto' | 'dense' | 'dense_kernel' | 'dense_kernel_qr' | 'scatter':
+    # how the NUFFT impulses reach the grid (dense = one-hot MXU spreading,
+    # the TPU scatter-wall fix; targets are delay-sorted below so its group
+    # windows stay narrow; dense_kernel keeps the one-hot in VMEM —
+    # ops/pallas/spread_kernel.py; the _qr variant digit-factorizes it into
+    # one full-width MXU dot)
     freq_spreader: str = "auto"
     # dense-spreader group sizing overrides (None = module defaults): the
     # (grp, B/grp, win) one-hot is the dense path's HBM bill; tighter

@@ -218,7 +218,8 @@ def _spread_dense(i0, val_sets, l_out: int, win: int, grp: int,
                        ((0, 0), (0, 0), (0, 0), (0, bgp - bg)))
                for vr, vi, _ in val_sets]
         wins = spread_windows_pallas(c_ok, vts, win,
-                                     interpret=impl == "pallas_interpret")
+                                     interpret=impl.endswith("interpret"),
+                                     qr="qr" in impl)
 
     fr = jnp.zeros((pc, l_pad), jnp.float32)
     fi = jnp.zeros_like(fr)
@@ -322,14 +323,18 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
         # 2.07 s/channel pass, scripts/probe_echo_spread_sweep.py)
         spreader = ("dense_kernel" if jax.default_backend() == "tpu"
                     else "scatter")
-    if spreader == "dense_kernel" and jax.default_backend() != "tpu":
+    if (spreader in ("dense_kernel", "dense_kernel_qr")
+            and jax.default_backend() != "tpu"):
         spreader = "dense"                 # Mosaic needs a TPU (csa.py guard)
     if spreader not in ("scatter", "dense", "dense_kernel",
-                        "dense_kernel_interpret"):
+                        "dense_kernel_qr", "dense_kernel_interpret",
+                        "dense_kernel_qr_interpret"):
         raise ValueError(f"unknown spreader {spreader!r}")
     use_dense = spreader != "scatter"
     d_impl = {"dense": "xla", "dense_kernel": "pallas",
+              "dense_kernel_qr": "pallas_qr",
               "dense_kernel_interpret": "pallas_interpret",
+              "dense_kernel_qr_interpret": "pallas_qr_interpret",
               "scatter": "xla"}[spreader]
     # group sizing: the (pc, grp, B/grp, win) one-hot IS the dense path's
     # HBM bill (~grp*(B/grp)*win bf16 per pulse); more/smaller groups cut it

@@ -318,6 +318,103 @@ def _k2_body(xr, xi, frs2, alpha, beta, cph3, dr3, usq3, rphase, g, c3,
     oui[:] = jnp.swapaxes(s[..., b:], 1, 2)
 
 
+def _k2g_body(x1r, x1i, x2r, x2i, frs2, alpha, beta, cph3, dr3, usq3,
+              rphase, g, c3, wf_hi, wf_lo, wi_hi, wi_lo,
+              fc_hi, fc_lo, ic_hi, ic_lo, a1, b1, a2, b2,
+              o1r, o1i, o2r, o2i, *, b: int, mode: str, variant: str):
+    """Two-channel K2 in one grid step: the Phi2/Phi3 trig fields depend
+    only on (azimuth row, range layout), never on the data, so both
+    channels share ONE cos/sin evaluation — half of K2's transcendental
+    bill — plus one fetch of the DFT/twiddle tables. The per-channel dot
+    pipeline is :func:`_k2_body`'s, bit-identical (cos(ph)·s +
+    roll(s)·(sin(ph)·sgn) with the sgn folded into the shared sin)."""
+    sgn = _half_sign((1, 1, 2 * b), b)
+
+    def swap_dot(s, ch, cl):
+        dc = _dot3(s, ch, cl, 1, mode)                     # (R, 2d, 2m)
+        return jnp.concatenate(
+            [dc[:, :b, :b] - dc[:, b:, b:],                # re*Wr - im*Wi
+             dc[:, b:, :b] + dc[:, :b, b:]], axis=2)       # im*Wr + re*Wi
+
+    fv = frs2[:][None]
+    ph2 = (alpha[:] * fv + beta[:]) * fv                   # (R, b, 2b)
+    cs2 = jnp.cos(ph2)
+    sn2 = jnp.sin(ph2) * sgn
+    ph3 = rphase[:] + cph3[:][None] + g[:] * dr3[:][None] \
+        - c3[:] * usq3[:][None]
+    cs3 = jnp.cos(ph3)
+    sn3 = jnp.sin(ph3) * sgn
+
+    for xr, xi, our, oui in ((x1r, x1i, o1r, o1i), (x2r, x2i, o2r, o2i)):
+        z = jnp.concatenate([xr[:], xi[:]], axis=1)        # (R, 2p, q)
+        s = _dot3(z, wf_hi[:], wf_lo[:], 1, mode)          # (R, q, [k|k])
+        s = s * a1[:][None] + _roll_half(s) * b1[:][None]
+        if variant == "dots":
+            s = swap_dot(s, fc_hi[:], fc_lo[:])            # (R, k, [m|m])
+        else:
+            s = _restack(s)
+            s = _dot3(s, wf_hi[:], wf_lo[:], 2, mode)
+        s = s * cs2 + _roll_half(s) * sn2
+        s = _dot3(s, wi_hi[:], wi_lo[:], 2, mode)          # (R, k, [q|q])
+        s = s * a2[:][None] + _roll_half(s) * b2[:][None]
+        if variant == "dots":
+            s = swap_dot(s, ic_hi[:], ic_lo[:])            # (R, q, [p|p])
+        else:
+            s = _restack(s)
+            s = _dot3(s, wi_hi[:], wi_lo[:], 2, mode)
+        s = s * cs3 + _roll_half(s) * sn3
+        our[:] = jnp.swapaxes(s[..., :b], 1, 2)
+        oui[:] = jnp.swapaxes(s[..., b:], 1, 2)
+
+
+def k2_pair_call(x1r, x1i, x2r, x2i, f, b: int, interpret: bool, mode: str,
+                 rows: int = 64, variant: str = "dots"):
+    """Both channels' K2 through :func:`_k2g_body` — one pallas pass.
+
+    Same contract as two :func:`_k2_call` invocations (bit-identical per
+    channel); used by the kernel-fused GMTI CPI (gmti/fused.py). rows
+    defaults to 64, not _k2_call's 128: the shared trig fields plus TWO
+    channels' working sets overflow the 64 MB scoped-VMEM stack at 128
+    (93.8 MB measured at 4096^2 on v5e)."""
+    n = b * b
+    n_az = x1r.shape[0]
+    while n_az % rows:
+        rows //= 2
+    frs2, cph3, dr3, usq3 = _k2_tables(f, b)
+    (wf_hi, wf_lo), (wi_hi, wi_lo), (fc_hi, fc_lo), (ic_hi, ic_lo), \
+        a1, b1, a2, b2 = _k2_consts(b)
+    grid = (n_az // rows,)
+    bs_dat = pl.BlockSpec((rows, b, b), lambda i: (i, 0, 0))
+    bs_az = pl.BlockSpec((rows, 1, 1), lambda i: (i, 0, 0))
+    bs_tab = pl.BlockSpec((b, 2 * b), lambda i: (0, 0))
+    bs_w = pl.BlockSpec((2 * b, 2 * b), lambda i: (0, 0))
+
+    def col(v):
+        return jnp.asarray(v).reshape(-1, 1, 1)
+
+    with jax.enable_x64(False):
+        o = pl.pallas_call(
+            partial(_k2g_body, b=b, mode=mode, variant=variant),
+            grid=grid,
+            in_specs=[bs_dat] * 4 + [bs_tab, bs_az, bs_az, bs_tab, bs_tab,
+                                     bs_tab, bs_az, bs_az, bs_az,
+                                     bs_w, bs_w, bs_w, bs_w,
+                                     bs_tab, bs_tab, bs_tab, bs_tab,
+                                     bs_tab, bs_tab, bs_tab, bs_tab],
+            out_specs=[bs_dat] * 4,
+            out_shape=[jax.ShapeDtypeStruct((n_az, b, b), jnp.float32)] * 4,
+            input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+            compiler_params=_VMEM,
+            interpret=interpret,
+        )(x1r.reshape(n_az, b, b), x1i.reshape(n_az, b, b),
+          x2r.reshape(n_az, b, b), x2i.reshape(n_az, b, b), frs2,
+          col(f.alpha), col(f.beta), cph3, dr3, usq3,
+          col(f.rphase), col(f.g), col(f.c3),
+          wf_hi, wf_lo, wi_hi, wi_lo, fc_hi, fc_lo, ic_hi, ic_lo,
+          a1, b1, a2, b2)
+    return tuple(z.reshape(n_az, n) for z in o)
+
+
 def _k2_tables(f, b: int):
     """CsaFactors range vectors re-laid for K2's internal digit layouts
     (traced jnp ops — factors may be jit values)."""

@@ -43,6 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 _VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# one M-stacked value dot per tile vs hi/lo (and per-set) dots — see
+# _kernel; bit-identical, A/B'd by scripts/probe_echo_dense_stages.py
+_M_STACK = True
 
 
 def _kernel(c_ref, *refs, n_sets: int, k_taps: int):
@@ -56,23 +59,37 @@ def _kernel(c_ref, *refs, n_sets: int, k_taps: int):
     iota = jax.lax.broadcasted_iota(jnp.int32, (win, bg), 0)
     oh_t = (iota == c_ref[0, 0]).astype(jnp.bfloat16)
 
+    # hi/lo bf16 halves split by the CALLER: splitting in-kernel lets
+    # the Mosaic pipeline (compiled with allow_excess_precision) elide
+    # the f32->bf16->f32 round trip, collapsing lo to ~0 and leaving
+    # hi-only (bf16-grade) results — measured 2e-2-rms errors on v5e.
+    # With _M_STACK, every set's hi AND lo halves stack on the M axis so
+    # ONE dot serves them all: the MXU sees M = 4*n_sets*K rows instead of
+    # 2K twice per set (M=16 left 7/8 of the systolic array idle at the
+    # default W=8). Both paths are bit-identical (independent output rows,
+    # same hi+lo add order); the flag exists only for the A/B probe.
+    k2 = 2 * k_taps
+
+    def dg(a):
+        # contract bg against the transposed one-hot (A @ B^T — the
+        # MXU-native form, no relayout of oh_t)
+        return jax.lax.dot_general(
+            a, oh_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (., win)
+
+    if _M_STACK:
+        stacked = jnp.concatenate(
+            [refs[i][0, 0] for i in range(2 * n_sets)],
+            axis=0)                                      # (2*n_sets*2K, bg)
+        part_all = dg(stacked)
+
     rows = []
     for s in range(n_sets):
-        # hi/lo bf16 halves split by the CALLER: splitting in-kernel lets
-        # the Mosaic pipeline (compiled with allow_excess_precision) elide
-        # the f32->bf16->f32 round trip, collapsing lo to ~0 and leaving
-        # hi-only (bf16-grade) results — measured 2e-2-rms errors on v5e
-        vh = refs[2 * s][0, 0]                          # (2K, bg) bf16
-        vl = refs[2 * s + 1][0, 0]                      # (2K, bg) bf16
-
-        def dg(a):
-            # contract bg against the transposed one-hot (A @ B^T — the
-            # MXU-native form, no relayout of oh_t)
-            return jax.lax.dot_general(
-                a, oh_t, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (2K, win)
-
-        part = dg(vh) + dg(vl)   # one-hot exact in bf16; split v only
+        if _M_STACK:
+            part = part_all[2 * s * k2:(2 * s + 1) * k2] \
+                + part_all[(2 * s + 1) * k2:(2 * s + 2) * k2]
+        else:
+            part = dg(refs[2 * s][0, 0]) + dg(refs[2 * s + 1][0, 0])
         acc_r = part[0:1]
         acc_i = part[k_taps:k_taps + 1]
         for k in range(1, k_taps):
@@ -83,7 +100,58 @@ def _kernel(c_ref, *refs, n_sets: int, k_taps: int):
     out_ref[0, 0] = jnp.concatenate(rows, axis=0)
 
 
-def spread_windows_pallas(c_ok, v_sets, win: int, interpret: bool = False):
+def _kernel_qr(c_ref, *refs, n_sets: int, k_taps: int, nq: int):
+    """Digit-factorized spread: window cell c = 128*q + r, so the (win, bg)
+    one-hot factors as Oq (nq, bg) x Or (128, bg) per tap, and
+
+        out2d[q, r] = sum_k sum_b (Oq_k[q, b] * v[k, b]) * Or_k[r, b]
+
+    is ONE MXU dot with the taps folded into the contraction axis:
+    LHS (4*K-variant rows x nq, k_taps*bg) @ RHS (128, k_taps*bg)^T.
+    vs :func:`_kernel`: M = 128*n_sets instead of 16, N = 128, no
+    per-tap lane rolls, and ~3x less one-hot build. out2d row-major IS
+    the window, so the (n_rows*nq, 128) output block reshapes freely.
+
+    Accumulation order differs from the roll chain (all taps ride one
+    f32 MXU accumulator), so results are f32-rounding-class equal to the
+    XLA dense path, not bit-identical like :func:`_kernel`."""
+    out_ref = refs[2 * n_sets]
+    bg = c_ref.shape[3]
+    c = c_ref[0, 0]                                       # (1, bg) i32
+
+    qi = jax.lax.broadcasted_iota(jnp.int32, (nq, bg), 0)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (_LANE, bg), 0)
+    rhs, mqs = [], []
+    for k in range(k_taps):
+        ck = c + k
+        qk = ck // _LANE                                  # floor: -1 drops
+        rk = ck - qk * _LANE
+        mqs.append(qi == qk)
+        rhs.append((ri == rk).astype(jnp.bfloat16))
+    rhs_m = jnp.concatenate(rhs, axis=1)                  # (128, K*bg)
+
+    lhs_rows = []
+    for i in range(2 * n_sets):                           # set-major, hi/lo
+        v = refs[i][0, 0]                                 # (2K, bg) bf16
+        for f in range(2):                                # re, im
+            lhs_rows.append(jnp.concatenate(
+                [jnp.where(mqs[k], v[f * k_taps + k][None], 0)
+                 for k in range(k_taps)], axis=1))        # (nq, K*bg)
+    lhs_m = jnp.concatenate(lhs_rows, axis=0)
+    part = jax.lax.dot_general(
+        lhs_m, rhs_m, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (., 128)
+
+    blocks = []
+    for s in range(n_sets):
+        hi = part[4 * s * nq:(4 * s + 2) * nq]            # re rows, im rows
+        lo = part[(4 * s + 2) * nq:(4 * s + 4) * nq]
+        blocks.append(hi + lo)                            # (2*nq, 128)
+    out_ref[0, 0] = jnp.concatenate(blocks, axis=0)
+
+
+def spread_windows_pallas(c_ok, v_sets, win: int, interpret: bool = False,
+                          qr: bool = False):
     """Group windows for :func:`ops.echo_freq._spread_dense`'s value sets.
 
     c_ok: (pc, grp, bg) i32 window-relative tap-0 cells, -1 for targets to
@@ -95,6 +163,9 @@ def spread_windows_pallas(c_ok, v_sets, win: int, interpret: bool = False):
     f32 input would.
     Returns [(out_r, out_i)] per set, each (pc, grp, win) f32 — identical
     contract to the XLA one-hot + roll chain it replaces.
+
+    qr=True selects the digit-factorized kernel (:func:`_kernel_qr` —
+    f32-rounding-class equal rather than bit-identical).
     """
     pc, grp, bg = c_ok.shape
     k2 = v_sets[0].shape[2]
@@ -119,17 +190,25 @@ def spread_windows_pallas(c_ok, v_sets, win: int, interpret: bool = False):
     # of a (pc, grp, bg) array has sublane dim 1 != grp and fails to lower
     bs_c = pl.BlockSpec((1, 1, 1, bg), lambda i, g: (i, g, 0, 0))
     bs_v = pl.BlockSpec((1, 1, k2, bg), lambda i, g: (i, g, 0, 0))
-    bs_o = pl.BlockSpec((1, 1, n_rows, win), lambda i, g: (i, g, 0, 0))
+    nq = win // _LANE
+    # qr writes (n_rows*nq, 128) rows — out2d row-major IS the window, so
+    # the reshape below is a free contiguous view
+    o_shape = ((pc, grp, n_rows * nq, _LANE) if qr
+               else (pc, grp, n_rows, win))
+    bs_o = pl.BlockSpec((1, 1) + o_shape[2:], lambda i, g: (i, g, 0, 0))
+    body = (partial(_kernel_qr, n_sets=n_sets, k_taps=k2 // 2, nq=nq)
+            if qr else partial(_kernel, n_sets=n_sets, k_taps=k2 // 2))
 
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            partial(_kernel, n_sets=n_sets, k_taps=k2 // 2),
+            body,
             grid=(pc, grp),
             in_specs=[bs_c] + [bs_v] * (2 * n_sets),
             out_specs=bs_o,
-            out_shape=jax.ShapeDtypeStruct((pc, grp, n_rows, win),
-                                           jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(o_shape, jnp.float32),
             compiler_params=_VMEM,
             interpret=interpret,
         )(c_ok[:, :, None, :], *halves)
+    if qr:
+        out = out.reshape(pc, grp, n_rows, win)
     return [(out[:, :, 2 * s], out[:, :, 2 * s + 1]) for s in range(n_sets)]

@@ -57,7 +57,11 @@ for tag, et, spreader, conv in (
         ("scatter no-edge ", 0.0, "scatter", "xla"),
         ("kernel full     ", 4.0, "dense_kernel", "xla"),
         ("dense conv-fused", 4.0, "dense", "pallas"),
-        ("kernel+conv     ", 4.0, "dense_kernel", "pallas")):
+        ("kernel+conv     ", 4.0, "dense_kernel", "pallas"),
+        ("kernel+conv m=2K", 4.0, "dense_kernel", "pallas"),
+        ("kernel+conv qr  ", 4.0, "dense_kernel_qr", "pallas")):
+    from nis_sar_amtigmti_video_tpu.ops.pallas import spread_kernel
+    spread_kernel._M_STACK = "m=2K" not in tag
     try:
         fn = jax.jit(lambda t, c, a, et=et, sp=spreader, cv=conv:
                      echo_freq.synthesize(t, c, a, opts, edge_taper=et,

@@ -34,10 +34,11 @@ f = csa_ops.csa_factors(p)
 cfar_p = cfar.CfarParams(guard=2, train=8)
 
 
-def run(k1_impl: str):
+def run(k1_impl: str, k2_impl: str = "split"):
     def gmti_one(x1r, x1i, x2r, x2i):
         s1r, s1i, s2r, s2i, cal, phase, dmag, det = gmti_cpi_pallas(
-            x1r, x1i, x2r, x2i, f, cfar_params=cfar_p, k1_impl=k1_impl)
+            x1r, x1i, x2r, x2i, f, cfar_params=cfar_p, k1_impl=k1_impl,
+            k2_impl=k2_impl)
         summary = jnp.sum(phase) + jnp.sum(dmag) + jnp.sum(det.snr) + cal
         return s1r, s1i, s2r, s2i, summary
 
@@ -52,15 +53,17 @@ def run(k1_impl: str):
         out = fn(out[0], out[1], out[2], out[3])
     s_last = float(out[4])
     ms = 1000.0 * (time.perf_counter() - t1) / iters
-    print(f"k1_impl={k1_impl:9s}: {ms:6.2f} ms/CPI -> {1000.0 / ms:5.1f} fps"
+    print(f"k1={k1_impl:8s} k2={k2_impl:5s}: {ms:6.2f} ms/CPI -> "
+          f"{1000.0 / ms:5.1f} fps"
           f"  (sum first/last {s_first:.4g}/{s_last:.4g})")
     return ms
 
 
 # interleave A/B/A/B to cancel slow drift on the shared pool
-res = {"split": [], "fused2ch": []}
+COMBOS = (("split", "split"), ("fused2ch", "split"), ("fused2ch", "pair"))
+res = {c: [] for c in COMBOS}
 for _rep in range(int(os.environ.get("REPS", "2"))):
-    for impl in ("split", "fused2ch"):
-        res[impl].append(run(impl))
-for impl, ts in res.items():
-    print(f"{impl:9s}: median {np.median(ts):.2f} ms over {len(ts)} reps")
+    for c in COMBOS:
+        res[c].append(run(*c))
+for c, ts in res.items():
+    print(f"{c}: median {np.median(ts):.2f} ms over {len(ts)} reps")

@@ -114,6 +114,40 @@ class TestFreqBackend:
             t_start=t0))
         assert np.abs(b - a).max() < 1e-6 * np.abs(a).max()
 
+    def test_dense_kernel_qr_matches_dense_e2e(self, scene):
+        """The digit-factorized (qr) spread kernel through the full freq
+        backend: f32-rounding-class equal to the XLA dense spreader (the
+        taps ride one MXU accumulator instead of the roll chain, so the
+        sums reassociate — not bit-identical like the plain kernel)."""
+        g, traj, tgts, t0 = scene
+        a = cplx.to_host(phase_history(
+            traj, tgts, _opts("freq", freq_spreader="dense"), t_start=t0))
+        b = cplx.to_host(phase_history(
+            traj, tgts, _opts("freq",
+                              freq_spreader="dense_kernel_qr_interpret"),
+            t_start=t0))
+        assert np.abs(b - a).max() < 1e-5 * np.abs(a).max()
+
+    def test_dense_kernel_qr_spread_unit(self):
+        """_spread_dense impl='pallas_qr_interpret' == impl='xla' on a raw
+        multi-set spread with out-of-grid targets and duplicate cells."""
+        from nis_sar_amtigmti_video_tpu.ops import echo_freq as ef
+        import jax.numpy as jnp
+        rng = np.random.default_rng(7)
+        pc, num_b, k, l_out = 3, 200, 6, 900
+        i0 = np.sort(rng.integers(-40, l_out + 20, (pc, num_b)), axis=1)
+        sets = []
+        for off in (0, 37):
+            vr = rng.normal(size=(pc, num_b, k)).astype(np.float32)
+            vi = rng.normal(size=(pc, num_b, k)).astype(np.float32)
+            sets.append((jnp.asarray(vr), jnp.asarray(vi), off))
+        args = (jnp.asarray(i0, jnp.int32), sets, l_out, 512, 8)
+        ar, ai = ef._spread_dense(*args, lo=64, impl="xla")
+        br, bi = ef._spread_dense(*args, lo=64, impl="pallas_qr_interpret")
+        scale = float(np.abs(np.asarray(ar)).max()) + 1e-9
+        assert np.abs(np.asarray(br) - np.asarray(ar)).max() < 1e-5 * scale
+        assert np.abs(np.asarray(bi) - np.asarray(ai)).max() < 1e-5 * scale
+
     def test_dense_kernel_spread_unit(self):
         """_spread_dense impl='pallas_interpret' == impl='xla' on a raw
         multi-set spread with out-of-grid targets and duplicate cells."""

@@ -393,6 +393,42 @@ class TestFusedKernel:
                                    np.asarray(want[7].snr),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_k2_pair_matches_split(self):
+        """k2_pair_call (two-channel K2, shared Phi2/Phi3 trig) is
+        bit-identical per channel to two _k2_call invocations."""
+        import jax.numpy as jnp
+        from nis_sar_amtigmti_video_tpu import config as cfg2
+        from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+        from nis_sar_amtigmti_video_tpu.ops.echo import window_start_time
+        from nis_sar_amtigmti_video_tpu.ops.pallas import csa_kernel
+
+        size = 256
+        sc = cfg2.videosar()
+        g, r = sc.geometry, sc.radar
+        t0 = window_start_time(g.slant_range_m, None,
+                               sc.collect.window_length_s, "centered")
+        p = csa_ops.CsaParams(
+            wavelength_m=r.wavelength_m, chirp_rate=r.chirp_rate,
+            fs_hz=r.fs_hz, prf_hz=r.prf_hz,
+            velocity_mps=g.effective_velocity_mps,
+            range_ref_m=g.slant_range_m, t_start_fast=t0,
+            num_pulses=size, num_samples=size)
+        f = csa_ops.csa_factors(p)
+        b = int(np.sqrt(size))
+        rng = np.random.default_rng(5)
+        planes = [jnp.asarray(rng.standard_normal((size, size))
+                              .astype(np.float32)) for _ in range(4)]
+        for variant in ("dots", "restack"):
+            got = csa_kernel.k2_pair_call(*planes, f, b, True, "bf16x3",
+                                          variant=variant)
+            w1 = csa_kernel._k2_call(planes[0], planes[1], f, b, True,
+                                     "bf16x3", variant=variant)
+            w2 = csa_kernel._k2_call(planes[2], planes[3], f, b, True,
+                                     "bf16x3", variant=variant)
+            for g_, w_ in zip(got, w1 + w2):
+                np.testing.assert_array_equal(np.asarray(g_),
+                                              np.asarray(w_))
+
     def test_no_balance_kernel(self):
         import jax.numpy as jnp
         from nis_sar_amtigmti_video_tpu import config as cfg2
