@@ -73,7 +73,7 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
                     lead_variant: str = "swap",
                     balance_impl: str = "pallas",
                     k1_impl: str = "fused2ch",
-                    k2_impl: str = "split"):
+                    k2_impl: str = "pair"):
     """Full 2-channel GMTI CPI — raw phase-history planes in, SLC planes +
     products out — with the product step fused into the CSA megakernel's
     K3 output pass (ops/pallas/gmti_kernel.py).
