@@ -119,6 +119,11 @@ def _kernel_qr(c_ref, *refs, n_sets: int, k_taps: int, nq: int):
     bg = c_ref.shape[3]
     c = c_ref[0, 0]                                       # (1, bg) i32
 
+    # 0/1 masks built arithmetically (1 - min(|d|, 1)), never as i1
+    # vectors: Mosaic cannot relayout an i1 mask from the i32-compare
+    # tiling to the bf16-select tiling ("Invalid relayout ... replicated
+    # in destination", measured on v5e); multiplying by an exact 1/0 and
+    # casting back to bf16 is lossless, so the semantics are unchanged
     qi = jax.lax.broadcasted_iota(jnp.int32, (nq, bg), 0)
     ri = jax.lax.broadcasted_iota(jnp.int32, (_LANE, bg), 0)
     rhs, mqs = [], []
@@ -126,8 +131,10 @@ def _kernel_qr(c_ref, *refs, n_sets: int, k_taps: int, nq: int):
         ck = c + k
         qk = ck // _LANE                                  # floor: -1 drops
         rk = ck - qk * _LANE
-        mqs.append(qi == qk)
-        rhs.append((ri == rk).astype(jnp.bfloat16))
+        mqs.append((1 - jnp.minimum(jnp.abs(qi - qk), 1))
+                   .astype(jnp.float32))
+        rhs.append((1 - jnp.minimum(jnp.abs(ri - rk), 1))
+                   .astype(jnp.bfloat16))
     rhs_m = jnp.concatenate(rhs, axis=1)                  # (128, K*bg)
 
     lhs_rows = []
@@ -135,7 +142,8 @@ def _kernel_qr(c_ref, *refs, n_sets: int, k_taps: int, nq: int):
         v = refs[i][0, 0]                                 # (2K, bg) bf16
         for f in range(2):                                # re, im
             lhs_rows.append(jnp.concatenate(
-                [jnp.where(mqs[k], v[f * k_taps + k][None], 0)
+                [(mqs[k] * v[f * k_taps + k][None].astype(jnp.float32))
+                 .astype(jnp.bfloat16)
                  for k in range(k_taps)], axis=1))        # (nq, K*bg)
     lhs_m = jnp.concatenate(lhs_rows, axis=0)
     part = jax.lax.dot_general(
