@@ -87,6 +87,13 @@ class EchoOpts:
     # slow-time stride of the exact f64 geometry pass for backend='freq'
     # (quadratic anchor interpolation between; 0/1 = exact at every pulse)
     freq_geom_stride: int = 8
+    # 'f64': interpolate the delay field in emulated f64 and wrap the
+    # carrier per (pulse, target). 'split': f64 only at the anchors — the
+    # carrier wraps per anchor and the inter-anchor delay deltas (~ns at
+    # the anchor spacing) interpolate exactly in f32 (~1e-5 rad carrier
+    # class, inside the 1e-3 budget), cutting the (P, B) emulated-f64
+    # field work by the stride factor
+    freq_geom_interp: str = "f64"
     # 'auto' | 'xla' | 'pallas' | 'pallas_interpret': the freq backend's FFT
     # convolution. 'pallas' fuses forward DFT + filter + inverse DFT in one
     # VMEM pass (ops/pallas/fft_kernel.py::fft_conv_pallas; TPU-only, falls
@@ -245,6 +252,9 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
         # two-pass: chunk-scanned f64 geometry -> (P, B) f32 scalars, then one
         # fused VMEM kernel for the (P, B, Ns) accumulation.
         h_geo = opts.freq_geom_stride if opts.backend == "freq" else 0
+        if opts.freq_geom_interp not in ("f64", "split"):
+            raise ValueError(
+                f"unknown freq_geom_interp {opts.freq_geom_interp!r}")
         if h_geo > 1 and num_p > 3 * h_geo:
             # anchored geometry: the emulated-f64 pass runs only every
             # h_geo-th pulse; the delay field interpolates quadratically in
@@ -277,16 +287,32 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
             amp_a = amp_a.reshape(na_pad, b_pad)[:na]
             w64 = jnp.asarray(w_np)
             a0, a1, a2 = (jnp.asarray(trip[:, k]) for k in range(3))
-            tau64 = (w64[:, 0, None] * tau_a[a0]
-                     + w64[:, 1, None] * tau_a[a1]
-                     + w64[:, 2, None] * tau_a[a2])
             w32 = w64.astype(jnp.float32)
             amp_all = (w32[:, 0, None] * amp_a[a0]
                        + w32[:, 1, None] * amp_a[a1]
                        + w32[:, 2, None] * amp_a[a2])[:num_p]
-            car_all = _wrap_pi(-_TWO_PI * opts.fc_hz * tau64
-                               ).astype(jnp.float32)[:num_p]
-            tau_all = (tau64 - t_start).astype(jnp.float32)[:num_p]
+            if opts.freq_geom_interp == "split":
+                # sum(w) = 1, so tau = tau[a1] + w0*(tau[a0] - tau[a1])
+                # + w2*(tau[a2] - tau[a1]); the deltas are ~ns-scale (f64
+                # subtraction exact, f32 cast ~1e-16 s) and the carrier
+                # wraps ONCE per anchor in f64 — the per-pulse residual
+                # phase is tens of rad, safe to wrap in f32
+                car_a = _wrap_pi(-_TWO_PI * opts.fc_hz * tau_a
+                                 ).astype(jnp.float32)
+                rel_a = (tau_a - t_start).astype(jnp.float32)
+                d0 = (tau_a[a0] - tau_a[a1]).astype(jnp.float32)
+                d2 = (tau_a[a2] - tau_a[a1]).astype(jnp.float32)
+                dly = w32[:, 0, None] * d0 + w32[:, 2, None] * d2
+                tau_all = (rel_a[a1] + dly)[:num_p]
+                dph = jnp.float32(-_TWO_PI * opts.fc_hz) * dly
+                car_all = _wrap_pi(car_a[a1] + dph)[:num_p]
+            else:
+                tau64 = (w64[:, 0, None] * tau_a[a0]
+                         + w64[:, 1, None] * tau_a[a1]
+                         + w64[:, 2, None] * tau_a[a2])
+                car_all = _wrap_pi(-_TWO_PI * opts.fc_hz * tau64
+                                   ).astype(jnp.float32)[:num_p]
+                tau_all = (tau64 - t_start).astype(jnp.float32)[:num_p]
         else:
             def geom_chunk(carry, xs):
                 ts, ps, vs = xs

@@ -148,6 +148,30 @@ class TestFreqBackend:
         assert np.abs(np.asarray(br) - np.asarray(ar)).max() < 1e-5 * scale
         assert np.abs(np.asarray(bi) - np.asarray(ai)).max() < 1e-5 * scale
 
+    def test_geom_interp_split_matches_f64(self, scene):
+        """freq_geom_interp='split' (f64 only at the anchors; f32 delta
+        interpolation + per-anchor carrier wrap) vs the full-f64
+        interpolation: ~1e-5 rad carrier class, far inside the golden
+        budgets."""
+        g, _, tgts, t0 = scene
+        # 64 pulses > 3*stride so the anchored-interpolation branch (the
+        # one 'split' changes) actually runs
+        traj = orbit.make_trajectory(g, orbit.slow_time_grid(64 / 6000.0,
+                                                             64))
+        a = cplx.to_host(phase_history(
+            traj, tgts, _opts("freq", freq_geom_stride=8), t_start=t0))
+        b = cplx.to_host(phase_history(
+            traj, tgts, _opts("freq", freq_geom_stride=8,
+                              freq_geom_interp="split"), t_start=t0))
+        assert np.abs(b - a).max() < 2e-4 * np.abs(a).max()
+
+    def test_geom_interp_rejects_bad_string(self, scene):
+        g, traj, tgts, t0 = scene
+        with pytest.raises(ValueError, match="freq_geom_interp"):
+            phase_history(traj, tgts,
+                          _opts("freq", freq_geom_interp="fast"),
+                          t_start=t0)
+
     def test_dense_kernel_spread_unit(self):
         """_spread_dense impl='pallas_interpret' == impl='xla' on a raw
         multi-set spread with out-of-grid targets and duplicate cells."""
