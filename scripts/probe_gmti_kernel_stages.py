@@ -136,3 +136,21 @@ bench("K3 x2ch separate", k3_plain, fresh())
 bench("K3g fused products", k3g, fresh())
 bench("XLA epilogue (hbox+snr+mask)", epilogue, fresh())
 bench("FULL fused CPI", full_fused, fresh())
+
+
+# -- late-round-3 adopted stages: fused two-channel K1 + paired K2 ---------
+def k1g(x1r, x1i, x2r, x2i):
+    with jax.enable_x64(False):
+        z1r, z1i, z2r, z2i, xr_, xi_ = gmti_kernel.k1_gmti_planes(
+            x1r, x1i, x2r, x2i, f)
+    return z1r + 1e-30 * xr_, z1i, z2r, z2i
+
+
+def k2_pair(x1r, x1i, x2r, x2i):
+    with jax.enable_x64(False):
+        return csa_kernel.k2_pair_call(x1r, x1i, x2r, x2i, f, b, False,
+                                       "bf16x3")
+
+
+bench("K1g 2ch + in-kernel balance", k1g, fresh())
+bench("K2 pair (shared trig)", k2_pair, fresh())
