@@ -109,12 +109,12 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
                 # (half of K2's transcendental bill) — bit-identical per
                 # channel to the split calls
                 z1r, z1i, z2r, z2i = csa_kernel.k2_pair_call(
-                    z1r, z1i, z2r, z2i, f, b, interpret, mode,
+                    z1r, z1i, z2r, z2i, f, b, interp, mode,
                     variant=k2_variant)
             else:
-                z1r, z1i = csa_kernel._k2_call(z1r, z1i, f, b, interpret,
+                z1r, z1i = csa_kernel._k2_call(z1r, z1i, f, b, interp,
                                                mode, variant=k2_variant)
-                z2r, z2i = csa_kernel._k2_call(z2r, z2i, f, b, interpret,
+                z2r, z2i = csa_kernel._k2_call(z2r, z2i, f, b, interp,
                                                mode, variant=k2_variant)
     else:
         # balance phase from the raw pair (K1/K2/K3 unitary up to + scale);
@@ -138,9 +138,9 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
             with jax.enable_x64(False):
                 zr, zi = csa_kernel._k1_call(zr, zi, f.u.reshape(1, -1),
                                              f.c1.reshape(-1, 1),
-                                             f.w.reshape(-1, 1), a, interpret,
+                                             f.w.reshape(-1, 1), a, interp,
                                              mode, variant=lead_variant)
-                return csa_kernel._k2_call(zr, zi, f, b, interpret, mode,
+                return csa_kernel._k2_call(zr, zi, f, b, interp, mode,
                                            variant=k2_variant)
 
         # separate per-channel K1/K2 calls measure faster than one vmapped
@@ -151,7 +151,7 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
     (s1r, s1i, s2r, s2i, ph_raw, mag, power, cso, csi,
      peaks) = gmti_kernel.k3_gmti_planes(
         z1r, z1i, z2r, z2i, cal_cs, h_out=p.guard + p.train, h_in=p.guard,
-        interpret=interpret, mode=mode, lead_variant=lead_variant)
+        interpret=interp, mode=mode, lead_variant=lead_variant)
 
     # cross-tile stages: range box sums + rank-1 counts + mask
     outer = _hbox(cso, p.guard + p.train)

@@ -128,7 +128,10 @@ def _kernel_qr(c_ref, *refs, n_sets: int, k_taps: int, nq: int):
     ri = jax.lax.broadcasted_iota(jnp.int32, (_LANE, bg), 0)
     rhs, mqs = [], []
     for k in range(k_taps):
-        ck = c + k
+        # a masked target (c < 0) must drop at EVERY tap: c + k re-enters
+        # the valid range for k >= 1, so pin it to -_LANE (qk = -1 at all
+        # taps, never matching the 0..nq-1 digit iota)
+        ck = jnp.where(c < 0, -_LANE, c + k)
         qk = ck // _LANE                                  # floor: -1 drops
         rk = ck - qk * _LANE
         mqs.append((1 - jnp.minimum(jnp.abs(qi - qk), 1))

@@ -148,6 +148,31 @@ class TestFreqBackend:
         assert np.abs(np.asarray(br) - np.asarray(ar)).max() < 1e-5 * scale
         assert np.abs(np.asarray(bi) - np.asarray(ai)).max() < 1e-5 * scale
 
+    @pytest.mark.parametrize("impl", ["pallas_interpret",
+                                      "pallas_qr_interpret"])
+    def test_spread_kernel_drops_all_taps_of_masked_targets(self, impl):
+        """A target dropped by the group cell-spread rule (c = -1 with
+        nonzero tap values) must deposit NOTHING at any tap. The qr
+        kernel's per-tap digit one-hot re-enters the valid range at
+        c + k for k >= 1 unless the mask is pinned per tap."""
+        from nis_sar_amtigmti_video_tpu.ops import echo_freq as ef
+        import jax.numpy as jnp
+        rng = np.random.default_rng(11)
+        pc, num_b, k, l_out, win, grp = 2, 8, 6, 600, 128, 2
+        # one group spans cells 0..400 > win - k: the far targets get
+        # masked to c = -1 while carrying nonzero values
+        i0 = np.tile(np.array([[0, 5, 9, 400, 0, 3, 7, 420]]), (pc, 1))
+        vr = rng.normal(size=(pc, num_b, k)).astype(np.float32)
+        vi = rng.normal(size=(pc, num_b, k)).astype(np.float32)
+        args = (jnp.asarray(i0, jnp.int32), [(jnp.asarray(vr),
+                                              jnp.asarray(vi), 0)],
+                l_out, win, grp)
+        ar, ai = ef._spread_dense(*args, lo=16, impl="xla")
+        br, bi = ef._spread_dense(*args, lo=16, impl=impl)
+        scale = float(np.abs(np.asarray(ar)).max()) + 1e-9
+        assert np.abs(np.asarray(br) - np.asarray(ar)).max() < 1e-5 * scale
+        assert np.abs(np.asarray(bi) - np.asarray(ai)).max() < 1e-5 * scale
+
     def test_geom_interp_split_matches_f64(self, scene):
         """freq_geom_interp='split' (f64 only at the anchors; f32 delta
         interpolation + per-anchor carrier wrap) vs the full-f64
