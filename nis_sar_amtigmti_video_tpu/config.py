@@ -197,7 +197,10 @@ class ProcessingConfig:
                                   # presum_factor), 1 = off, N = explicit
     out_size: int = 0             # 0 = native size; else pad/crop for formation
     csa_fused: bool = True        # grid-free fused phases (ops/csa.py)
-    fft_impl: str = "xla"         # 'xla' | 'hybrid' | 'mxu' (ops/fft.py) | 'pallas' (VMEM megakernel)
+    # 'auto' (MXU matmul FFT on TPU — at the full-scale reference aperture
+    # the non-pow2 XLA TPU FFT is ~15x slower — stock jnp.fft elsewhere) |
+    # 'xla' | 'hybrid' | 'mxu' (ops/fft.py) | 'pallas' (VMEM megakernel)
+    fft_impl: str = "auto"
 
 
 @dataclass(frozen=True)

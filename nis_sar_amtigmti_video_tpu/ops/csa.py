@@ -204,7 +204,7 @@ def apply_csa_fused(phist, f: CsaFactors, fft_impl: str = "xla"):
         if (csa_kernel.supported(phist.shape[-2], phist.shape[-1])
                 and _jax.default_backend() == "tpu"):   # Mosaic needs a TPU
             return csa_kernel.apply_csa_pallas(phist, f)
-        fft_impl = "hybrid"
+        fft_impl = "auto"
     from nis_sar_amtigmti_video_tpu.ops.fft import get_impl
     fft, ifft = get_impl(fft_impl)
     u, fr = f.u[None, :], f.fr[None, :]

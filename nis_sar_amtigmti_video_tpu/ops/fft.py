@@ -35,15 +35,42 @@ _FACTORS = {
     16384: (128, 128),
 }
 
+# The four-step identity X[k1 + n1*k2] = D2_{k2 b} (W_N^{k1 b} (D1_{k1 a}
+# c[a, b])) holds for ANY n = n1*n2 — nothing in _fft_last/_fft_middle
+# assumes powers of two. Composite sizes off the preferred table get the
+# most balanced divisor pair, bounded so the dense DFT matrices stay a few
+# MB: the reference's full-scale apertures (7,199 = 23*313 azimuth after
+# the DPCA pulse shift, 13,200 = 120*110 range samples,
+# sar_ati_dcpa_sim_csa.py:46-47,398-404) fall to XLA's non-pow2 TPU FFT
+# otherwise — measured ~50x off the matmul path at that scale.
+_MAX_FACTOR = 512
+
+
+@lru_cache(maxsize=None)
+def _factor_pair(n: int):
+    """Balanced (n1, n2) with n = n1*n2, n2 <= n1 <= _MAX_FACTOR; None if no
+    such pair exists (n prime or with a huge prime factor)."""
+    if n in _FACTORS:
+        return _FACTORS[n]
+    if n < 4:
+        return None
+    a = int(math.isqrt(n))
+    while a >= 2:
+        if n % a == 0:
+            n1 = n // a           # the most balanced split: n1 grows as a
+            return (n1, a) if n1 <= _MAX_FACTOR else None  # shrinks further
+        a -= 1
+    return None
+
 
 def supported(n: int) -> bool:
-    return n in _FACTORS
+    return _factor_pair(n) is not None
 
 
 @lru_cache(maxsize=None)
 def _consts(n: int, inverse: bool):
     """(D1 (n1,n1), D2 (n2,n2), twiddle (n1,n2)) complex64 numpy consts."""
-    n1, n2 = _FACTORS[n]
+    n1, n2 = _factor_pair(n)
     sign = 2.0j * math.pi / n if inverse else -2.0j * math.pi / n
     a1 = np.arange(n1)
     a2 = np.arange(n2)
@@ -54,13 +81,26 @@ def _consts(n: int, inverse: bool):
             tw.astype(np.complex64))
 
 
+def _dev_consts(n: int, inverse: bool):
+    """The DFT/twiddle tables as on-device complex64 arrays.
+
+    Uploaded as f32 re/im pairs combined by ``lax.complex``: an *eager*
+    device_put of a complex host array is UNIMPLEMENTED through the axon TPU
+    relay (under jit this folds to the same embedded constants)."""
+    def up(a):
+        return jax.lax.complex(jnp.asarray(np.ascontiguousarray(a.real)),
+                               jnp.asarray(np.ascontiguousarray(a.imag)))
+
+    return tuple(up(c) for c in _consts(n, inverse))
+
+
 def _fft_last(x, n: int, inverse: bool):
     """Exact (i)DFT along the last axis via the four-step factorization.
 
     Note the intermediate minor dim is n2 (<=128): tiles pad to 128 lanes, so
     this path trades some lane utilization for MXU throughput."""
-    n1, n2 = _FACTORS[n]
-    d1, d2, tw = (jnp.asarray(c) for c in _consts(n, inverse))
+    n1, n2 = _factor_pair(n)
+    d1, d2, tw = _dev_consts(n, inverse)
 
     lead = x.shape[:-1]
     c = x.reshape(lead + (n1, n2))
@@ -74,7 +114,9 @@ def _fft_last(x, n: int, inverse: bool):
     # output index is k1 + n1*k2 -> transpose then flatten
     y = jnp.swapaxes(y, -1, -2).reshape(lead + (n,))
     if inverse:
-        y = y * jnp.complex64(1.0 / n)
+        # real f32 scalar: an eager complex-scalar device_put is
+        # UNIMPLEMENTED through the axon relay (promotion keeps c64)
+        y = y * jnp.float32(1.0 / n)
     return y
 
 
@@ -87,8 +129,8 @@ def _fft_middle(x, n: int, inverse: bool):
     OOM at 4k^2). No data transposes at all — the pulse axis is contracted
     in place by the MXU.
     """
-    n1, n2 = _FACTORS[n]
-    d1, d2, tw = (jnp.asarray(c) for c in _consts(n, inverse))
+    n1, n2 = _factor_pair(n)
+    d1, d2, tw = _dev_consts(n, inverse)
 
     lead = x.shape[:-2]
     r = x.shape[-1]
@@ -103,7 +145,9 @@ def _fft_middle(x, n: int, inverse: bool):
     # output index k + n1*j along the pulse axis -> swap the two small axes
     y = jnp.swapaxes(y, -2, -3).reshape(lead + (n, r))
     if inverse:
-        y = y * jnp.complex64(1.0 / n)
+        # real f32 scalar: an eager complex-scalar device_put is
+        # UNIMPLEMENTED through the axon relay (promotion keeps c64)
+        y = y * jnp.float32(1.0 / n)
     return y
 
 
@@ -147,15 +191,24 @@ def _ifft_hybrid(x, axis=-1):
 
 
 def get_impl(name: str):
-    """('xla' | 'mxu' | 'hybrid') -> (fft, ifft) pair.
+    """('auto' | 'xla' | 'mxu' | 'hybrid') -> (fft, ifft) pair.
 
     'hybrid' runs azimuth (middle-axis) transforms on the MXU einsum path —
     which is also the layout-safe one — and range (minor-axis) transforms on
-    the stock XLA FFT."""
+    the stock XLA FFT. 'auto' resolves per backend: the adaptive 'mxu' pair
+    on TPU (each call checks ``supported(n)`` and falls back to jnp.fft for
+    prime-class lengths), stock jnp.fft elsewhere. At the full-scale
+    reference aperture this is the difference between the matmul path and
+    XLA's non-pow2 TPU FFT: 0.10 vs 1.51 s per channel focus, equal within
+    measurement at 4096² (17.1 vs 18.4 ms; scripts/probe_csa_fullscale_fft
+    .py, one v5e chip)."""
+    if name == "auto":
+        name = "mxu" if jax.default_backend() == "tpu" else "xla"
     if name == "mxu":
         return fft, ifft
     if name == "hybrid":
         return _fft_hybrid, _ifft_hybrid
     if name == "xla":
         return jnp.fft.fft, jnp.fft.ifft
-    raise ValueError(f"unknown fft impl {name!r}; options: xla, mxu, hybrid")
+    raise ValueError(
+        f"unknown fft impl {name!r}; options: auto, xla, mxu, hybrid")

@@ -44,6 +44,35 @@ class TestMxuFft:
         want = np.fft.fft(cplx.to_host(x), axis=-1)
         assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
 
+    # the four-step factorization is exact for ANY composite n = n1*n2 —
+    # including the reference full-scale lengths (7,199 = 23*313 azimuth
+    # after the DPCA shift, 13,200 = 120*110 range) that the pow2-only
+    # table used to hand to XLA's slow non-pow2 TPU FFT
+    @pytest.mark.parametrize("n", [360, 437, 1320, 7199, 13200])
+    def test_composite_forward_matches_numpy(self, n):
+        assert mfft.supported(n)
+        x = _rand_c64(jax.random.PRNGKey(n), (3, n))
+        got = cplx.to_host(mfft.fft(x))
+        want = np.fft.fft(cplx.to_host(x), axis=-1)
+        assert np.abs(got - want).max() / np.abs(want).max() < 2e-5
+
+    @pytest.mark.parametrize("n", [360, 437])
+    def test_composite_middle_axis(self, n):
+        x = _rand_c64(jax.random.PRNGKey(n + 1), (n, 5))
+        got = cplx.to_host(mfft.ifft(x, axis=-2))
+        want = np.fft.ifft(cplx.to_host(x), axis=-2)
+        assert np.abs(got - want).max() / np.abs(want).max() < 2e-5
+
+    def test_prime_sizes_unsupported(self):
+        # primes (and sizes whose every split has a >_MAX_FACTOR side)
+        # must keep the jnp.fft fallback
+        assert not mfft.supported(7207)          # prime
+        assert not mfft.supported(2 * 7207)      # 2 x prime > _MAX_FACTOR
+        x = _rand_c64(jax.random.PRNGKey(5), (2, 127))
+        got = cplx.to_host(mfft.fft(x))
+        want = np.fft.fft(cplx.to_host(x), axis=-1)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
 
 class TestFusedCsa:
     def _params(self, n_az=128, n_rg=256):
@@ -84,3 +113,12 @@ class TestFftImplRegressions:
         for name in ("xla", "mxu", "hybrid"):
             f, fi = mfft.get_impl(name)
             assert callable(f) and callable(fi)
+
+    def test_auto_impl_resolves_by_backend(self):
+        # on the CPU test harness 'auto' must be stock jnp.fft; on TPU it
+        # resolves to the adaptive MXU pair (probe_csa_fullscale_fft.py)
+        f, fi = mfft.get_impl("auto")
+        want = ((mfft.fft, mfft.ifft)
+                if jax.default_backend() == "tpu"
+                else (jnp.fft.fft, jnp.fft.ifft))
+        assert (f, fi) == want
