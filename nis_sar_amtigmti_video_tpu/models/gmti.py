@@ -8,6 +8,7 @@ cancellation metric, radial-velocity map and CFAR detection.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -113,15 +114,48 @@ def focus_and_products(raw2ch, sc: ScenarioConfig, t0: float, *,
                                           cfar_params=cfar_params,
                                           interpret=interpret)
     # fused grid-free CSA (bit-equivalent to the grid-phase path per
-    # tests/test_fft_fused.py); sc.processing.fft_impl selects 'xla' |
-    # 'hybrid' | 'mxu' | 'pallas' (VMEM megakernel when the shape allows).
-    # Channels are focused per-array: stacking two full-scale odd-size
-    # channels into one (2, P, Ns) complex64 hits a catastrophic 64x
-    # tile-padded layout on TPU (ops/pallas/csa_kernel.py docstring);
+    # tests/test_fft_fused.py); sc.processing.fft_impl selects 'auto' |
+    # 'xla' | 'hybrid' | 'mxu' | 'pallas' (VMEM megakernel when the shape
+    # allows). Channels are focused per-array: stacking two full-scale
+    # odd-size channels into one (2, P, Ns) complex64 hits a catastrophic
+    # 64x tile-padded layout on TPU (ops/pallas/csa_kernel.py docstring);
     # raw2ch may therefore also be a (ch1, ch2) tuple.
     factors = csa_ops.csa_factors(p)
-    slc1 = csa_ops.apply_csa_fused(raw1, factors, sc.processing.fft_impl)
-    slc2 = csa_ops.apply_csa_fused(raw2, factors, sc.processing.fft_impl)
+    # velocity inversion uses the *phase-center progression* speed (the
+    # platform's true along-track velocity): the channel lag is B/(2*V_sat),
+    # set by where the phase centers physically are — not the curved-earth
+    # focusing velocity V_eff (which would bias v_r by ~2.6% at 350 km)
+    v_platform = g.speed_mps
+    v_amb = velocity.ambiguous_velocity(r.wavelength_m, v_platform,
+                                        sc.channels.baseline_m)
+    (slc1, slc2, cal, phase, dmag, vmap_, det,
+     ratio) = _composed_core(raw1, raw2, factors,
+                             fft_impl=sc.processing.fft_impl,
+                             balance=balance, mask_threshold=mask_threshold,
+                             cfar_params=cfar_params,
+                             wavelength_m=r.wavelength_m,
+                             v_platform=v_platform,
+                             baseline_m=sc.channels.baseline_m)
+    rax, cax = csa_ops.csa_axes(p)
+    return GmtiProducts(slc1=slc1, slc2=slc2, ati_phase=phase, dpca_mag=dmag,
+                        velocity_map=vmap_, detections=det,
+                        cancellation_ratio=ratio, cal_phase=cal,
+                        range_axis=rax, cross_range=cax, v_amb=v_amb)
+
+
+@partial(jax.jit, static_argnames=("fft_impl", "balance", "mask_threshold",
+                                   "cfar_params", "wavelength_m",
+                                   "v_platform", "baseline_m"))
+def _composed_core(raw1, raw2, factors, *, fft_impl, balance, mask_threshold,
+                   cfar_params, wavelength_m, v_platform, baseline_m):
+    """The composed focus+products chain under ONE jit: dual CSA, balance,
+    ATI/DPCA, velocity map, CFAR, cancellation ratio.
+
+    Un-jitted, each of these dispatched separately — ~0.8 s of eager
+    dispatch + intermediate HBM round trips at the full-scale reference
+    shape vs ~0.35 s fused (scripts/probe_e2e_breakdown_r4.py)."""
+    slc1 = csa_ops.apply_csa_fused(raw1, factors, fft_impl)
+    slc2 = csa_ops.apply_csa_fused(raw2, factors, fft_impl)
 
     cal = ati.channel_balance_phase(slc1, slc2)
     if balance:
@@ -130,23 +164,11 @@ def focus_and_products(raw2ch, sc: ScenarioConfig, t0: float, *,
     phase = ati.masked_phase(slc1, slc2, mask_threshold)
     diff = dpca.dpca_difference(slc1, slc2)
     dmag = jnp.abs(diff)
-
-    # velocity inversion uses the *phase-center progression* speed (the
-    # platform's true along-track velocity): the channel lag is B/(2*V_sat),
-    # set by where the phase centers physically are — not the curved-earth
-    # focusing velocity V_eff (which would bias v_r by ~2.6% at 350 km)
-    v_platform = g.speed_mps
-    v_amb = velocity.ambiguous_velocity(r.wavelength_m, v_platform,
-                                        sc.channels.baseline_m)
-    vmap_ = velocity.velocity_from_phase(phase, r.wavelength_m, v_platform,
-                                         sc.channels.baseline_m)
+    vmap_ = velocity.velocity_from_phase(phase, wavelength_m, v_platform,
+                                         baseline_m)
     det = cfar.ca_cfar(dmag ** 2, cfar_params)
     ratio = dpca.cancellation_ratio(slc1, diff)
-    rax, cax = csa_ops.csa_axes(p)
-    return GmtiProducts(slc1=slc1, slc2=slc2, ati_phase=phase, dpca_mag=dmag,
-                        velocity_map=vmap_, detections=det,
-                        cancellation_ratio=ratio, cal_phase=cal,
-                        range_axis=rax, cross_range=cax, v_amb=v_amb)
+    return slc1, slc2, cal, phase, dmag, vmap_, det, ratio
 
 
 def _products_kernel_fused(raw1, raw2, p, sc: ScenarioConfig, *, balance,
