@@ -173,6 +173,46 @@ class ElevationGrid:
         return ElevationGrid(xs, xs.copy(), np.zeros((n, n)))
 
 
+#: tag keys whose *value* is tried directly against the MATERIALS taxonomy,
+#: in the reference's precedence order (sar_scene_data.py:297-305):
+#: landuse, then natural, then leisure, then amenity.
+_TAG_PRECEDENCE = ("landuse", "natural", "leisure", "amenity")
+
+
+def classify_tags(tags: dict) -> str:
+    """OSM tags -> MATERIALS key, covering the whole taxonomy.
+
+    Reference behavior (sar_scene_data.py:295-311): building and highway
+    dominate; otherwise the landuse/natural/leisure/amenity tag *value*
+    itself is the material key when the taxonomy knows it (this is how
+    railway/wetland/sand/park/pitch/parking/residential/... scenes reach
+    their dedicated radar constants); anything unknown falls to 'default'.
+    Two refinements over the reference: building=house keeps its lower
+    default extrusion, and footway/path keep their dedicated materials
+    instead of collapsing to 'road'.
+    """
+    if "building" in tags:
+        return "house" if tags.get("building") == "house" else "building"
+    if "highway" in tags:
+        hv = tags.get("highway")
+        return hv if hv in ("footway", "path") else "road"
+    for key in _TAG_PRECEDENCE:
+        val = tags.get(key)
+        if val is not None:
+            if val in MATERIALS:
+                return val
+            # common synonyms the taxonomy folds together
+            if key == "natural" and val in ("water", "wetland", "sand",
+                                            "beach", "bay", "coastline"):
+                return val
+            if key == "leisure" and val == "swimming_pool":
+                return "swimming_pool"
+            return "default"
+    if "water" in tags or "waterway" in tags:
+        return "water"
+    return "default"
+
+
 @dataclass
 class SceneFeature:
     kind: str                         # material key
@@ -198,45 +238,66 @@ class SceneFetcher:
     error when the environment has no egress.
     """
 
-    OVERPASS_KINDS = (
-        ("building", "building"),
-        ("highway", "road"),
-        ("natural=water", "water"),
-        ("landuse=grass", "grass"),
-        ("landuse=forest", "forest"),
-        ("landuse=farmland", "farmland"),
+    #: the six Overpass clauses the reference queries
+    #: (sar_scene_data.py:247-254)
+    OVERPASS_CLAUSES = (
+        '["landuse"]',
+        '["natural"]',
+        '["leisure"]',
+        '["amenity"="parking"]',
+        '["building"]',
+        '["highway"]',
     )
 
     def __init__(self, lat0: float, lon0: float, radius_m: float = 500.0,
-                 online: bool = False):
+                 online: bool = False,
+                 terrain_extent_m: Optional[float] = None):
         self.lat0, self.lon0, self.radius_m = lat0, lon0, radius_m
         self.online = online
+        # when set, features whose centroid lies outside +-extent are
+        # dropped (the reference's clipping, sar_scene_data.py:289-292)
+        self.terrain_extent_m = terrain_extent_m
 
     def _project(self, lat, lon):
         return latlon_to_meters(lat, lon, self.lat0, self.lon0)
 
     def features_from_osm(self, osm_json: dict) -> List[SceneFeature]:
-        """Parse an Overpass 'out geom' response into projected features."""
+        """Parse an Overpass response into projected, classified features.
+
+        Accepts both response shapes: 'out geom' (each way carries inline
+        ``geometry``) and the reference's 'out body' + node recursion
+        (sar_scene_data.py:255-276 — node elements indexed by id, ways
+        carrying ``nodes`` id lists). Classification runs the full
+        MATERIALS taxonomy via :func:`classify_tags`; line features
+        (2-node highway segments) are kept, other degenerate ways are
+        dropped; centroid clipping applies when ``terrain_extent_m``
+        is set.
+        """
+        elements = osm_json.get("elements", [])
+        nodes = {el["id"]: (el["lat"], el["lon"]) for el in elements
+                 if el.get("type") == "node"
+                 and "lat" in el and "lon" in el}
         feats: List[SceneFeature] = []
-        for el in osm_json.get("elements", []):
-            geom = el.get("geometry")
-            if not geom:
+        for el in elements:
+            if el.get("type") == "node":
                 continue
             tags = el.get("tags", {})
-            kind = "default"
-            if "building" in tags:
-                kind = "house" if tags.get("building") == "house" else "building"
-            elif "highway" in tags:
-                kind = "road"
-            elif tags.get("natural") == "water" or "water" in tags:
-                kind = "water"
-            elif tags.get("landuse") in ("grass", "meadow"):
-                kind = "grass"
-            elif tags.get("landuse") in ("forest",) or tags.get("natural") == "wood":
-                kind = "forest"
-            elif tags.get("landuse") == "farmland":
-                kind = "farmland"
-            poly = np.asarray([self._project(p["lat"], p["lon"]) for p in geom])
+            geom = el.get("geometry")
+            if geom:
+                latlons = [(p["lat"], p["lon"]) for p in geom]
+            else:
+                latlons = [nodes[nid] for nid in el.get("nodes", ())
+                           if nid in nodes]
+            if len(latlons) < 3 and not ("highway" in tags
+                                         and len(latlons) >= 2):
+                continue
+            poly = np.asarray([self._project(la, lo) for la, lo in latlons])
+            if self.terrain_extent_m is not None:
+                cx, cy = poly[:, 0].mean(), poly[:, 1].mean()
+                if abs(cx) > self.terrain_extent_m or \
+                        abs(cy) > self.terrain_extent_m:
+                    continue
+            kind = classify_tags(tags)
             h = material_for(kind)["height_m"]
             try:
                 h = float(tags.get("height", h))
@@ -282,9 +343,10 @@ class SceneFetcher:
                 "SceneFetcher is offline; pass osm_json to features_from_osm "
                 "or construct with online=True in a networked environment")
         import requests
-        q = (f'[out:json];(way(around:{self.radius_m},{self.lat0},{self.lon0})'
-             f'["building"];way(around:{self.radius_m},{self.lat0},{self.lon0})'
-             f'["highway"];);out geom;')
+        around = f'(around:{self.radius_m},{self.lat0},{self.lon0})'
+        clauses = "".join(f"way{around}{sel};"
+                          for sel in self.OVERPASS_CLAUSES)
+        q = f'[out:json][timeout:30];({clauses});out geom;'
         r = requests.post("https://overpass-api.de/api/interpreter",
                           data={"data": q}, timeout=30)
         r.raise_for_status()
@@ -357,8 +419,11 @@ def features_to_point_targets(features: Sequence[SceneFeature],
         z0 = (elevation.elevation_at(pts[:, 0], pts[:, 1])
               if elevation is not None else np.zeros(n_pts))
         z = z0 + f.height_m * rng.random(n_pts)
-        # simple backscatter: sigma ~ area/n * dielectric-driven reflectivity
-        refl = (mat["dielectric"] / (mat["dielectric"] + 1.0)) ** 2
+        # simple backscatter: sigma ~ area/n * Fresnel power reflectance
+        # rho = ((sqrt(eps)-1)/(sqrt(eps)+1))^2 (the same reflectivity form
+        # material_rcs_factor uses) scaled by diffuse roughness return
+        rt = math.sqrt(mat["dielectric"])
+        refl = ((rt - 1.0) / (rt + 1.0)) ** 2
         sig = (total / n_pts) * refl * (0.2 + 0.8 * mat["roughness"])
         pos.append(np.column_stack([pts, z]))
         rcs.append(np.full(n_pts, sig))

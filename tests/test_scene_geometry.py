@@ -235,3 +235,162 @@ class TestRecordedPayloads:
         assert mesh.vertices.shape == (40, 3)
         assert (mesh.faces == tris).all()
         assert delaunay_triangulate(pts[:2]).shape == (0, 3)
+
+
+class TestFullTaxonomyOSM:
+    """Full-taxonomy classification from a recorded-format Overpass
+    'out body' response (node recursion + way node-id lists — the exact
+    shape the reference's six-clause query returns,
+    sar_scene_data.py:247-276), flowing end-to-end into point targets."""
+
+    # one way per class family: (tags, closed polygon?)
+    CASES = [
+        ({"landuse": "residential"}, True),
+        ({"landuse": "industrial"}, True),
+        ({"landuse": "commercial"}, True),
+        ({"landuse": "retail"}, True),
+        ({"landuse": "grass"}, True),
+        ({"landuse": "forest"}, True),
+        ({"landuse": "farmland"}, True),
+        ({"landuse": "farmyard"}, True),
+        ({"landuse": "orchard"}, True),
+        ({"landuse": "meadow"}, True),
+        ({"landuse": "cemetery"}, True),
+        ({"landuse": "construction"}, True),
+        ({"landuse": "railway"}, True),
+        ({"natural": "water", "water": "pond"}, True),
+        ({"natural": "sand"}, True),
+        ({"natural": "beach"}, True),
+        ({"natural": "wood"}, True),
+        ({"natural": "scrub"}, True),
+        ({"natural": "grassland"}, True),
+        ({"natural": "wetland"}, True),
+        ({"natural": "bare_rock"}, True),
+        ({"leisure": "park"}, True),
+        ({"leisure": "garden"}, True),
+        ({"leisure": "playground"}, True),
+        ({"leisure": "pitch"}, True),
+        ({"leisure": "golf_course"}, True),
+        ({"leisure": "swimming_pool"}, True),
+        ({"amenity": "parking"}, True),
+        ({"building": "yes"}, True),
+        ({"building": "house"}, True),
+        ({"highway": "primary"}, False),      # 2-node line segment
+        ({"highway": "footway"}, True),
+        ({"highway": "path"}, True),
+        ({"landuse": "vineyard"}, True),      # not in MATERIALS -> default
+    ]
+
+    @staticmethod
+    def _payload(cases, lat0=47.62, lon0=-122.35):
+        """Synthesize an 'out body' Overpass response: a small square (or a
+        2-node segment) of ways around distinct node ids, nodes listed as
+        separate elements exactly as Overpass recursion emits them."""
+        d = 10.0 / 111320.0          # ~10 m in degrees
+        elements, ways = [], []
+        nid = 1
+        for wi, (tags, closed) in enumerate(cases):
+            cx = lat0 + 30 * d * (wi % 6)
+            cy = lon0 + 30 * d * (wi // 6)
+            if closed:
+                corners = [(cx, cy), (cx + d, cy), (cx + d, cy + d),
+                           (cx, cy + d), (cx, cy)]
+            else:
+                corners = [(cx, cy), (cx + d, cy)]
+            ids = []
+            for la, lo in corners:
+                elements.append({"type": "node", "id": nid,
+                                 "lat": la, "lon": lo})
+                ids.append(nid)
+                nid += 1
+            ways.append({"type": "way", "id": 10000 + wi,
+                         "nodes": ids, "tags": tags})
+        return {"elements": elements + ways}
+
+    def test_full_taxonomy_classification(self):
+        from nis_sar_amtigmti_video_tpu.scene.materials import (
+            MATERIALS, SceneFetcher, classify_tags)
+        sf = SceneFetcher(47.62, -122.35, radius_m=2000.0)
+        feats = sf.features_from_osm(self._payload(self.CASES))
+        assert len(feats) == len(self.CASES)
+        kinds = [f.kind for f in feats]
+        # every classified kind is a real MATERIALS key
+        assert all(k in MATERIALS for k in kinds)
+        # >= 20 DISTINCT material classes reachable from a fetched scene
+        assert len(set(kinds)) >= 20
+        # spot-check the class families the round-3 verdict called out
+        for tags, want in [({"landuse": "railway"}, "railway"),
+                           ({"natural": "wetland"}, "wetland"),
+                           ({"natural": "sand"}, "sand"),
+                           ({"leisure": "park"}, "park"),
+                           ({"leisure": "pitch"}, "pitch"),
+                           ({"amenity": "parking"}, "parking"),
+                           ({"landuse": "residential"}, "residential"),
+                           ({"landuse": "industrial"}, "industrial"),
+                           ({"building": "house"}, "house"),
+                           ({"highway": "footway"}, "footway"),
+                           ({"landuse": "vineyard"}, "default")]:
+            assert classify_tags(tags) == want, tags
+        # 2-node highway segments survive as line features
+        seg = next(f for f in feats if f.tags.get("highway") == "primary")
+        assert seg.kind == "road" and seg.polygon_m.shape == (2, 2)
+
+    def test_taxonomy_to_point_targets(self):
+        from nis_sar_amtigmti_video_tpu.scene.materials import (
+            SceneFetcher, features_to_point_targets)
+        sf = SceneFetcher(47.62, -122.35, radius_m=2000.0)
+        feats = sf.features_from_osm(self._payload(self.CASES))
+        pt = features_to_point_targets(feats, density_per_m2=0.02,
+                                       rng=np.random.default_rng(1))
+        assert pt.positions.shape[0] > 0
+        families = {n.rsplit("_", 2)[0] for n in pt.names}
+        # every polygon family rasterizes (line segments have no area)
+        assert len(families) >= 20
+        # dielectric drives RCS: railway (conductor, eps=1000) scatterers
+        # outshine sand (eps=3) per unit area
+        def fam_rcs(k):
+            m = [r for n, r in zip(pt.names, pt.rcs)
+                 if n.startswith(k + "_")]
+            return float(np.mean(m))
+        assert fam_rcs("railway") > 3.0 * fam_rcs("sand")
+
+    def test_centroid_clipping(self):
+        from nis_sar_amtigmti_video_tpu.scene.materials import SceneFetcher
+        sf = SceneFetcher(47.62, -122.35, radius_m=2000.0,
+                          terrain_extent_m=500.0)
+        feats = sf.features_from_osm(self._payload(self.CASES))
+        # the grid spreads ways up to ~1.5 km out; clipping drops the tail
+        assert 0 < len(feats) < len(self.CASES)
+        for f in feats:
+            assert abs(f.polygon_m[:, 0].mean()) <= 500.0
+            assert abs(f.polygon_m[:, 1].mean()) <= 500.0
+
+    def test_six_clause_online_query(self, monkeypatch):
+        import requests
+
+        from nis_sar_amtigmti_video_tpu.scene import materials as M
+
+        seen = {}
+
+        class _Resp:
+            def raise_for_status(self):
+                pass
+
+            def json(self):
+                return TestFullTaxonomyOSM._payload(
+                    TestFullTaxonomyOSM.CASES)
+
+        def fake_post(url, **kw):
+            seen["q"] = kw["data"]["data"]
+            return _Resp()
+
+        monkeypatch.setattr(requests, "post", fake_post)
+        sf = M.SceneFetcher(47.62, -122.35, radius_m=800.0, online=True)
+        feats = sf.fetch_osm()
+        q = seen["q"]
+        # the reference's six clauses (sar_scene_data.py:247-254)
+        for sel in ('["landuse"]', '["natural"]', '["leisure"]',
+                    '["amenity"="parking"]', '["building"]', '["highway"]'):
+            assert sel in q, sel
+        assert q.count("way(around:800.0,") == 6
+        assert len({f.kind for f in feats}) >= 20
