@@ -119,7 +119,13 @@ class CollectConfig:
                                           # 'centered':  2R0/c - win/2 (sar_batch_sim.py:89)
     even_pulses: bool = True              # round pulse count up to even (FFT-friendly)
     echo_backend: str = "jnp"             # 'jnp' | 'pallas' | 'freq' (ops/echo.py)
-    echo_oversample: int = 4              # 'freq' backend spreading oversample
+    # 'freq' backend spreading oversample. 2 is golden-grade with the
+    # exact-edge split (acceptance budgets hold at mid/full scale —
+    # ops/echo_freq.py accuracy class) AND keeps the conv FFT length inside
+    # the fused kernel's 65,536 ceiling; 4 (the round-1 approximate-mode
+    # margin) doubles the grid and forces the XLA-FFT fallback — the
+    # measured 1.22 -> 0.73 s/channel full-ATI gap (ROUND4_NOTES).
+    echo_oversample: int = 2
 
     def num_pulses(self, prf_hz: float) -> int:
         n = int(math.ceil(self.integration_time_s * prf_hz))
