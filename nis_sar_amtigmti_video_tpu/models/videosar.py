@@ -86,11 +86,12 @@ def form_frames_bp(raw_frames, pos_frames, vel_frames, t_frames, vel_focus,
     matched filter fuses into its recentre FFT, so raw pulses go in).
     'fast_pallas' adds the pixel-tile kernel; the 'fast_factor*' variants
     select the factorized (sub-aperture) accumulate — 'fast_factor'
-    (XLA), 'fast_factor_pallas' (+ pallas recentre), 'fast_factor_kernel'
-    (+ the fused coarse-tile inner-sum kernel), 'fast_factor2' /
+    (XLA), 'fast_factor_pallas' (+ pallas recentre), 'fast_factor2' /
     'fast_factor2_pallas' (two-level factorization, the fastest measured
-    path where plan.sub_raw1 > 0) — the round-3 production paths (the
-    plan must be built with factorize=True).
+    path where plan.sub_raw1 > 0) — the production paths (the plan must
+    be built with factorize=True). The measured-loser 'factor_kernel'
+    accumulate is quarantined to the ops layer (docs/PERF_GUIDE.md
+    "Variant retirement policy").
 
     ``spectra_frames`` (F, cpi, nfft/128, 256): per-frame slices of cached
     forward spectra (bp_fast.forward_spectra) — the streaming path for
@@ -98,7 +99,6 @@ def form_frames_bp(raw_frames, pos_frames, vel_frames, t_frames, vel_focus,
     the recentre ramp/presum/inverse run per frame."""
     acc = {"fast": "xla", "fast_pallas": "pallas", "fast_factor": "factor",
            "fast_factor_pallas": "factor_pallas",
-           "fast_factor_kernel": "factor_kernel",
            "fast_factor2": "factor2",
            "fast_factor2_pallas": "factor2_pallas"}.get(backend)
     fast = acc is not None
@@ -383,7 +383,6 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
         acc = {"fast": "xla", "fast_pallas": "pallas",
                "fast_factor": "factor",
                "fast_factor_pallas": "factor_pallas",
-               "fast_factor_kernel": "factor_kernel",
                "fast_factor2": "factor2",
                "fast_factor2_pallas": "factor2_pallas"}[bp_backend]
         fs = 8 if acc.startswith("factor") else 0

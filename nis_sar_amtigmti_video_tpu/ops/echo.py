@@ -72,12 +72,13 @@ class EchoOpts:
     # the flanks themselves are synthesized exactly. 0 = round-1 approximate
     # mode (no exact-edge pass, ~-25 dB field floor)
     freq_edge_taper: float = 4.0
-    # 'auto' | 'dense' | 'dense_kernel' | 'dense_kernel_qr' | 'scatter':
-    # how the NUFFT impulses reach the grid (dense = one-hot MXU spreading,
-    # the TPU scatter-wall fix; targets are delay-sorted below so its group
-    # windows stay narrow; dense_kernel keeps the one-hot in VMEM —
-    # ops/pallas/spread_kernel.py; the _qr variant digit-factorizes it into
-    # one full-width MXU dot)
+    # 'auto' | 'dense' | 'dense_kernel' | 'scatter': how the NUFFT impulses
+    # reach the grid (dense = one-hot MXU spreading, the TPU scatter-wall
+    # fix; targets are delay-sorted below so its group windows stay narrow;
+    # dense_kernel keeps the one-hot in VMEM — ops/pallas/spread_kernel.py).
+    # 'dense_kernel_qr' (digit-factorized full-width dot) is QUARANTINED:
+    # a measured loser at the shipped W/n_sets, kept only for probe-script
+    # A/Bs (docs/PERF_GUIDE.md "Variant retirement policy")
     freq_spreader: str = "auto"
     # dense-spreader group sizing overrides (None = module defaults): the
     # (grp, B/grp, win) one-hot is the dense path's HBM bill; tighter
@@ -88,11 +89,10 @@ class EchoOpts:
     # (quadratic anchor interpolation between; 0/1 = exact at every pulse)
     freq_geom_stride: int = 8
     # 'f64': interpolate the delay field in emulated f64 and wrap the
-    # carrier per (pulse, target). 'split': f64 only at the anchors — the
-    # carrier wraps per anchor and the inter-anchor delay deltas (~ns at
-    # the anchor spacing) interpolate exactly in f32 (~1e-5 rad carrier
-    # class, inside the 1e-3 budget), cutting the (P, B) emulated-f64
-    # field work by the stride factor
+    # carrier per (pulse, target). 'split' (QUARANTINED — measured flat at
+    # full scale, the sim is spread/conv-bound; probe-script A/Bs only,
+    # docs/PERF_GUIDE.md "Variant retirement policy"): f64 only at the
+    # anchors, inter-anchor deltas in f32 (~1e-5 rad carrier class)
     freq_geom_interp: str = "f64"
     # 'auto' | 'xla' | 'pallas' | 'pallas_interpret': the freq backend's FFT
     # convolution. 'pallas' fuses forward DFT + filter + inverse DFT in one

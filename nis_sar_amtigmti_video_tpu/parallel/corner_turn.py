@@ -131,11 +131,6 @@ def bp_sharded(rc, sat_pos, sat_vel, t_slow, vel_focus, t_start, p,
     return out[0]
 
 
-def _bp_factor_kernel_supported(plan) -> bool:
-    from nis_sar_amtigmti_video_tpu.ops.pallas import bp_factor_kernel
-    return bp_factor_kernel.supported(plan)
-
-
 def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
                     p, plan, mesh, axis: str = "seq", presum: int = 1,
                     accumulate: str = "xla", fit_stride: int = 0,
@@ -156,8 +151,10 @@ def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
     ``accumulate`` selects the per-shard accumulation exactly as in
     :func:`ops.bp_fast.backproject_fast`: 'xla' (scan), 'pallas' /
     'pallas_interpret' (fused pixel-tile kernel — the path that makes
-    single-chip BP 111 ms; needs a w_win=64 plan), or 'factor' (the
-    sub-aperture factorization; needs a factorize=True plan). Sub-aperture
+    single-chip BP 111 ms; needs a w_win=64 plan), or 'factor'/'factor2'
+    (the sub-aperture factorization; needs a factorize=True plan — the
+    quarantined 'factor_kernel' variant is ops-layer-only, see
+    docs/PERF_GUIDE.md "Variant retirement policy"). Sub-aperture
     anchors are then per-shard, which changes only the band-limited merge's
     ~-100 dB interpolation error, not the exact phase totals.
 
@@ -179,8 +176,6 @@ def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
     if jax.default_backend() != "tpu":
         if accumulate == "pallas":      # Mosaic needs a TPU; mirrors
             accumulate = "xla"          # backproject_fast
-        elif accumulate == "factor_kernel":
-            accumulate = "factor"
         if recentre == "pallas":        # interpret stays available
             recentre = "pallas_interpret" if raw_spectra is not None \
                 else "xla"
@@ -254,14 +249,6 @@ def bp_fast_sharded(raw, sat_pos, sat_vel, t_slow, vel_focus, t_start,
             img = bp_kernel.accumulate_pallas(
                 rc2, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l, plan_acc,
                 interpret=(accumulate == "pallas_interpret"))
-        elif (accumulate in ("factor_kernel", "factor_kernel_interpret")
-              and plan.sub_raw > 0
-              and _bp_factor_kernel_supported(plan)):
-            from nis_sar_amtigmti_video_tpu.ops.pallas import bp_factor_kernel
-            img = bp_factor_kernel.accumulate_factor_pallas(
-                rc2, u0_l, pa_l, pb_l, pc_l, bt_l, ct_l, plan_acc,
-                max(1, plan.sub_raw // d),
-                interpret=accumulate.endswith("_interpret"))
         elif accumulate == "factor2" and plan.sub_raw1 > 0:
             img = bf._accumulate_factor2(rc2, u0_l, pa_l, pb_l, pc_l, bt_l,
                                          ct_l, plan_acc,

@@ -356,40 +356,6 @@ class TestShardedBP:
             presum=2, accumulate="factor2"))
         np.testing.assert_allclose(got, want, atol=2e-3 * np.abs(want).max())
 
-    def test_fast_bp_sharded_factor_kernel(self):
-        """Sharded fused factor-accumulate kernel (interpret mode) vs the
-        single-device kernel path — the factor analog of the pixel-tile
-        sharding test above."""
-        import dataclasses
-
-        from nis_sar_amtigmti_video_tpu.ops import bp_fast
-        from nis_sar_amtigmti_video_tpu.ops.pallas import bp_factor_kernel
-
-        raw, traj, p, plan0, t0, vel = self._bp_scene(factorize=True)
-        assert plan0.sub_raw > 0
-        # widen the internal grid to the kernel's lane contract (the tiny
-        # test scene plans below 128 coarse columns)
-        plan = dataclasses.replace(plan0, nx_i=512, nx_c=128,
-                                   ny_i=-(-plan0.ny_i // 128) * 128)
-        bs = int(round(plan.n_org - 0.5 - ((plan.ny_i - 1) / 2.0)
-                       * plan.stride - plan.w_win / 2.0))
-        plan = dataclasses.replace(plan, band_start=bs)
-        assert bp_factor_kernel.supported(plan)
-        assert bs >= 0 and (bs + plan.stride * (plan.ny_i - 1)
-                            + plan.w_win <= plan.nfft)
-        pos = jnp.asarray(traj.positions)
-        ve = jnp.asarray(traj.velocities)
-        ts = jnp.asarray(traj.times)
-        vf = jnp.asarray(vel, jnp.float64)
-        want = cplx.to_host(bp_fast.backproject_fast(
-            raw, pos, ve, ts, vf, p, plan, presum=2, compress=True,
-            accumulate="factor_kernel_interpret"))
-        m = mesh_mod.make_mesh((1, 1, 8))
-        got = cplx.to_host(corner_turn.bp_fast_sharded(
-            raw, pos, ve, ts, vf, jnp.float64(t0), p, plan, m, axis="seq",
-            presum=2, accumulate="factor_kernel_interpret"))
-        np.testing.assert_allclose(got, want, atol=2e-3 * np.abs(want).max())
-
     def test_fast_bp_sharded_kernel_recentre_and_spectra(self):
         """Sharded fused-kernel recentre (band-limited inverse per shard)
         and the sharded streaming raw_spectra feed must both match the
