@@ -72,6 +72,41 @@ class TestShardedGmti:
                                    cplx.to_host(det.snr), rtol=2e-3,
                                    atol=1e-3)
 
+    def test_latency_mode_one_cpi(self):
+        """Latency-mode composition (VERDICT r3 item 9): ONE CPI spread over
+        the whole mesh — F=1 on a (1, 2, 4) mesh, so the 2 channels ride
+        'chan' and the range axis splits 4-way over 'seq'. Every product
+        (balance, ATI, DPCA, CFAR, cancellation) must equal the composed
+        single-device pipeline; this is the runnable step behind
+        docs/SCALING.md §2's sequence-parallel latency projection."""
+        n_az, n_rg = 64, 256
+        p = _params(n_az, n_rg)
+        key = jax.random.PRNGKey(3)
+        raw = jax.lax.complex(
+            jax.random.normal(key, (1, 2, n_az, n_rg), jnp.float32),
+            jax.random.normal(jax.random.fold_in(key, 1),
+                              (1, 2, n_az, n_rg), jnp.float32))
+
+        mesh = mesh_mod.make_mesh((1, 2, 4))
+        step = distributed.make_gmti_step(mesh, p, shift_pulses=0)
+        out = step(jax.device_put(raw, distributed.raw_sharding(mesh)))
+
+        phases = csa_ops.csa_phases(p)
+        slc = csa_ops.apply_csa(raw, phases)
+        s1, s2 = slc[:, 0], slc[:, 1]
+        ifg = s1 * jnp.conj(s2)
+        m = jnp.sum(ifg)
+        cal = m / jnp.abs(m)
+        diff = s1 - s2 * cal
+        want = np.abs(cplx.to_host(diff))
+        got = cplx.to_host(out.dpca_mag)
+        np.testing.assert_allclose(got, want, rtol=0, atol=3e-4 * want.max())
+        det = cfar.ca_cfar(jnp.abs(diff) ** 2, cfar.CfarParams())
+        np.testing.assert_allclose(cplx.to_host(out.cfar_snr),
+                                   cplx.to_host(det.snr), rtol=2e-3,
+                                   atol=1e-3)
+        assert np.isfinite(float(np.asarray(out.cancellation)))
+
     def test_dpca_shift_applied(self):
         """With shift_pulses=1 the step must cancel a DPCA-coherent pair:
         build channels where ch1[k+1] == ch2[k]; after the shift the
