@@ -21,6 +21,7 @@ round-1 headline), bp_frame_ms (gather-free fast BP at the reference
 """
 
 import json
+import math
 import os
 import sys
 import time
@@ -444,6 +445,69 @@ def main():
     except Exception:
         pass
 
+    # ---- HRWS multichannel reconstruction (K=4, production 4096^2:
+    # (4, 1024, 4096) sub-Nyquist channels -> (4096, 4096) unfolded
+    # slow-time; doppler ambiguity.html:556-570's processing chain) ----
+    hrws_recon_ms = None
+    hrws_ghost_db = None
+    try:
+        if os.environ.get("BENCH_SKIP_HRWS", "0") != "1" \
+                and (time.perf_counter() - t_proc0) < 0.8 * budget_s:
+            from nis_sar_amtigmti_video_tpu.models import hrws
+            from nis_sar_amtigmti_video_tpu.utils import cplx as _cplx
+
+            k_ch, m_b = 4, 4
+            p_az, n_rg = size // m_b, size
+            prf_h, v_h = 6000.0, 7612.0      # ati_dpca-class system PRF
+            # uniform effective sampling: spacing*PRF/(2V) = 1/K
+            ph = hrws.HrwsParams(num_channels=k_ch,
+                                 spacing_m=2.0 * v_h / (k_ch * prf_h),
+                                 prf_hz=prf_h, velocity_mps=v_h)
+            # multi-tone scene: one in-band + one aliasing tone per extra
+            # band, constant over range (the solve/FFT work is
+            # data-independent; tones give the ghost metric physical
+            # meaning). Channel k samples slow time advanced by x_k/(2V).
+            t_h = np.arange(p_az) / prf_h
+            tones = [(0.17 * prf_h, 1.0), (1.31 * prf_h, 1.0),
+                     (-1.62 * prf_h, 0.7)]
+            offs_h = ph.rx_offsets()
+            ch_np = np.zeros((k_ch, p_az, 1), np.complex64)
+            for kk, x_off in enumerate(offs_h):
+                tk = t_h + x_off / (2.0 * v_h)
+                sig = np.zeros(p_az, np.complex128)
+                for f0_h, a_h in tones:
+                    sig += a_h * np.exp(2j * np.pi * f0_h * tk)
+                ch_np[kk] = sig[:, None].astype(np.complex64)
+            chans = jnp.broadcast_to(_cplx.to_device(ch_np),
+                                     (k_ch, p_az, n_rg))
+
+            recon_j = jax.jit(lambda c: hrws.reconstruct(c, ph))
+            rec = recon_j(chans)
+            _ = float(jnp.sum(jnp.abs(rec[:1, :1])))   # compile + first
+            t1 = time.perf_counter()
+            for _i in range(4):
+                rec = recon_j(chans)
+                _ = float(jnp.sum(jnp.abs(rec[:1, :1])))
+            hrws_recon_ms = (time.perf_counter() - t1) / 4 * 1e3
+
+            # ghost suppression: the 1.31*PRF tone aliases to 0.31*PRF in
+            # any single channel; after unfolding it sits at its true bin
+            # and the aliased bin drops. dB = alias-bin level, single
+            # channel vs reconstructed (relative to the tone's true peak).
+            spec1 = np.abs(np.fft.fft(ch_np[0, :, 0]))
+            spec_r = np.abs(np.fft.fft(_cplx.to_host(rec[:, 0])))
+            f1 = np.fft.fftfreq(p_az, 1.0 / prf_h)
+            fr = np.fft.fftfreq(m_b * p_az, 1.0 / (m_b * prf_h))
+            f_alias = 1.31 * prf_h - prf_h   # in-band alias position
+            b1 = int(np.argmin(np.abs(f1 - f_alias)))
+            br = int(np.argmin(np.abs(fr - f_alias)))
+            b_true = int(np.argmin(np.abs(fr - 1.31 * prf_h)))
+            g1 = spec1[b1] / spec1.max()
+            gr = spec_r[br] / spec_r[b_true]
+            hrws_ghost_db = 20.0 * math.log10(max(gr, 1e-12) / g1)
+    except Exception:
+        pass
+
     # ---- NumPy reference baseline: the same 2-channel GMTI step ----
     numpy_gmti_fps = None
     numpy_raw_s = None
@@ -501,6 +565,8 @@ def main():
         "bp_stream_frame_ms": (round(bp_stream_ms, 1)
                                if bp_stream_ms else None),
         "sim_pass_s": round(sim_pass_s, 2) if sim_pass_s else None,
+        "hrws_recon_ms": round(hrws_recon_ms, 1) if hrws_recon_ms else None,
+        "hrws_ghost_db": round(hrws_ghost_db, 1) if hrws_ghost_db else None,
         "e2e_fullscale_s": (round(e2e_fullscale_s, 2)
                             if e2e_fullscale_s else None),
         "numpy_gmti_fps": round(numpy_gmti_fps, 5) if numpy_gmti_fps else None,
