@@ -73,7 +73,8 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
                     lead_variant: str = "swap",
                     balance_impl: str = "pallas",
                     k1_impl: str = "fused2ch",
-                    k2_impl: str = "pair"):
+                    k2_impl: str = "pair",
+                    k2_mode: str | None = None):
     """Full 2-channel GMTI CPI — raw phase-history planes in, SLC planes +
     products out — with the product step fused into the CSA megakernel's
     K3 output pass (ops/pallas/gmti_kernel.py).
@@ -83,10 +84,17 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
     unitarity argument in the kernel module docstring).
 
     Returns (s1r, s1i, s2r, s2i, cal, phase, dmag, CfarResult).
+
+    ``k2_mode`` overrides the dot precision of the K2 pass alone (None =
+    follow ``mode``): 'wf16' truncates only the K2 tables to bf16 (2 dots
+    per contraction instead of bf16x3's 3) — a common-operator
+    perturbation that cancels in the cross-channel products (see
+    csa_kernel._dot3).
     """
     from nis_sar_amtigmti_video_tpu.ops.pallas import csa_kernel, gmti_kernel
 
     p = cfar_params or cfar_mod.CfarParams()
+    k2m = k2_mode or mode
     size_az, size_rg = x1r.shape[-2], x1r.shape[-1]
     b = int(math.isqrt(size_rg))
     interp = interpret or jax.default_backend() != "tpu"
@@ -109,13 +117,13 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
                 # (half of K2's transcendental bill) — bit-identical per
                 # channel to the split calls
                 z1r, z1i, z2r, z2i = csa_kernel.k2_pair_call(
-                    z1r, z1i, z2r, z2i, f, b, interp, mode,
+                    z1r, z1i, z2r, z2i, f, b, interp, k2m,
                     variant=k2_variant)
             else:
                 z1r, z1i = csa_kernel._k2_call(z1r, z1i, f, b, interp,
-                                               mode, variant=k2_variant)
+                                               k2m, variant=k2_variant)
                 z2r, z2i = csa_kernel._k2_call(z2r, z2i, f, b, interp,
-                                               mode, variant=k2_variant)
+                                               k2m, variant=k2_variant)
     else:
         # balance phase from the raw pair (K1/K2/K3 unitary up to + scale);
         # the pallas reduction makes ONE HBM pass over the four planes where
@@ -140,7 +148,7 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
                                              f.c1.reshape(-1, 1),
                                              f.w.reshape(-1, 1), a, interp,
                                              mode, variant=lead_variant)
-                return csa_kernel._k2_call(zr, zi, f, b, interp, mode,
+                return csa_kernel._k2_call(zr, zi, f, b, interp, k2m,
                                            variant=k2_variant)
 
         # separate per-channel K1/K2 calls measure faster than one vmapped

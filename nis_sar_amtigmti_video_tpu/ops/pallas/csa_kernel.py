@@ -95,7 +95,15 @@ from nis_sar_amtigmti_video_tpu.ops.pallas.blocks import blk_lhs as _blk_lhs
 def _dot3(z, w_hi, w_lo, axis: int, mode: str):
     """Contraction of f32 ``z`` axis ``axis`` with a (K, N) block matrix at
     f32-grade accuracy via bf16x3 (Mosaic's f32 dot is a single lossy bf16
-    pass — module docstring)."""
+    pass — module docstring).
+
+    mode='wf16' keeps the DATA at hi+lo grade but truncates the table to
+    its bf16 hi half (2 dots instead of 3): the operator perturbation is
+    then identical for every plane contracted against the same table —
+    for the two-channel GMTI K2 both channels see the SAME slightly-wrong
+    unitary, so the cross-channel products (ATI phase, DPCA difference)
+    cancel it to first order while each SLC keeps f32-grade data paths
+    (fidelity-gated A/B in tests/test_gmti.py + ROUND4_NOTES)."""
     dn = (((axis,), (0,)), ((), ()))
     d = partial(jax.lax.dot_general, dimension_numbers=dn,
                 preferred_element_type=jnp.float32)
@@ -103,6 +111,8 @@ def _dot3(z, w_hi, w_lo, axis: int, mode: str):
     if mode == "bf16":
         return d(zh, w_hi)
     zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+    if mode == "wf16":
+        return d(zh, w_hi) + d(zl, w_hi)
     return d(zh, w_hi) + d(zh, w_lo) + d(zl, w_hi)
 
 
