@@ -155,8 +155,10 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
     num_p = t_slow.shape[0]
     num_b = tgt_pos.shape[0]
     ns = opts.num_samples
+    n_chan = 1 if rx_offset.ndim == 0 else rx_offset.shape[0]
     if num_b == 0:  # empty scene: pure zeros
-        return jnp.zeros((num_p, ns), jnp.complex64)
+        return jnp.zeros((n_chan * num_p, ns), jnp.complex64) \
+            if rx_offset.ndim else jnp.zeros((num_p, ns), jnp.complex64)
 
     # --- static chunk plan ---
     tb = min(opts.target_chunk, num_b)
@@ -185,9 +187,12 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
     shift = jnp.float32(opts.chirp_shift)
     half = jnp.float32(opts.half_width)
 
-    def geometry_core(j, ts, ps, vs):
+    def geometry_core(j, ts, ps, vs, off=None):
         """f64 geometry for target chunk j of one pulse chunk: (tau (f64),
-        amp (f32)), each (pc, tb). ts:(pc,), ps/vs:(pc,3)."""
+        amp (f32)), each (pc, tb). ts:(pc,), ps/vs:(pc,3). ``off`` is the
+        along-track Rx offset (per-channel in the batched freq form)."""
+        if off is None:
+            off = rx_offset
         pos0 = jax.lax.dynamic_slice(tgt_pos_p, (j * tb, 0), (tb, 3))
         amp0 = jax.lax.dynamic_slice(amp_b, (j * tb,), (tb,))
 
@@ -198,7 +203,7 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
 
         v_norm = jnp.linalg.norm(vs, axis=-1, keepdims=True)
         v_dir = vs / jnp.where(v_norm == 0.0, 1.0, v_norm)
-        p_rx = ps[:, None, :] + v_dir[:, None, :] * rx_offset
+        p_rx = ps[:, None, :] + v_dir[:, None, :] * off
         if opts.stop_and_go:
             tau_a = 2.0 * d_tx / c
             p_rx = p_rx + vs[:, None, :] * tau_a[:, :, None]
@@ -218,9 +223,9 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
         amp = jnp.broadcast_to(amp, tau.shape).astype(jnp.float32)
         return tau, amp
 
-    def geometry_block(j, ts, ps, vs):
+    def geometry_block(j, ts, ps, vs, off=None):
         """geometry_core -> f32 scalars (tau_rel, carrier, amp)."""
-        tau, amp = geometry_core(j, ts, ps, vs)
+        tau, amp = geometry_core(j, ts, ps, vs, off)
         carrier = _wrap_pi(-_TWO_PI * opts.fc_hz * tau).astype(jnp.float32)
         tau_rel = (tau - t_start).astype(jnp.float32)       # (pc, tb), < ~50 us
         return tau_rel, carrier, amp
@@ -255,79 +260,98 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
         if opts.freq_geom_interp not in ("f64", "split"):
             raise ValueError(
                 f"unknown freq_geom_interp {opts.freq_geom_interp!r}")
-        if h_geo > 1 and num_p > 3 * h_geo:
-            # anchored geometry: the emulated-f64 pass runs only every
-            # h_geo-th pulse; the delay field interpolates quadratically in
-            # slow time (residual ~1e-19 s at reference orbital jerk — see
-            # utils/anchors.py), and the carrier derives from the
-            # interpolated f64 delay, so its wrap stays exact.
-            from nis_sar_amtigmti_video_tpu.utils.anchors import anchor_plan
-            needed, trip, w_np = anchor_plan(num_p, h_geo)
-            na = len(needed)
-            na_pad = -(-na // pc) * pc
+        # Channel-batched form: a (C,) rx_offset runs each channel's
+        # geometry through the same anchored pipeline and stacks the
+        # scalar fields on the pulse axis, so ONE synthesize call (one
+        # program, one scan tail) serves every channel; the caller
+        # slices the (C*P, Ns) result per channel (never materializing
+        # the 3-D (C, P, Ns) layout trap).
+        offs_c = ([rx_offset] if rx_offset.ndim == 0
+                  else [rx_offset[c] for c in range(rx_offset.shape[0])])
+        taus_c, cars_c, amps_c = [], [], []
+        for off_c in offs_c:
+            if h_geo > 1 and num_p > 3 * h_geo:
+                # anchored geometry: the emulated-f64 pass runs only every
+                # h_geo-th pulse; the delay field interpolates quadratically in
+                # slow time (residual ~1e-19 s at reference orbital jerk — see
+                # utils/anchors.py), and the carrier derives from the
+                # interpolated f64 delay, so its wrap stays exact.
+                from nis_sar_amtigmti_video_tpu.utils.anchors import anchor_plan
+                needed, trip, w_np = anchor_plan(num_p, h_geo)
+                na = len(needed)
+                na_pad = -(-na // pc) * pc
 
-            def pad_a(x):
-                return _pad_axis0(x[jnp.asarray(needed)], na_pad, edge=True)
+                def pad_a(x):
+                    return _pad_axis0(x[jnp.asarray(needed)], na_pad, edge=True)
 
-            ts_a = pad_a(t_slow).reshape(-1, pc)
-            ps_a = pad_a(sat_pos).reshape(-1, pc, 3)
-            vs_a = pad_a(sat_vel).reshape(-1, pc, 3)
+                ts_a = pad_a(t_slow).reshape(-1, pc)
+                ps_a = pad_a(sat_pos).reshape(-1, pc, 3)
+                vs_a = pad_a(sat_vel).reshape(-1, pc, 3)
 
-            def geom_chunk64(carry, xs):
-                ts, ps, vs = xs
-                outs = [geometry_core(j, ts, ps, vs)
-                        for j in range(n_tchunks)]
-                tau_c = jnp.concatenate([o[0] for o in outs], axis=1)
-                amp_c = jnp.concatenate([o[1] for o in outs], axis=1)
-                return carry, (tau_c, amp_c)
+                def geom_chunk64(carry, xs):
+                    ts, ps, vs = xs
+                    outs = [geometry_core(j, ts, ps, vs, off_c)
+                            for j in range(n_tchunks)]
+                    tau_c = jnp.concatenate([o[0] for o in outs], axis=1)
+                    amp_c = jnp.concatenate([o[1] for o in outs], axis=1)
+                    return carry, (tau_c, amp_c)
 
-            _, (tau_a, amp_a) = jax.lax.scan(geom_chunk64, 0,
-                                             (ts_a, ps_a, vs_a))
-            tau_a = tau_a.reshape(na_pad, b_pad)[:na]
-            amp_a = amp_a.reshape(na_pad, b_pad)[:na]
-            w64 = jnp.asarray(w_np)
-            a0, a1, a2 = (jnp.asarray(trip[:, k]) for k in range(3))
-            w32 = w64.astype(jnp.float32)
-            amp_all = (w32[:, 0, None] * amp_a[a0]
-                       + w32[:, 1, None] * amp_a[a1]
-                       + w32[:, 2, None] * amp_a[a2])[:num_p]
-            if opts.freq_geom_interp == "split":
-                # sum(w) = 1, so tau = tau[a1] + w0*(tau[a0] - tau[a1])
-                # + w2*(tau[a2] - tau[a1]); the deltas are ~ns-scale (f64
-                # subtraction exact, f32 cast ~1e-16 s) and the carrier
-                # wraps ONCE per anchor in f64 — the per-pulse residual
-                # phase is tens of rad, safe to wrap in f32
-                car_a = _wrap_pi(-_TWO_PI * opts.fc_hz * tau_a
-                                 ).astype(jnp.float32)
-                rel_a = (tau_a - t_start).astype(jnp.float32)
-                d0 = (tau_a[a0] - tau_a[a1]).astype(jnp.float32)
-                d2 = (tau_a[a2] - tau_a[a1]).astype(jnp.float32)
-                dly = w32[:, 0, None] * d0 + w32[:, 2, None] * d2
-                tau_all = (rel_a[a1] + dly)[:num_p]
-                dph = jnp.float32(-_TWO_PI * opts.fc_hz) * dly
-                car_all = _wrap_pi(car_a[a1] + dph)[:num_p]
+                _, (tau_a, amp_a) = jax.lax.scan(geom_chunk64, 0,
+                                                 (ts_a, ps_a, vs_a))
+                tau_a = tau_a.reshape(na_pad, b_pad)[:na]
+                amp_a = amp_a.reshape(na_pad, b_pad)[:na]
+                w64 = jnp.asarray(w_np)
+                a0, a1, a2 = (jnp.asarray(trip[:, k]) for k in range(3))
+                w32 = w64.astype(jnp.float32)
+                amp_all = (w32[:, 0, None] * amp_a[a0]
+                           + w32[:, 1, None] * amp_a[a1]
+                           + w32[:, 2, None] * amp_a[a2])[:num_p]
+                if opts.freq_geom_interp == "split":
+                    # sum(w) = 1, so tau = tau[a1] + w0*(tau[a0] - tau[a1])
+                    # + w2*(tau[a2] - tau[a1]); the deltas are ~ns-scale (f64
+                    # subtraction exact, f32 cast ~1e-16 s) and the carrier
+                    # wraps ONCE per anchor in f64 — the per-pulse residual
+                    # phase is tens of rad, safe to wrap in f32
+                    car_a = _wrap_pi(-_TWO_PI * opts.fc_hz * tau_a
+                                     ).astype(jnp.float32)
+                    rel_a = (tau_a - t_start).astype(jnp.float32)
+                    d0 = (tau_a[a0] - tau_a[a1]).astype(jnp.float32)
+                    d2 = (tau_a[a2] - tau_a[a1]).astype(jnp.float32)
+                    dly = w32[:, 0, None] * d0 + w32[:, 2, None] * d2
+                    tau_all = (rel_a[a1] + dly)[:num_p]
+                    dph = jnp.float32(-_TWO_PI * opts.fc_hz) * dly
+                    car_all = _wrap_pi(car_a[a1] + dph)[:num_p]
+                else:
+                    tau64 = (w64[:, 0, None] * tau_a[a0]
+                             + w64[:, 1, None] * tau_a[a1]
+                             + w64[:, 2, None] * tau_a[a2])
+                    car_all = _wrap_pi(-_TWO_PI * opts.fc_hz * tau64
+                                       ).astype(jnp.float32)[:num_p]
+                    tau_all = (tau64 - t_start).astype(jnp.float32)[:num_p]
             else:
-                tau64 = (w64[:, 0, None] * tau_a[a0]
-                         + w64[:, 1, None] * tau_a[a1]
-                         + w64[:, 2, None] * tau_a[a2])
-                car_all = _wrap_pi(-_TWO_PI * opts.fc_hz * tau64
-                                   ).astype(jnp.float32)[:num_p]
-                tau_all = (tau64 - t_start).astype(jnp.float32)[:num_p]
-        else:
-            def geom_chunk(carry, xs):
-                ts, ps, vs = xs
-                outs = [geometry_block(j, ts, ps, vs)
-                        for j in range(n_tchunks)]
-                tau_c = jnp.concatenate([o[0] for o in outs], axis=1)
-                car_c = jnp.concatenate([o[1] for o in outs], axis=1)
-                amp_c = jnp.concatenate([o[2] for o in outs], axis=1)
-                return carry, (tau_c, car_c, amp_c)
+                def geom_chunk(carry, xs):
+                    ts, ps, vs = xs
+                    outs = [geometry_block(j, ts, ps, vs, off_c)
+                            for j in range(n_tchunks)]
+                    tau_c = jnp.concatenate([o[0] for o in outs], axis=1)
+                    car_c = jnp.concatenate([o[1] for o in outs], axis=1)
+                    amp_c = jnp.concatenate([o[2] for o in outs], axis=1)
+                    return carry, (tau_c, car_c, amp_c)
 
-            _, (tau_all, car_all, amp_all) = jax.lax.scan(
-                geom_chunk, 0, (t_slow_p, sat_pos_p, sat_vel_p))
-            tau_all = tau_all.reshape(p_pad, b_pad)[:num_p]
-            car_all = car_all.reshape(p_pad, b_pad)[:num_p]
-            amp_all = amp_all.reshape(p_pad, b_pad)[:num_p]
+                _, (tau_all, car_all, amp_all) = jax.lax.scan(
+                    geom_chunk, 0, (t_slow_p, sat_pos_p, sat_vel_p))
+                tau_all = tau_all.reshape(p_pad, b_pad)[:num_p]
+                car_all = car_all.reshape(p_pad, b_pad)[:num_p]
+                amp_all = amp_all.reshape(p_pad, b_pad)[:num_p]
+            taus_c.append(tau_all)
+            cars_c.append(car_all)
+            amps_c.append(amp_all)
+        tau_all = (taus_c[0] if len(taus_c) == 1
+                   else jnp.concatenate(taus_c, axis=0))
+        car_all = (cars_c[0] if len(cars_c) == 1
+                   else jnp.concatenate(cars_c, axis=0))
+        amp_all = (amps_c[0] if len(amps_c) == 1
+                   else jnp.concatenate(amps_c, axis=0))
         if opts.backend == "freq":
             if opts.endpoint_grid:
                 raise ValueError(
@@ -348,6 +372,11 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
             k_pi=float(math.pi * opts.chirp_rate),
             shift=float(opts.chirp_shift), half=float(opts.half_width),
             interpret=(opts.backend == "pallas_interpret"))
+
+    if rx_offset.ndim:
+        raise ValueError(
+            "batched (C,) rx_offset is only supported on the scalar-field "
+            "backends ('freq'/'pallas'); vmap the 'jnp' engine instead")
 
     def pulse_chunk(carry, xs):
         ts, ps, vs = xs
@@ -424,14 +453,24 @@ def multi_channel_phase_history(trajectory, targets, opts: EchoOpts, *,
             off, jnp.float64(t_start), opts)
 
     if opts.backend == "freq":
-        # per-channel dispatches, returned as a TUPLE: at the reference
+        # ONE batched dispatch: every channel's scalar fields stack on the
+        # pulse axis inside _phase_history, so a single synthesize program
+        # (one scan tail, one spread/conv pipeline, shared delay sort)
+        # serves all channels. The result stays 2-D (C*P, Ns), sliced per
+        # channel here and returned as a TUPLE: at the reference
         # 2 x 7,200 x 13,200 scale ANY (C, P, Ns) complex64 construction
         # (vmapped, stacked, lax.complex of stacked planes) gets a 64x
         # tile-padded {0,2,1} layout on TPU — 97 GB (the round-1 layout
         # trap; docs/ARCHITECTURE.md TPU constraints). Consumers index
         # channels, so the tuple is a drop-in.
         offs = np.asarray(rx_offsets, np.float64)
-        chans = tuple(one(jnp.float64(o)) for o in offs)
+        if len(offs) == 1:
+            chans = (one(jnp.float64(offs[0])),)
+        else:
+            n_p = int(np.asarray(trajectory.times).shape[0])
+            flat = one(jnp.asarray(offs))               # (C*P, Ns)
+            chans = tuple(flat[c * n_p:(c + 1) * n_p]
+                          for c in range(len(offs)))
         return jnp.stack(chans, axis=0) if channels_as_tuple is False \
             else chans
     out = jax.vmap(one)(jnp.asarray(rx_offsets, jnp.float64))

@@ -257,3 +257,36 @@ class TestFreqBackend:
                                        _opts("freq"), t_start=t0))
         assert np.isfinite(r).all()
         assert np.abs(r).max() < 1e-3
+
+    def test_multi_channel_batched_equals_per_channel(self):
+        """The freq backend's channel-batched dispatch (both channels'
+        scalar fields stacked on the pulse axis through ONE synthesize
+        program — ops/echo.py::multi_channel_phase_history) must match
+        per-channel calls to f32-ULP class: every per-row stage (group
+        spread, conv row FFT, edge pass) is pulse-row independent, so
+        only backend association order (the CPU scatter path re-orders
+        adds under a different batch shape) may differ — never values.
+        40 pulses exercises the anchored-geometry path (num_p >
+        3*stride)."""
+        from nis_sar_amtigmti_video_tpu.ops.echo import (
+            multi_channel_phase_history)
+
+        g = cfg.satellite_stripmap().geometry
+        traj = orbit.make_trajectory(g, orbit.slow_time_grid(40 / 6000.0, 40))
+        rng = np.random.default_rng(3)
+        tgts = T.PointTargets.concatenate(
+            [T.destroyer(), ocean_clutter_field(rng, 80, 400.0)])
+        t0 = window_start_time(g.slant_range_m, _opts("jnp"), 360 / 60e6,
+                               "centered")
+        offs = (-1.3, 1.3)
+        b1, b2 = multi_channel_phase_history(traj, tgts, _opts("freq"),
+                                             t_start=t0, rx_offsets=offs)
+        r1 = phase_history(traj, tgts, _opts("freq"), t_start=t0,
+                           rx_offset=offs[0])
+        r2 = phase_history(traj, tgts, _opts("freq"), t_start=t0,
+                           rx_offset=offs[1])
+        assert b1.shape == r1.shape
+        for b, r in ((b1, r1), (b2, r2)):
+            bh, rh = cplx.to_host(b), cplx.to_host(r)
+            tol = 3e-6 * np.abs(rh).max()
+            np.testing.assert_allclose(bh, rh, rtol=0, atol=tol)
