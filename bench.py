@@ -15,6 +15,19 @@ value        — frames/sec of the COMPLETE per-CPI GMTI pipeline: two-channel
 vs_baseline  — speedup over the NumPy reference doing the same GMTI step
                (2x oracle CSA + numpy products on this host).
 
+Artifact-of-record discipline (round-5 rework): every metric key in the
+JSON either has a value or a reason. The per-section `sections` map records
+{status, elapsed_s} for ALL sections — "ok", "skipped: <why>" (budget
+arithmetic spelled out, or the BENCH_SKIP_* env var), or "error: <repr>".
+There are no blanket exception swallows and no silent elapsed-time gates:
+a section is skipped ONLY by explicit budget arithmetic (est cost vs
+remaining minus the NumPy-denominator reservation), and that arithmetic is
+printed into the artifact. Sections are ordered so the historically-lost
+metrics (e2e, sim, bp, bp_stream) run before the nice-to-haves (bf16
+stream); compiled programs are shared across sections (the sim pass reuses
+the e2e section's batched two-channel program) to keep compile cost out of
+the budget.
+
 Extra keys: csa_formation_fps (single-channel formation-only stream, the
 round-1 headline), bp_frame_ms (gather-free fast BP at the reference
 512^2 x 2,500-pulse VideoSAR scale), numpy_gmti_fps, device.
@@ -39,11 +52,68 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
 import numpy as np
 
 
+def _rnd(x, nd):
+    """Round-for-JSON that treats 0.0 as a real measurement (`is not None`,
+    not truthiness — an exact-zero reading must not report as null)."""
+    return None if x is None else round(x, nd)
+
+
 def main():
     t_proc0 = time.perf_counter()
     budget_s = float(os.environ.get("BENCH_TIME_BUDGET", "1800"))
+    # seconds held back for the NumPy-denominator section: without the
+    # denominator `vs_baseline` is null, so every earlier section's budget
+    # check subtracts this reservation before deciding it can run.
+    np_reserve = float(os.environ.get("BENCH_NUMPY_RESERVE", "300"))
+    if os.environ.get("BENCH_SKIP_NUMPY", "0") == "1":
+        np_reserve = 0.0
+
+    sections = {}
+    m = {}                      # metric name -> value (None until measured)
+
+    def section(name, est_s, fn, *, reserve=True, skip_env=None):
+        """Run one bench section with explicit status accounting.
+
+        est_s is the section's worst-case cost estimate (compile through
+        the axon tunnel + measurement); the section is skipped — with the
+        arithmetic recorded — when the remaining budget minus the NumPy
+        reservation cannot cover it. Exceptions are caught ONCE here and
+        recorded as `error: <repr>`; nothing is silently swallowed."""
+        t0 = time.perf_counter()
+        if skip_env is not None and os.environ.get(skip_env, "0") == "1":
+            sections[name] = {"status": f"skipped: {skip_env}=1",
+                              "elapsed_s": 0.0}
+            return False
+        remaining = budget_s - (t0 - t_proc0)
+        held = np_reserve if reserve else 0.0
+        if remaining - held < est_s:
+            sections[name] = {
+                "status": (f"skipped: budget (remaining {remaining:.0f}s"
+                           f" - reserved {held:.0f}s < est {est_s:.0f}s)"),
+                "elapsed_s": 0.0}
+            return False
+        print(f"[bench] {name}: start (t={t0 - t_proc0:.0f}s)",
+              file=sys.stderr, flush=True)
+        try:
+            fn()
+            status = "ok"
+        except Exception as e:  # noqa: BLE001 — recorded, never swallowed
+            status = f"error: {e!r}"[:300]
+        el = round(time.perf_counter() - t0, 1)
+        sections[name] = {"status": status, "elapsed_s": el}
+        print(f"[bench] {name}: {status} ({el}s)", file=sys.stderr,
+              flush=True)
+        return status == "ok"
 
     import jax
+
+    # honor an explicit CPU pin: the axon sitecustomize pre-sets
+    # jax_platforms='axon,cpu' at interpreter startup regardless of the
+    # env var, so JAX_PLATFORMS=cpu alone would still acquire the real
+    # TPU (and a "CPU smoke run" would silently compete with TPU work)
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from nis_sar_amtigmti_video_tpu import config as cfg
@@ -122,68 +192,290 @@ def main():
 
     kernel_path = (fft_impl == "pallas"
                    and os.environ.get("BENCH_GMTI_KERNEL", "1") == "1")
-    if kernel_path:
-        # round-3 production path: GMTI products fused into the CSA K3
-        # output pass (ops/pallas/gmti_kernel.py). ALL product planes are
-        # materialized by the kernel (no DCE possible inside pallas), and
-        # the full-plane sums below consume the XLA epilogue honestly.
-        from nis_sar_amtigmti_video_tpu.gmti.fused import gmti_cpi_pallas
 
-        # k2='dots' loses standalone (8.5 vs 8.1 ms) but wins the full
-        # CPI (16.7 vs 17.3 ms measured) — adopted as the GMTI default
-        k2_var = os.environ.get("BENCH_K2", "dots")
-        lead_var = os.environ.get("BENCH_LEAD", "swap")
+    # ---- 1. headline: two-channel kernel-fused GMTI stream ----
+    def sec_gmti():
+        if kernel_path:
+            # round-3+ production path: GMTI products fused into the CSA K3
+            # output pass (ops/pallas/gmti_kernel.py). ALL product planes
+            # are materialized by the kernel (no DCE possible inside
+            # pallas), and the full-plane sums below consume the XLA
+            # epilogue honestly.
+            from nis_sar_amtigmti_video_tpu.gmti.fused import gmti_cpi_pallas
 
-        def gmti_one(x1r, x1i, x2r, x2i):
-            s1r, s1i, s2r, s2i, cal, phase, dmag, det = gmti_cpi_pallas(
-                x1r, x1i, x2r, x2i, f, cfar_params=cfar_p,
-                k2_variant=k2_var, lead_variant=lead_var,
-                balance_impl=os.environ.get("BENCH_BAL", "pallas"))
-            summary = (jnp.sum(phase) + jnp.sum(dmag) + jnp.sum(det.snr)
-                       + cal)
-            return s1r, s1i, s2r, s2i, summary
+            # k2='dots' loses standalone (8.5 vs 8.1 ms) but wins the full
+            # CPI (16.7 vs 17.3 ms measured) — adopted as the GMTI default
+            k2_var = os.environ.get("BENCH_K2", "dots")
+            lead_var = os.environ.get("BENCH_LEAD", "swap")
 
-        gmti_fn1 = jax.jit(gmti_one, donate_argnums=(0, 1, 2, 3))
-        key0 = jax.random.PRNGKey(0)
-        out = gmti_fn1(*(jax.random.normal(jax.random.fold_in(key0, i),
-                                           (size, size), jnp.float32)
-                         for i in range(4)))
-        _ = float(out[4])                          # compile + first run
-        iters_k = 2 * iters * max(1, ncpi // 2)    # match dispatch count
-        t1 = time.perf_counter()
-        for _i in range(iters_k):
-            out = gmti_fn1(out[0], out[1], out[2], out[3])
-        _ = float(out[4])
-        gmti_ms = 1000.0 * (time.perf_counter() - t1) / iters_k
-    else:
-        def gmti_batch(xr, xi):
-            sr, si = form(xr, xi)
-            slc = jax.lax.complex(sr, si)
+            def gmti_one(x1r, x1i, x2r, x2i):
+                s1r, s1i, s2r, s2i, cal, phase, dmag, det = gmti_cpi_pallas(
+                    x1r, x1i, x2r, x2i, f, cfar_params=cfar_p,
+                    k2_variant=k2_var, lead_variant=lead_var,
+                    balance_impl=os.environ.get("BENCH_BAL", "pallas"))
+                summary = (jnp.sum(phase) + jnp.sum(dmag) + jnp.sum(det.snr)
+                           + cal)
+                return s1r, s1i, s2r, s2i, summary
 
-            def prods(s):
-                _, phase, dmag, det = gmti_product_step(s[0], s[1],
-                                                        cfar_params=cfar_p)
-                return phase, dmag, det.snr
+            gmti_fn1 = jax.jit(gmti_one, donate_argnums=(0, 1, 2, 3))
+            key0 = jax.random.PRNGKey(0)
+            out = gmti_fn1(*(jax.random.normal(jax.random.fold_in(key0, i),
+                                               (size, size), jnp.float32)
+                             for i in range(4)))
+            _ = float(out[4])                          # compile + first run
+            iters_k = 2 * iters * max(1, ncpi // 2)    # match dispatch count
+            t1 = time.perf_counter()
+            for _i in range(iters_k):
+                out = gmti_fn1(out[0], out[1], out[2], out[3])
+            _ = float(out[4])
+            m["gmti_ms"] = 1000.0 * (time.perf_counter() - t1) / iters_k
+        else:
+            def gmti_batch(xr, xi):
+                sr, si = form(xr, xi)
+                slc = jax.lax.complex(sr, si)
 
-            ph, dm, snr = jax.vmap(prods)(slc)
-            return sr, si, jnp.sum(ph) + jnp.sum(dm) + jnp.sum(snr)
+                def prods(s):
+                    _, phase, dmag, det = gmti_product_step(
+                        s[0], s[1], cfar_params=cfar_p)
+                    return phase, dmag, det.snr
 
-        gmti_fn = jax.jit(gmti_batch, donate_argnums=(0, 1))
-        xr, xi = mk(jax.random.PRNGKey(0))
-        xr, xi, s = gmti_fn(xr, xi)
-        _ = float(s)                               # compile + first run
-        t1 = time.perf_counter()
-        for _i in range(iters):
+                ph, dm, snr = jax.vmap(prods)(slc)
+                return sr, si, jnp.sum(ph) + jnp.sum(dm) + jnp.sum(snr)
+
+            gmti_fn = jax.jit(gmti_batch, donate_argnums=(0, 1))
+            xr, xi = mk(jax.random.PRNGKey(0))
             xr, xi, s = gmti_fn(xr, xi)
-        _ = float(s)
-        gmti_ms = 1000.0 * (time.perf_counter() - t1) / (iters * ncpi)
-    gmti_fps = 1000.0 / gmti_ms
+            _ = float(s)                               # compile + first run
+            t1 = time.perf_counter()
+            for _i in range(iters):
+                xr, xi, s = gmti_fn(xr, xi)
+            _ = float(s)
+            m["gmti_ms"] = (1000.0 * (time.perf_counter() - t1)
+                            / (iters * ncpi))
 
-    # ---- single-channel formation-only stream (the round-1 metric) ----
-    if kernel_path:
+    section("gmti", 420, sec_gmti)
+
+    # ---- 2. full-scale END-TO-END GMTI + the per-channel sim pass ----
+    # scene -> batched two-channel echo -> DPCA coregister -> dual CSA ->
+    # balance/ATI/DPCA products at the reference 7,200 x 13,200 shape
+    # (sar_ati_dcpa_sim_csa.py's complete pipeline, timed warm as one
+    # chain). The sim pass metric is derived from the SAME compiled
+    # two-channel program (warm batched synthesis / 2): the batched path
+    # IS the production per-channel cost, and re-compiling a standalone
+    # single-channel program (a different pulse count -> different XLA
+    # program) would burn ~2 min of tunnel compile for a duplicate number.
+    def sec_e2e():
+        import dataclasses
+
+        from nis_sar_amtigmti_video_tpu.geometry import orbit
+        from nis_sar_amtigmti_video_tpu.models import gmti as gmti_model
+        from nis_sar_amtigmti_video_tpu.models.stripmap import echo_opts_for
+        from nis_sar_amtigmti_video_tpu.ops.echo import (
+            multi_channel_phase_history)
+        from nis_sar_amtigmti_video_tpu.scene import targets as T_
+        from nis_sar_amtigmti_video_tpu.scene.clutter import (
+            ocean_clutter_field)
+
+        sc_s = cfg.ati_dpca()
+        rs, gs, cs = sc_s.radar, sc_s.geometry, sc_s.collect
+        sim_win = os.environ.get("BENCH_SIM_WIN")
+        sim_grp = os.environ.get("BENCH_SIM_GRP")
+        opts_s = dataclasses.replace(
+            echo_opts_for(sc_s), backend="freq", endpoint_grid=False,
+            freq_spreader=os.environ.get("BENCH_SIM_SPREADER", "auto"),
+            freq_spread_win=int(sim_win) if sim_win else None,
+            freq_spread_grp=int(sim_grp) if sim_grp else None,
+            freq_conv=os.environ.get("BENCH_SIM_CONV", "auto"))
+        t0s = window_start_time(gs.slant_range_m, opts_s,
+                                cs.window_length_s, "centered")
+        ship = T_.destroyer().rotate_z(90.0)
+        clut = ocean_clutter_field(np.random.default_rng(0))
+        scene = T_.PointTargets.concatenate([ship, clut])
+        n_ps = cs.num_pulses(rs.prf_hz)
+        traj_e = orbit.make_trajectory(
+            gs, orbit.slow_time_grid(cs.integration_time_s, n_ps))
+        offs = sc_s.channels.rx_offsets()
+
+        def sim2ch():
+            raw2 = multi_channel_phase_history(
+                traj_e, scene, opts_s, t_start=t0s, rx_offsets=offs)
+            return raw2
+
+        def e2e_once():
+            raw2 = sim2ch()
+            prod = gmti_model.focus_and_products(raw2, sc_s, float(t0s))
+            return float(jnp.sum(jnp.abs(prod.ati_phase[:1, :1]))
+                         + jnp.sum(jnp.abs(prod.dpca_mag[:1, :1])))
+
+        e2e_once()                         # compile + first run (all stages)
+        t1 = time.perf_counter()
+        e2e_once()
+        m["e2e_fullscale_s"] = time.perf_counter() - t1
+        # warm batched 2-channel synthesis alone (program already compiled)
+        r2 = sim2ch()
+        _ = float(jnp.sum(jnp.abs(r2[0][:1, :1]) + jnp.abs(r2[1][:1, :1])))
+        t1 = time.perf_counter()
+        r2 = sim2ch()
+        _ = float(jnp.sum(jnp.abs(r2[0][:1, :1]) + jnp.abs(r2[1][:1, :1])))
+        m["sim_pass_s"] = (time.perf_counter() - t1) / 2.0
+        m["sim_pass_protocol"] = "batched2ch/2"
+
+    section("e2e_fullscale", 420, sec_e2e, skip_env="BENCH_SKIP_E2E")
+
+    # ---- 3. gather-free fast BP at reference VideoSAR scale ----
+    bp_state = {}
+
+    def sec_bp():
+        from nis_sar_amtigmti_video_tpu.geometry import orbit
+        from nis_sar_amtigmti_video_tpu.models import videosar
+        from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
+        from nis_sar_amtigmti_video_tpu.ops import bp_fast
+
+        scv = cfg.videosar()
+        rv, gv = scv.radar, scv.geometry
+        sched_pulses = 2500
+        l_ant = videosar.antenna_length_for_swath(
+            scv, scv.processing.bp_scene_size_m)
+        opts = videosar.spotlight_echo_opts(scv, l_ant)
+        t0b = window_start_time(gv.slant_range_m, opts,
+                                scv.collect.window_length_s, "centered")
+        p_bp = videosar.bp_params_for(scv, opts, "f32")
+        d_ps = bp_ops.presum_factor(p_bp, rv.prf_hz, rv.wavelength_m,
+                                    gv.slant_range_m,
+                                    gv.effective_velocity_mps)
+        tb = np.linspace(-sched_pulses / rv.prf_hz / 2,
+                         sched_pulses / rv.prf_hz / 2, sched_pulses)
+        trajb = orbit.make_trajectory(gv, tb)
+        # round-3 production path: factorized (sub-aperture) accumulate
+        # + pallas recentre kernel + anchored fit, measured as a chained
+        # stream (one sync per chain) like the GMTI headline
+        plan_bp = bp_fast.make_plan(p_bp, np.asarray(trajb.positions),
+                                    np.asarray(trajb.times), float(t0b),
+                                    factorize=True)
+        bp_acc = os.environ.get("BENCH_BP_ACC", "")
+        if bp_acc and bp_acc not in ("xla", "factor", "factor_pallas",
+                                     "factor_kernel", "factor2",
+                                     "factor2_pallas"):
+            raise ValueError(f"BENCH_BP_ACC={bp_acc!r}: pick one of "
+                             "xla|factor|factor_pallas|factor_kernel|"
+                             "factor2|factor2_pallas "
+                             "(the w_win=32 factorize plan)")
+        if not bp_acc:
+            # two-level factorization where the plan supports it
+            # (36.0 vs 39.2 ms/frame measured, docs/ROUND3_NOTES.md)
+            if jax.default_backend() == "tpu" and plan_bp.sub_raw > 0:
+                bp_acc = ("factor2_pallas" if plan_bp.sub_raw1 > 0
+                          else "factor_pallas")
+            else:
+                bp_acc = "factor" if plan_bp.sub_raw > 0 else "xla"
+
+        @jax.jit
+        def mk_bp(key):
+            return jax.lax.complex(
+                jax.random.normal(key, (sched_pulses, opts.num_samples),
+                                  jnp.float32),
+                jax.random.normal(jax.random.fold_in(key, 1),
+                                  (sched_pulses, opts.num_samples),
+                                  jnp.float32))
+
+        raw_bp = mk_bp(jax.random.PRNGKey(1))
+        chain = 3
+
+        @jax.jit
+        def bp_stream(x):
+            img = None
+            for _c in range(chain):
+                img = bp_fast.focus_bp_fast(
+                    x, trajb.positions, trajb.velocities, trajb.times,
+                    np.zeros(3), float(t0b), p_bp, presum=d_ps,
+                    plan=plan_bp, accumulate=bp_acc, fit_stride=8,
+                    math_mode=os.environ.get("BENCH_BP_MATH", "exact"))
+                x = x + (jnp.sum(img[:1, :1]) * 0).astype(x.dtype)
+            return x, img
+
+        x, o = bp_stream(raw_bp)
+        _ = float(jnp.sum(jnp.abs(o[:2, :2])))
+        lat = []
+        for _i in range(3):
+            t1 = time.perf_counter()
+            x, o = bp_stream(x)
+            _ = float(jnp.sum(jnp.abs(o[:2, :2])))
+            lat.append((time.perf_counter() - t1) / chain)
+        m["bp_ms"] = 1000.0 * float(np.median(lat))
+        bp_state.update(p_bp=p_bp, plan_bp=plan_bp, trajb=trajb, t0b=t0b,
+                        d_ps=d_ps, bp_acc=bp_acc, raw_bp=raw_bp,
+                        sched_pulses=sched_pulses, chain=chain)
+
+    section("bp_frame", 300, sec_bp, skip_env="BENCH_SKIP_BP")
+
+    # ---- 4. streaming VideoSAR BP: amortized per-frame cost at the
+    # product's 80% CPI overlap — forward spectra cached per pulse (computed
+    # once, shared by ~5 frames), only recentre/fit/accumulate/finalize per
+    # frame ----
+    def sec_bp_stream():
+        from nis_sar_amtigmti_video_tpu.ops import bp_fast
+        from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
+
+        if not bp_state:
+            raise RuntimeError("bp_frame section did not run")
+        p_bp, plan_bp = bp_state["p_bp"], bp_state["plan_bp"]
+        trajb, t0b = bp_state["trajb"], bp_state["t0b"]
+        d_ps, bp_acc = bp_state["d_ps"], bp_state["bp_acc"]
+        raw_bp, chain = bp_state["raw_bp"], bp_state["chain"]
+        sched_pulses = bp_state["sched_pulses"]
+        if not (fft_kernel.supported(plan_bp.nfft)
+                and jax.default_backend() == "tpu"):
+            raise RuntimeError(
+                f"streaming path needs the pallas FFT kernel on TPU "
+                f"(nfft={plan_bp.nfft}, backend={jax.default_backend()})")
+        step_p = 500                     # 10 fps at PRF 5 kHz
+        bp_math = os.environ.get("BENCH_BP_MATH", "exact")
+
+        @jax.jit
+        def stream_step(spec_buf, wp, new_raw):
+            # ring buffer: advance the cached-spectra window with ONE
+            # dynamic_update_slice (131 MB written/step) instead of
+            # re-concatenating the ~655 MB window every frame; ring_offset
+            # rolls only the per-pulse scalars + the small presummed rows.
+            # The chain frames ride inside one jit like bp_stream above
+            # (one dispatch per chain).
+            img = None
+            for _c in range(chain):
+                new_spec = bp_fast.forward_spectra(
+                    new_raw, p_bp, math_mode=bp_math)
+                zero = jnp.zeros((), wp.dtype)
+                spec_buf = jax.lax.dynamic_update_slice(
+                    spec_buf, new_spec, (wp, zero, zero))
+                wp = (wp + step_p) % sched_pulses
+                img = bp_fast.focus_bp_fast(
+                    None, trajb.positions, trajb.velocities,
+                    trajb.times, np.zeros(3), float(t0b), p_bp,
+                    presum=d_ps, plan=plan_bp, accumulate=bp_acc,
+                    fit_stride=8, math_mode=bp_math,
+                    raw_spectra=spec_buf, ring_offset=wp)
+                new_raw = new_raw + (jnp.sum(img[:1, :1])
+                                     * 0).astype(new_raw.dtype)
+            return spec_buf, wp, img
+
+        spec0 = bp_fast.forward_spectra(raw_bp, p_bp)
+        wp0 = jnp.int32(0)
+        new0 = raw_bp[:step_p]
+        spec0, wp0, img0 = stream_step(spec0, wp0, new0)
+        _ = float(jnp.sum(jnp.abs(img0[:2, :2])))
+        lat = []
+        for _i in range(3):
+            t1 = time.perf_counter()
+            spec0, wp0, img0 = stream_step(spec0, wp0, new0)
+            _ = float(jnp.sum(jnp.abs(img0[:2, :2])))
+            lat.append((time.perf_counter() - t1) / chain)
+        m["bp_stream_ms"] = 1000.0 * float(np.median(lat))
+
+    section("bp_stream", 180, sec_bp_stream, skip_env="BENCH_SKIP_BP_STREAM")
+
+    # ---- 5. single-channel formation-only stream (the round-1 metric) ----
+    def sec_form():
         xr, xi = mk(jax.random.PRNGKey(0))
-    form_fps = None
-    try:
+
         def form_only(xr_, xi_):
             sr, si = form(xr_, xi_)
             return sr, si, jnp.sum(jnp.abs(sr[:, :, :1, :1]))
@@ -195,339 +487,125 @@ def main():
         for _i in range(iters):
             xr, xi, s = form_fn(xr, xi)
         _ = float(s)
-        form_fps = (2 * ncpi * iters) / (time.perf_counter() - t1)
-    except Exception:
-        pass
+        m["form_fps"] = (2 * ncpi * iters) / (time.perf_counter() - t1)
 
-    # ---- single-pass-bf16 formation stream (accuracy class ~2.6e-3 —
-    # what a raw Mosaic f32 dot silently gives; labeled separately) ----
-    form_bf16_fps = None
-    try:
-        if fft_impl == "pallas":
-            def form_bf16(xr_, xi_):
-                sr, si = csa_kernel.apply_csa_pallas_planes(
-                    xr_.reshape(-1, size, size), xi_.reshape(-1, size, size),
-                    f, mode="bf16")
-                return (sr.reshape(ncpi, 2, size, size),
-                        si.reshape(ncpi, 2, size, size),
-                        jnp.sum(jnp.abs(sr[:1, :1, :1])))
+    section("csa_formation", 150, sec_form)
 
-            fb16 = jax.jit(form_bf16, donate_argnums=(0, 1))
-            xr, xi, s = fb16(xr, xi)
-            _ = float(s)
-            t1 = time.perf_counter()
-            for _i in range(iters):
-                xr, xi, s = fb16(xr, xi)
-            _ = float(s)
-            form_bf16_fps = (2 * ncpi * iters) / (time.perf_counter() - t1)
-    except Exception:
-        pass
-
-    # ---- gather-free fast BP at reference VideoSAR scale, best-effort ----
-    bp_ms = None
-    try:
-        if (time.perf_counter() - t_proc0) < 0.6 * budget_s \
-                and os.environ.get("BENCH_SKIP_BP", "0") != "1":
-            from nis_sar_amtigmti_video_tpu.geometry import orbit
-            from nis_sar_amtigmti_video_tpu.models import videosar
-            from nis_sar_amtigmti_video_tpu.ops import bp as bp_ops
-            from nis_sar_amtigmti_video_tpu.ops import bp_fast
-
-            scv = cfg.videosar()
-            rv, gv = scv.radar, scv.geometry
-            sched_pulses = 2500
-            l_ant = videosar.antenna_length_for_swath(
-                scv, scv.processing.bp_scene_size_m)
-            opts = videosar.spotlight_echo_opts(scv, l_ant)
-            t0b = window_start_time(gv.slant_range_m, opts,
-                                    scv.collect.window_length_s, "centered")
-            p_bp = videosar.bp_params_for(scv, opts, "f32")
-            d_ps = bp_ops.presum_factor(p_bp, rv.prf_hz, rv.wavelength_m,
-                                        gv.slant_range_m,
-                                        gv.effective_velocity_mps)
-            tb = np.linspace(-sched_pulses / rv.prf_hz / 2,
-                             sched_pulses / rv.prf_hz / 2, sched_pulses)
-            trajb = orbit.make_trajectory(gv, tb)
-            # round-3 production path: factorized (sub-aperture) accumulate
-            # + pallas recentre kernel + anchored fit, measured as a chained
-            # stream (one sync per chain) like the GMTI headline
-            plan_bp = bp_fast.make_plan(p_bp, np.asarray(trajb.positions),
-                                        np.asarray(trajb.times), float(t0b),
-                                        factorize=True)
-            bp_acc = os.environ.get("BENCH_BP_ACC", "")
-            if bp_acc and bp_acc not in ("xla", "factor", "factor_pallas",
-                                         "factor_kernel", "factor2",
-                                         "factor2_pallas"):
-                raise ValueError(f"BENCH_BP_ACC={bp_acc!r}: pick one of "
-                                 "xla|factor|factor_pallas|factor_kernel|"
-                                 "factor2|factor2_pallas "
-                                 "(the w_win=32 factorize plan)")
-            if not bp_acc:
-                # two-level factorization where the plan supports it
-                # (36.0 vs 39.2 ms/frame measured, docs/ROUND3_NOTES.md)
-                if jax.default_backend() == "tpu" and plan_bp.sub_raw > 0:
-                    bp_acc = ("factor2_pallas" if plan_bp.sub_raw1 > 0
-                              else "factor_pallas")
-                else:
-                    bp_acc = "factor" if plan_bp.sub_raw > 0 else "xla"
-
-            @jax.jit
-            def mk_bp(key):
-                return jax.lax.complex(
-                    jax.random.normal(key, (sched_pulses, opts.num_samples),
-                                      jnp.float32),
-                    jax.random.normal(jax.random.fold_in(key, 1),
-                                      (sched_pulses, opts.num_samples),
-                                      jnp.float32))
-
-            raw_bp = mk_bp(jax.random.PRNGKey(1))
-            chain = 3
-
-            @jax.jit
-            def bp_stream(x):
-                img = None
-                for _c in range(chain):
-                    img = bp_fast.focus_bp_fast(
-                        x, trajb.positions, trajb.velocities, trajb.times,
-                        np.zeros(3), float(t0b), p_bp, presum=d_ps,
-                        plan=plan_bp, accumulate=bp_acc, fit_stride=8,
-                        math_mode=os.environ.get("BENCH_BP_MATH", "exact"))
-                    x = x + (jnp.sum(img[:1, :1]) * 0).astype(x.dtype)
-                return x, img
-
-            x, o = bp_stream(raw_bp)
-            _ = float(jnp.sum(jnp.abs(o[:2, :2])))
-            lat = []
-            for _i in range(3):
-                t1 = time.perf_counter()
-                x, o = bp_stream(x)
-                _ = float(jnp.sum(jnp.abs(o[:2, :2])))
-                lat.append((time.perf_counter() - t1) / chain)
-            bp_ms = 1000.0 * float(np.median(lat))
-    except Exception:
-        pass
-
-    # ---- streaming VideoSAR BP: amortized per-frame cost at the product's
-    # 80% CPI overlap — forward spectra cached per pulse (computed once,
-    # shared by ~5 frames), only recentre/fit/accumulate/finalize per frame
-    bp_stream_ms = None
-    try:
-        if bp_ms is not None \
-                and os.environ.get("BENCH_SKIP_BP_STREAM", "0") != "1" \
-                and (time.perf_counter() - t_proc0) < 0.7 * budget_s:
-            from nis_sar_amtigmti_video_tpu.ops.pallas import fft_kernel
-            if fft_kernel.supported(plan_bp.nfft) \
-                    and jax.default_backend() == "tpu":
-                step_p = 500                     # 10 fps at PRF 5 kHz
-
-                bp_math = os.environ.get("BENCH_BP_MATH", "exact")
-
-                @jax.jit
-                def stream_step(spec_buf, wp, new_raw):
-                    # ring buffer: advance the cached-spectra window with
-                    # ONE dynamic_update_slice (131 MB written/step) instead
-                    # of re-concatenating the ~655 MB window every frame;
-                    # ring_offset rolls only the per-pulse scalars + the
-                    # small presummed rows. The chain frames ride inside one
-                    # jit like bp_stream above (one dispatch per chain).
-                    img = None
-                    for _c in range(chain):
-                        new_spec = bp_fast.forward_spectra(
-                            new_raw, p_bp, math_mode=bp_math)
-                        zero = jnp.zeros((), wp.dtype)
-                        spec_buf = jax.lax.dynamic_update_slice(
-                            spec_buf, new_spec, (wp, zero, zero))
-                        wp = (wp + step_p) % sched_pulses
-                        img = bp_fast.focus_bp_fast(
-                            None, trajb.positions, trajb.velocities,
-                            trajb.times, np.zeros(3), float(t0b), p_bp,
-                            presum=d_ps, plan=plan_bp, accumulate=bp_acc,
-                            fit_stride=8, math_mode=bp_math,
-                            raw_spectra=spec_buf, ring_offset=wp)
-                        new_raw = new_raw + (jnp.sum(img[:1, :1])
-                                             * 0).astype(new_raw.dtype)
-                    return spec_buf, wp, img
-
-                spec0 = bp_fast.forward_spectra(raw_bp, p_bp)
-                wp0 = jnp.int32(0)
-                new0 = raw_bp[:step_p]
-                spec0, wp0, img0 = stream_step(spec0, wp0, new0)
-                _ = float(jnp.sum(jnp.abs(img0[:2, :2])))
-                lat = []
-                for _i in range(3):
-                    t1 = time.perf_counter()
-                    spec0, wp0, img0 = stream_step(spec0, wp0, new0)
-                    _ = float(jnp.sum(jnp.abs(img0[:2, :2])))
-                    lat.append((time.perf_counter() - t1) / chain)
-                bp_stream_ms = 1000.0 * float(np.median(lat))
-    except Exception:
-        pass
-
-    # ---- full-reference-scale echo synthesis (one clutter channel pass:
-    # 5,035 targets x 7,200 x 13,200, golden 'freq' NUFFT backend) ----
-    sim_pass_s = None
-    try:
-        if (time.perf_counter() - t_proc0) < 0.55 * budget_s \
-                and os.environ.get("BENCH_SKIP_SIM", "0") != "1":
-            import dataclasses
-
-            from nis_sar_amtigmti_video_tpu.geometry import orbit
-            from nis_sar_amtigmti_video_tpu.models.stripmap import (
-                echo_opts_for)
-            from nis_sar_amtigmti_video_tpu.ops.echo import phase_history
-            from nis_sar_amtigmti_video_tpu.scene import targets as T_
-            from nis_sar_amtigmti_video_tpu.scene.clutter import (
-                ocean_clutter_field)
-
-            # round-3 production path: 'freq' NUFFT backend with the VMEM
-            # one-hot spread kernel + fused conv (scatter-free; 14.6 ->
-            # 2.87 -> ~1.0 s measured on one v5e chip, spread == XLA dense
-            # bit-for-bit; ops/echo_freq.py + ops/pallas/spread_kernel.py).
-            # Off TPU the spreader auto-falls back to scatter.
-            sc_s = cfg.ati_dpca()
-            rs, gs, cs = sc_s.radar, sc_s.geometry, sc_s.collect
-            sim_win = os.environ.get("BENCH_SIM_WIN")
-            sim_grp = os.environ.get("BENCH_SIM_GRP")
-            opts_s = dataclasses.replace(
-                echo_opts_for(sc_s), backend="freq", endpoint_grid=False,
-                freq_spreader=os.environ.get("BENCH_SIM_SPREADER", "auto"),
-                freq_spread_win=int(sim_win) if sim_win else None,
-                freq_spread_grp=int(sim_grp) if sim_grp else None,
-                freq_conv=os.environ.get("BENCH_SIM_CONV", "auto"))
-            t0s = window_start_time(gs.slant_range_m, opts_s,
-                                    cs.window_length_s, "centered")
-            ship = T_.destroyer().rotate_z(90.0)
-            clut = ocean_clutter_field(np.random.default_rng(0))
-            scene = T_.PointTargets.concatenate([ship, clut])
-            n_ps = cs.num_pulses(rs.prf_hz)
-            traj_s = orbit.make_trajectory(
-                gs, orbit.slow_time_grid(cs.integration_time_s, n_ps))
-            off0 = sc_s.channels.rx_offsets()[0]
-            a = phase_history(traj_s, scene, opts_s, t_start=t0s,
-                              rx_offset=off0)
-            _ = float(jnp.sum(jnp.abs(a[:1, :1])))   # compile + first
-            t1 = time.perf_counter()
-            a = phase_history(traj_s, scene, opts_s, t_start=t0s,
-                              rx_offset=off0)
-            _ = float(jnp.sum(jnp.abs(a[:1, :1])))
-            sim_pass_s = time.perf_counter() - t1
-    except Exception:
-        pass
-
-    # ---- full-scale END-TO-END GMTI: scene -> two-channel echo -> DPCA
-    # coregister -> dual CSA -> balance/ATI/DPCA products at the reference
-    # 7,200 x 13,200 shape (sar_ati_dcpa_sim_csa.py's complete pipeline,
-    # timed warm as one chain) ----
-    e2e_fullscale_s = None
-    try:
-        if sim_pass_s is not None \
-                and os.environ.get("BENCH_SKIP_E2E", "0") != "1" \
-                and (time.perf_counter() - t_proc0) < 0.6 * budget_s:
-            from nis_sar_amtigmti_video_tpu.models import gmti as gmti_model
-            from nis_sar_amtigmti_video_tpu.ops.echo import (
-                multi_channel_phase_history)
-
-            traj_e = orbit.make_trajectory(
-                gs, orbit.slow_time_grid(cs.integration_time_s, n_ps))
-            offs = sc_s.channels.rx_offsets()
-
-            def e2e_once():
-                raw2 = multi_channel_phase_history(
-                    traj_e, scene, opts_s, t_start=t0s, rx_offsets=offs)
-                prod = gmti_model.focus_and_products(raw2, sc_s, float(t0s))
-                return float(jnp.sum(jnp.abs(prod.ati_phase[:1, :1]))
-                             + jnp.sum(jnp.abs(prod.dpca_mag[:1, :1])))
-
-            e2e_once()                         # compile + first run
-            t1 = time.perf_counter()
-            e2e_once()
-            e2e_fullscale_s = time.perf_counter() - t1
-    except Exception:
-        pass
-
-    # ---- HRWS multichannel reconstruction (K=4, production 4096^2:
+    # ---- 6. HRWS multichannel reconstruction (K=4, production 4096^2:
     # (4, 1024, 4096) sub-Nyquist channels -> (4096, 4096) unfolded
     # slow-time; doppler ambiguity.html:556-570's processing chain) ----
-    hrws_recon_ms = None
-    hrws_ghost_db = None
-    try:
-        if os.environ.get("BENCH_SKIP_HRWS", "0") != "1" \
-                and (time.perf_counter() - t_proc0) < 0.8 * budget_s:
-            from nis_sar_amtigmti_video_tpu.models import hrws
-            from nis_sar_amtigmti_video_tpu.utils import cplx as _cplx
+    def sec_hrws():
+        from nis_sar_amtigmti_video_tpu.models import hrws
+        from nis_sar_amtigmti_video_tpu.utils import cplx as _cplx
 
-            k_ch, m_b = 4, 4
-            p_az, n_rg = size // m_b, size
-            prf_h, v_h = 6000.0, 7612.0      # ati_dpca-class system PRF
-            # uniform effective sampling: spacing*PRF/(2V) = 1/K
-            ph = hrws.HrwsParams(num_channels=k_ch,
-                                 spacing_m=2.0 * v_h / (k_ch * prf_h),
-                                 prf_hz=prf_h, velocity_mps=v_h)
-            # multi-tone scene: one in-band + one aliasing tone per extra
-            # band, constant over range (the solve/FFT work is
-            # data-independent; tones give the ghost metric physical
-            # meaning). Channel k samples slow time advanced by x_k/(2V).
-            t_h = np.arange(p_az) / prf_h
-            tones = [(0.17 * prf_h, 1.0), (1.31 * prf_h, 1.0),
-                     (-1.62 * prf_h, 0.7)]
-            offs_h = ph.rx_offsets()
-            ch_np = np.zeros((k_ch, p_az, 1), np.complex64)
-            for kk, x_off in enumerate(offs_h):
-                tk = t_h + x_off / (2.0 * v_h)
-                sig = np.zeros(p_az, np.complex128)
-                for f0_h, a_h in tones:
-                    sig += a_h * np.exp(2j * np.pi * f0_h * tk)
-                ch_np[kk] = sig[:, None].astype(np.complex64)
-            chans = jnp.broadcast_to(_cplx.to_device(ch_np),
-                                     (k_ch, p_az, n_rg))
+        k_ch, m_b = 4, 4
+        p_az, n_rg = size // m_b, size
+        prf_h, v_h = 6000.0, 7612.0      # ati_dpca-class system PRF
+        # uniform effective sampling: spacing*PRF/(2V) = 1/K
+        ph = hrws.HrwsParams(num_channels=k_ch,
+                             spacing_m=2.0 * v_h / (k_ch * prf_h),
+                             prf_hz=prf_h, velocity_mps=v_h)
+        # multi-tone scene: one in-band + one aliasing tone per extra
+        # band, constant over range (the solve/FFT work is
+        # data-independent; tones give the ghost metric physical meaning).
+        # Tone frequencies are BIN-CENTERED on the single-channel p_az
+        # grid — the reconstructed m_b*p_az grid at m_b*prf has the SAME
+        # bin spacing prf/p_az, so both spectra read the tones leak-free
+        # (a non-centered tone's rectangular-window leakage would floor
+        # the measurable suppression). Channel k samples slow time
+        # advanced by x_k/(2V).
+        t_h = np.arange(p_az) / prf_h
+        df = prf_h / p_az                  # bin spacing on BOTH grids
+        tones = [(round(0.17 * p_az) * df, 1.0),
+                 (round(1.31 * p_az) * df, 1.0),
+                 (round(-1.62 * p_az) * df, 0.7)]
+        f_ghost = tones[1][0]              # the 1.31*PRF-class alias tone
+        offs_h = ph.rx_offsets()
+        ch_np = np.zeros((k_ch, p_az, 1), np.complex64)
+        for kk, x_off in enumerate(offs_h):
+            tk = t_h + x_off / (2.0 * v_h)
+            sig = np.zeros(p_az, np.complex128)
+            for f0_h, a_h in tones:
+                sig += a_h * np.exp(2j * np.pi * f0_h * tk)
+            ch_np[kk] = sig[:, None].astype(np.complex64)
+        chans = jnp.broadcast_to(_cplx.to_device(ch_np),
+                                 (k_ch, p_az, n_rg))
 
-            recon_j = jax.jit(lambda c: hrws.reconstruct(c, ph))
+        recon_j = jax.jit(lambda c: hrws.reconstruct(c, ph))
+        rec = recon_j(chans)
+        _ = float(jnp.sum(jnp.abs(rec[:1, :1])))   # compile + first
+        t1 = time.perf_counter()
+        for _i in range(4):
             rec = recon_j(chans)
-            _ = float(jnp.sum(jnp.abs(rec[:1, :1])))   # compile + first
-            t1 = time.perf_counter()
-            for _i in range(4):
-                rec = recon_j(chans)
-                _ = float(jnp.sum(jnp.abs(rec[:1, :1])))
-            hrws_recon_ms = (time.perf_counter() - t1) / 4 * 1e3
+            _ = float(jnp.sum(jnp.abs(rec[:1, :1])))
+        m["hrws_recon_ms"] = (time.perf_counter() - t1) / 4 * 1e3
 
-            # ghost suppression: the 1.31*PRF tone aliases to 0.31*PRF in
-            # any single channel; after unfolding it sits at its true bin
-            # and the aliased bin drops. dB = alias-bin level, single
-            # channel vs reconstructed (relative to the tone's true peak).
-            spec1 = np.abs(np.fft.fft(ch_np[0, :, 0]))
-            spec_r = np.abs(np.fft.fft(_cplx.to_host(rec[:, 0])))
-            f1 = np.fft.fftfreq(p_az, 1.0 / prf_h)
-            fr = np.fft.fftfreq(m_b * p_az, 1.0 / (m_b * prf_h))
-            f_alias = 1.31 * prf_h - prf_h   # in-band alias position
-            b1 = int(np.argmin(np.abs(f1 - f_alias)))
-            br = int(np.argmin(np.abs(fr - f_alias)))
-            b_true = int(np.argmin(np.abs(fr - 1.31 * prf_h)))
-            g1 = spec1[b1] / spec1.max()
-            gr = spec_r[br] / spec_r[b_true]
-            hrws_ghost_db = 20.0 * math.log10(max(gr, 1e-12) / g1)
-    except Exception:
-        pass
+        # ghost suppression: the ~1.31*PRF tone aliases to ~0.31*PRF in any
+        # single channel; after unfolding it sits at its true bin and the
+        # aliased bin drops. The metric is SYMMETRIC: in each spectrum the
+        # alias-bin level is normalized by that spectrum's level at the
+        # tone's energy bin (single channel: the alias bin ITSELF holds all
+        # the tone's energy, so its ratio is exactly 1 == 0 dB; the
+        # reconstruction's ratio is alias-bin / true-bin). dB < 0 means the
+        # unfolding moved the energy home.
+        spec_r = np.abs(np.fft.fft(_cplx.to_host(rec[:, 0])))
+        fr = np.fft.fftfreq(m_b * p_az, 1.0 / (m_b * prf_h))
+        f_alias = f_ghost - prf_h          # in-band alias position
+        br = int(np.argmin(np.abs(fr - f_alias)))
+        b_true = int(np.argmin(np.abs(fr - f_ghost)))
+        m["hrws_ghost_db"] = 20.0 * math.log10(
+            max(spec_r[br] / spec_r[b_true], 1e-12))
 
-    # ---- NumPy reference baseline: the same 2-channel GMTI step ----
-    numpy_gmti_fps = None
-    numpy_raw_s = None
-    try:
-      if os.environ.get("BENCH_SKIP_NUMPY", "0") != "1" \
-              and (time.perf_counter() - t_proc0) < 0.85 * budget_s:
+    section("hrws", 150, sec_hrws, skip_env="BENCH_SKIP_HRWS")
+
+    # ---- 7. single-pass-bf16 formation stream (accuracy class ~2.6e-3 —
+    # what a raw Mosaic f32 dot silently gives; labeled separately) ----
+    def sec_form_bf16():
+        if fft_impl != "pallas":
+            raise RuntimeError("bf16 stream needs the pallas CSA kernel")
+        xr, xi = mk(jax.random.PRNGKey(0))
+
+        def form_bf16(xr_, xi_):
+            sr, si = csa_kernel.apply_csa_pallas_planes(
+                xr_.reshape(-1, size, size), xi_.reshape(-1, size, size),
+                f, mode="bf16")
+            return (sr.reshape(ncpi, 2, size, size),
+                    si.reshape(ncpi, 2, size, size),
+                    jnp.sum(jnp.abs(sr[:1, :1, :1])))
+
+        fb16 = jax.jit(form_bf16, donate_argnums=(0, 1))
+        xr, xi, s = fb16(xr, xi)
+        _ = float(s)
+        t1 = time.perf_counter()
+        for _i in range(iters):
+            xr, xi, s = fb16(xr, xi)
+        _ = float(s)
+        m["form_bf16_fps"] = (2 * ncpi * iters) / (time.perf_counter() - t1)
+
+    section("csa_formation_bf16", 130, sec_form_bf16)
+
+    # ---- 8. NumPy reference baseline: the same 2-channel GMTI step ----
+    def sec_numpy():
         import oracle
         rng = np.random.default_rng(0)
         nsz = min(size, 4096)
-        # PINNED PROTOCOL (round-4): fixed BLAS threads (set at module
-        # top), MEDIAN of >=5 identical channel passes over the same two
-        # raw buffers, raw per-pass seconds recorded in the JSON — two
-        # consecutive bench runs must agree within ~+-20%.
-        n_passes = int(os.environ.get("BENCH_NUMPY_PASSES", "5"))
+        # PINNED PROTOCOL (round-5): fixed BLAS threads (set at module
+        # top), the first `n_cold` passes are DISCARDED (page-faulting the
+        # FFT workspace + BLAS warm-up ran 75-82 s vs ~17-23 s warm in
+        # BENCH_r04 and polluted the median window), then the MEDIAN of
+        # `n_passes` warm passes over the same two raw buffers. All raw
+        # per-pass seconds (cold included) land in the JSON, plus the warm
+        # spread; the warm window is split in two halves whose medians
+        # must agree within +-20% or the section reports
+        # numpy_stable=false (the multiplier is then decoration, loudly).
+        n_cold = int(os.environ.get("BENCH_NUMPY_COLD", "2"))
+        n_passes = max(4, int(os.environ.get("BENCH_NUMPY_PASSES", "6")))
         raws = [(rng.standard_normal((nsz, nsz))
                  + 1j * rng.standard_normal((nsz, nsz)))
                 for _ in range(2)]
         s_pair = [None, None]
         ch_dt = []
-        for k in range(max(2, n_passes)):
+        for k in range(n_cold + n_passes):
             tc = time.perf_counter()
             s_pair[k % 2] = oracle.focus_csa(
                 raws[k % 2], p.wavelength_m, p.chirp_rate, p.fs_hz, p.prf_hz,
@@ -544,38 +622,54 @@ def main():
         dmag = np.abs(s1o - s2o)
         _ = phase.sum() + dmag.sum()           # products (CFAR omitted:
         prod_dt = time.perf_counter() - t3     # favours the baseline)
-        numpy_dt = 2.0 * float(np.median(ch_dt)) + prod_dt
-        numpy_raw_s = [round(d, 3) for d in ch_dt] + [round(prod_dt, 3)]
+        warm = ch_dt[n_cold:]
+        med = float(np.median(warm))
+        half_a = float(np.median(warm[:len(warm) // 2]))
+        half_b = float(np.median(warm[len(warm) // 2:]))
+        stable = abs(half_a - half_b) <= 0.2 * max(half_a, half_b)
+        numpy_dt = 2.0 * med + prod_dt
+        m["numpy_raw_s"] = [round(d, 3) for d in ch_dt] + [round(prod_dt, 3)]
+        m["numpy_cold_discarded"] = n_cold
+        m["numpy_warm_spread"] = round(
+            (max(warm) - min(warm)) / med, 3)
+        m["numpy_stable"] = stable
         work = (size * size * np.log2(size)) / (nsz * nsz * np.log2(nsz))
-        numpy_gmti_fps = (1.0 / numpy_dt) / work
-    except Exception:
-        pass
+        m["numpy_gmti_fps"] = (1.0 / numpy_dt) / work
 
+    section("numpy_baseline", np_reserve or 300, sec_numpy, reserve=False,
+            skip_env="BENCH_SKIP_NUMPY")
+
+    gmti_ms = m.get("gmti_ms")
+    gmti_fps = 1000.0 / gmti_ms if gmti_ms else None
+    numpy_fps = m.get("numpy_gmti_fps")
     result = {
         "metric": f"videosar_gmti_{size}x{size}_stream",
-        "value": round(gmti_fps, 2),
+        "value": _rnd(gmti_fps, 2),
         "unit": "frames/sec",
-        "vs_baseline": (round(gmti_fps / numpy_gmti_fps, 1)
-                        if numpy_gmti_fps else None),
-        "gmti_latency_ms": round(gmti_ms, 2),
-        "csa_formation_fps": round(form_fps, 2) if form_fps else None,
-        "csa_formation_bf16_fps": (round(form_bf16_fps, 2)
-                                   if form_bf16_fps else None),
-        "bp_frame_ms": round(bp_ms, 1) if bp_ms else None,
-        "bp_stream_frame_ms": (round(bp_stream_ms, 1)
-                               if bp_stream_ms else None),
-        "sim_pass_s": round(sim_pass_s, 2) if sim_pass_s else None,
-        "hrws_recon_ms": round(hrws_recon_ms, 1) if hrws_recon_ms else None,
-        "hrws_ghost_db": round(hrws_ghost_db, 1) if hrws_ghost_db else None,
-        "e2e_fullscale_s": (round(e2e_fullscale_s, 2)
-                            if e2e_fullscale_s else None),
-        "numpy_gmti_fps": round(numpy_gmti_fps, 5) if numpy_gmti_fps else None,
-        "numpy_gmti_s_raw": numpy_raw_s,
+        "vs_baseline": (round(gmti_fps / numpy_fps, 1)
+                        if gmti_fps and numpy_fps else None),
+        "gmti_latency_ms": _rnd(gmti_ms, 2),
+        "csa_formation_fps": _rnd(m.get("form_fps"), 2),
+        "csa_formation_bf16_fps": _rnd(m.get("form_bf16_fps"), 2),
+        "bp_frame_ms": _rnd(m.get("bp_ms"), 1),
+        "bp_stream_frame_ms": _rnd(m.get("bp_stream_ms"), 1),
+        "sim_pass_s": _rnd(m.get("sim_pass_s"), 2),
+        "sim_pass_protocol": m.get("sim_pass_protocol"),
+        "hrws_recon_ms": _rnd(m.get("hrws_recon_ms"), 1),
+        "hrws_ghost_db": _rnd(m.get("hrws_ghost_db"), 1),
+        "e2e_fullscale_s": _rnd(m.get("e2e_fullscale_s"), 2),
+        "numpy_gmti_fps": _rnd(numpy_fps, 5),
+        "numpy_gmti_s_raw": m.get("numpy_raw_s"),
+        "numpy_cold_discarded": m.get("numpy_cold_discarded"),
+        "numpy_warm_spread": m.get("numpy_warm_spread"),
+        "numpy_stable": m.get("numpy_stable"),
         "fft_impl": fft_impl,
         "gmti_path": "kernel_fused" if kernel_path else "composed",
         "device": str(dev),
         "ncpi": ncpi,
         "iters": iters,
+        "total_elapsed_s": round(time.perf_counter() - t_proc0, 1),
+        "sections": sections,
     }
     print(json.dumps(result))
 

@@ -87,9 +87,10 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
 
     ``k2_mode`` overrides the dot precision of the K2 pass alone (None =
     follow ``mode``): 'wf16' truncates only the K2 tables to bf16 (2 dots
-    per contraction instead of bf16x3's 3) — a common-operator
-    perturbation that cancels in the cross-channel products (see
-    csa_kernel._dot3).
+    per contraction instead of bf16x3's 3). Measured and RULED OUT as a
+    production setting (round 4: 0.30 dB fidelity bust for a 1.7% CPI
+    saving — K2 is VPU/layout-bound, not dot-bound;
+    scripts/probe_k2_mode_r4.py, ROUND4_NOTES §2). Probe-only knob.
     """
     from nis_sar_amtigmti_video_tpu.ops.pallas import csa_kernel, gmti_kernel
 

@@ -43,6 +43,74 @@ def product_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", None, "seq"))
 
 
+def _axis_box_sum(x, half: int, axis: int, valid: bool = False):
+    """(2*half+1)-tap sliding sum along one axis (zero-padded unless
+    ``valid``) — the 1-D factor of cfar._box_sum, shard_map-local."""
+    k = 2 * half + 1
+    win = [1] * x.ndim
+    win[axis] = k
+    pad = [(0, 0)] * x.ndim
+    if not valid:
+        pad[axis] = (half, half)
+    return jax.lax.reduce_window(x, jnp.zeros((), x.dtype), jax.lax.add,
+                                 tuple(win), (1,) * x.ndim, pad)
+
+
+def _cfar_snr_halo(power_l, cfar_params: cfar_mod.CfarParams, *,
+                   n_seq: int, ns_global: int):
+    """CA-CFAR SNR on a range-sharded (..., P, ns_local) power plane via a
+    ppermute halo exchange over 'seq'.
+
+    Window-identical to ``cfar_mod.ca_cfar`` on the gathered plane: the
+    azimuth box sums are shard-local (azimuth is unsharded), and the range
+    box sums read guard+train (=h_o) true neighbor columns exchanged with
+    two ppermutes — ~3 orders of magnitude less traffic than the
+    full-plane all_gather it replaces. Training-cell counts use the
+    GLOBAL column positions (exact rank-1 form, cfar._box_count), so edge
+    normalization matches the single-device detector everywhere.
+
+    Requires ns_local >= h_o (one-neighbor halos); the production shapes
+    satisfy it by 100x (1024-column shards vs h_o = 10) and the caller's
+    mesh construction guards smaller CPIs.
+    """
+    g, t = cfar_params.guard, cfar_params.train
+    h_o, h_i = g + t, g
+    ns_local = power_l.shape[-1]
+    if ns_local < h_o:
+        raise ValueError(
+            f"range shard of {ns_local} columns is narrower than the CFAR "
+            f"outer half-window {h_o}: halos would need multi-hop "
+            f"exchange — use fewer 'seq' shards for this CPI")
+    # azimuth (unsharded axis) box sums: fully local
+    y_o = _axis_box_sum(power_l, h_o, axis=-2)
+    y_i = _axis_box_sum(power_l, h_i, axis=-2)
+    # one packed halo per direction serves both windows (h_i <= h_o)
+    fwd = [(i, i + 1) for i in range(n_seq - 1)]
+    bwd = [(i + 1, i) for i in range(n_seq - 1)]
+    pack_tail = jnp.concatenate([y_o[..., -h_o:], y_i[..., -h_i:]], axis=-1)
+    pack_head = jnp.concatenate([y_o[..., :h_o], y_i[..., :h_i]], axis=-1)
+    from_left = jax.lax.ppermute(pack_tail, "seq", fwd)   # edge shards: 0
+    from_right = jax.lax.ppermute(pack_head, "seq", bwd)
+    ext_o = jnp.concatenate([from_left[..., :h_o], y_o,
+                             from_right[..., :h_o]], axis=-1)
+    ext_i = jnp.concatenate([from_left[..., h_o:], y_i,
+                             from_right[..., h_o:]], axis=-1)
+    outer = _axis_box_sum(ext_o, h_o, axis=-1, valid=True)
+    inner = _axis_box_sum(ext_i, h_i, axis=-1, valid=True)
+    # exact global training-cell counts at this shard's column positions
+    n_az = power_l.shape[-2]
+    start = jax.lax.axis_index("seq") * ns_local
+    cw_o = jax.lax.dynamic_slice_in_dim(
+        cfar_mod._count_1d(ns_global, h_o), start, ns_local)
+    cw_i = jax.lax.dynamic_slice_in_dim(
+        cfar_mod._count_1d(ns_global, h_i), start, ns_local)
+    n_outer = cfar_mod._count_1d(n_az, h_o)[:, None] * cw_o[None, :]
+    n_inner = cfar_mod._count_1d(n_az, h_i)[:, None] * cw_i[None, :]
+    n_train = jnp.maximum(n_outer - n_inner, 1.0)
+    noise = (outer - inner) / n_train
+    return power_l / jnp.maximum(noise, 1e-30)
+
+
 def make_gmti_step(mesh: Mesh, p: csa_ops.CsaParams,
                    cfar_params: cfar_mod.CfarParams = cfar_mod.CfarParams(),
                    mask_threshold: float = 0.05, fft_impl: str = "xla",
@@ -76,16 +144,18 @@ def make_gmti_step(mesh: Mesh, p: csa_ops.CsaParams,
         phase = jnp.where(mag1 > mask_threshold * peak, jnp.angle(ifg), 0.0)
 
         diff = s1 - s2
-        # CFAR training windows cross range-shard boundaries: gather the full
-        # range axis, detect, then slice the local shard back — identical to
-        # the single-device detector (no zero-padded internal borders).
-        diff_full = jax.lax.all_gather(jnp.abs(diff) ** 2, "seq", axis=-1,
-                                       tiled=True)
-        det_full = cfar_mod.ca_cfar(diff_full, cfar_params)
-        ns_local = diff.shape[-1]
-        start = jax.lax.axis_index("seq") * ns_local
-        snr_local = jax.lax.dynamic_slice_in_dim(det_full.snr, start,
-                                                 ns_local, axis=-1)
+        # CFAR training windows cross range-shard boundaries by only
+        # guard+train (=h_o) columns, so exchange JUST those boundary
+        # columns with the 'seq' neighbors (two ppermutes of the
+        # azimuth-summed halos, ~2*h_o columns per shard) instead of
+        # all_gathering the whole (P, Ns) power plane — 134 MB -> ~0.5 MB
+        # per CPI at the production shape (docs/SCALING.md §2). Identical
+        # windows to the single-device detector: interior shards see their
+        # neighbors' true training columns; the mesh-edge shards receive
+        # ppermute's zero fill, which IS ca_cfar's zero padding.
+        snr_local = _cfar_snr_halo(jnp.abs(diff) ** 2, cfar_params,
+                                   n_seq=mesh.shape["seq"],
+                                   ns_global=p.num_samples)
         c_num = jax.lax.psum(jnp.sum(mag1), ("data", "chan", "seq"))
         c_den = jax.lax.psum(jnp.sum(jnp.abs(diff)), ("data", "chan", "seq"))
         cancel = (c_num / (c_den + 1e-30)) * jnp.ones((), jnp.float32)

@@ -97,10 +97,23 @@ def form_frames_bp(raw_frames, pos_frames, vel_frames, t_frames, vel_focus,
     forward spectra (bp_fast.forward_spectra) — the streaming path for
     overlapped CPIs; ``raw_frames`` is then ignored (pass None) and only
     the recentre ramp/presum/inverse run per frame."""
-    acc = {"fast": "xla", "fast_pallas": "pallas", "fast_factor": "factor",
-           "fast_factor_pallas": "factor_pallas",
-           "fast_factor2": "factor2",
-           "fast_factor2_pallas": "factor2_pallas"}.get(backend)
+    acc_map = {"fast": "xla", "fast_pallas": "pallas",
+               "fast_factor": "factor",
+               "fast_factor_pallas": "factor_pallas",
+               "fast_factor2": "factor2",
+               "fast_factor2_pallas": "factor2_pallas"}
+    if backend != "exact" and backend not in acc_map:
+        # an unknown name must NOT fall through to the drastically slower
+        # exact path with different numerics; in particular the retired
+        # 'fast_factor_kernel' is ops-layer-only now (docs/PERF_GUIDE.md
+        # "Variant retirement policy")
+        raise ValueError(
+            f"unknown BP backend {backend!r}: pick 'exact' or one of "
+            f"{sorted(acc_map)}"
+            + (" ('fast_factor_kernel' was retired to the ops layer — "
+               "docs/PERF_GUIDE.md 'Variant retirement policy')"
+               if backend == "fast_factor_kernel" else ""))
+    acc = acc_map.get(backend)
     fast = acc is not None
     if spectra_frames is not None and not fast:
         raise ValueError("spectra_frames needs a fast-BP backend")

@@ -98,12 +98,13 @@ def _dot3(z, w_hi, w_lo, axis: int, mode: str):
     pass — module docstring).
 
     mode='wf16' keeps the DATA at hi+lo grade but truncates the table to
-    its bf16 hi half (2 dots instead of 3): the operator perturbation is
-    then identical for every plane contracted against the same table —
-    for the two-channel GMTI K2 both channels see the SAME slightly-wrong
-    unitary, so the cross-channel products (ATI phase, DPCA difference)
-    cancel it to first order while each SLC keeps f32-grade data paths
-    (fidelity-gated A/B in tests/test_gmti.py + ROUND4_NOTES)."""
+    its bf16 hi half (2 dots instead of 3). MEASURED AND RULED OUT for
+    production (round 4, scripts/probe_k2_mode_r4.py + ROUND4_NOTES §2):
+    the common-operator cancellation argument holds only qualitatively —
+    on a focused scene wf16 busts the fidelity budget (0.30 dB on
+    hardware) while saving just 1.7% of the CPI (K2 is VPU/layout-bound,
+    not dot-bound). It remains a quarantined measurement knob for probe
+    A/Bs only (docs/PERF_GUIDE.md "Variant retirement policy")."""
     dn = (((axis,), (0,)), ((), ()))
     d = partial(jax.lax.dot_general, dimension_numbers=dn,
                 preferred_element_type=jnp.float32)

@@ -107,6 +107,49 @@ class TestShardedGmti:
                                    atol=1e-3)
         assert np.isfinite(float(np.asarray(out.cancellation)))
 
+    def test_halo_cfar_bitexact(self):
+        """The ppermute halo-exchange CFAR (round-5: replaces the
+        full-plane all_gather) must reproduce the single-device detector
+        BIT-EXACTLY on a fixed power plane: interior shards read true
+        neighbor training columns; mesh-edge shards read ppermute's zero
+        fill, which is exactly ca_cfar's zero padding."""
+        from functools import partial
+
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        rng = np.random.default_rng(7)
+        for n_az, n_rg, n_seq in ((64, 256, 4), (32, 1024, 8)):
+            pw = (rng.standard_normal((n_az, n_rg)).astype(np.float32) ** 2
+                  * 10.0 ** rng.uniform(-4, 4, (n_az, n_rg)
+                                        ).astype(np.float32))
+            devs = np.array(jax.devices()[:n_seq]).reshape(1, n_seq)
+            mesh = Mesh(devs, ("chan", "seq"))
+            cp = cfar.CfarParams()
+            body = partial(distributed._cfar_snr_halo, cfar_params=cp,
+                           n_seq=n_seq, ns_global=n_rg)
+            f = jax.jit(jax.shard_map(body, mesh=mesh,
+                                      in_specs=P(None, "seq"),
+                                      out_specs=P(None, "seq"),
+                                      check_vma=False))
+            got = np.asarray(f(jnp.asarray(pw)))
+            want = np.asarray(cfar.ca_cfar(jnp.asarray(pw), cp).snr)
+            np.testing.assert_array_equal(got, want)
+
+    def test_halo_cfar_too_narrow_raises(self):
+        from functools import partial
+
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        devs = np.array(jax.devices()[:8]).reshape(1, 8)
+        mesh = Mesh(devs, ("chan", "seq"))
+        cp = cfar.CfarParams()       # h_o = 10 > 64/8 columns per shard
+        body = partial(distributed._cfar_snr_halo, cfar_params=cp,
+                       n_seq=8, ns_global=64)
+        f = jax.shard_map(body, mesh=mesh, in_specs=P(None, "seq"),
+                          out_specs=P(None, "seq"), check_vma=False)
+        with pytest.raises(ValueError, match="narrower than the CFAR"):
+            f(jnp.ones((16, 64), jnp.float32))
+
     def test_dpca_shift_applied(self):
         """With shift_pulses=1 the step must cancel a DPCA-coherent pair:
         build channels where ch1[k+1] == ch2[k]; after the shift the
