@@ -74,7 +74,9 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
                     balance_impl: str = "pallas",
                     k1_impl: str = "fused2ch",
                     k2_impl: str = "pair",
-                    k2_mode: str | None = None):
+                    k2_mode: str | None = None,
+                    k2_rows: int = 32,
+                    epilogue: str = "pallas"):
     """Full 2-channel GMTI CPI — raw phase-history planes in, SLC planes +
     products out — with the product step fused into the CSA megakernel's
     K3 output pass (ops/pallas/gmti_kernel.py).
@@ -119,7 +121,7 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
                 # channel to the split calls
                 z1r, z1i, z2r, z2i = csa_kernel.k2_pair_call(
                     z1r, z1i, z2r, z2i, f, b, interp, k2m,
-                    variant=k2_variant)
+                    rows=k2_rows, variant=k2_variant)
             else:
                 z1r, z1i = csa_kernel._k2_call(z1r, z1i, f, b, interp,
                                                k2m, variant=k2_variant)
@@ -162,7 +164,24 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
         z1r, z1i, z2r, z2i, cal_cs, h_out=p.guard + p.train, h_in=p.guard,
         interpret=interp, mode=mode, lead_variant=lead_variant)
 
-    # cross-tile stages: range box sums + rank-1 counts + mask
+    peak2 = jnp.max(peaks)
+    if epilogue == "pallas":
+        # cross-tile stages in ONE pallas pass (K4): the range halves of
+        # the CFAR box sums, rank-1 training counts, noise/SNR, the
+        # peak-referenced phase mask and dmag — each K3g product plane is
+        # read once instead of the XLA chain's ~12 plane passes
+        # (round-5; same f32 class as the composed epilogue)
+        with jax.enable_x64(False):
+            snr, phase, dmag, noise = gmti_kernel.k4_epilogue_planes(
+                cso, csi, power, ph_raw, mag,
+                (mask_threshold ** 2) * peak2,
+                h_out=p.guard + p.train, h_in=p.guard, interpret=interp)
+        det = cfar_mod.CfarResult(detections=snr > p.alpha, snr=snr,
+                                  noise=noise)
+        return s1r, s1i, s2r, s2i, cal, phase, dmag, det
+    if epilogue != "xla":
+        raise ValueError(f"unknown epilogue {epilogue!r}: 'pallas'|'xla'")
+    # composed XLA epilogue (the K4 equality reference)
     outer = _hbox(cso, p.guard + p.train)
     inner = _hbox(csi, p.guard)
     n_outer = cfar_mod._box_count((size_az, size_rg), p.guard + p.train)
@@ -172,7 +191,6 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
     snr = power / jnp.maximum(noise, 1e-30)
     det = cfar_mod.CfarResult(detections=snr > p.alpha, snr=snr,
                               noise=noise)
-    peak2 = jnp.max(peaks)
     phase = jnp.where(mag > (mask_threshold ** 2) * peak2, ph_raw, 0.0)
     dmag = jnp.sqrt(power)
     return s1r, s1i, s2r, s2i, cal, phase, dmag, det

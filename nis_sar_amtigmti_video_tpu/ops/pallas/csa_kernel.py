@@ -287,13 +287,18 @@ def _k2_body(xr, xi, frs2, alpha, beta, cph3, dr3, usq3, rphase, g, c3,
         """(R, e, [d_re|d_im]) --contract e with [Wr | Wi]--> (R, d,
         [out_re|out_im]): the restack-free digit swap. One sublane-axis
         dot against the lane-concatenated real/imag DFT parts gives all
-        four real products as sublane x lane quadrants; two slice-adds
-        recombine them — no (64, 128) transposes in VMEM (the restack
-        variant's dominant cost, docs/ROUND2_NOTES.md §14)."""
+        four real products as sublane x lane quadrants
+        ([[re*Wr, re*Wi], [im*Wr, im*Wi]]); the recombination
+        [re*Wr - im*Wi | im*Wr + re*Wi] is ONE sublane-half split + one
+        lane-half roll + a signed add — the round-5 form of the original
+        four lane-half quadrant slices + lane concat (algebraically
+        element-identical — the sgn multiply IS the subtraction — and
+        within the kernel's f32 rounding class; the compiler may fuse
+        the mul/add differently), which cost ~4 extra VREG shuffle
+        passes per call on a kernel the round-5 bill probe showed is
+        layout-bound, not dot-bound (scripts/probe_k2_bill_r5.py)."""
         dc = _dot3(s, ch, cl, 1, mode)                     # (R, 2d, 2m)
-        return jnp.concatenate(
-            [dc[:, :b, :b] - dc[:, b:, b:],                # re*Wr - im*Wi
-             dc[:, b:, :b] + dc[:, :b, b:]], axis=2)       # im*Wr + re*Wi
+        return dc[:, :b, :] + _roll_half(dc[:, b:, :]) * sgn
 
     # ---- forward range FFT: contract p, twiddle, contract q
     z = jnp.concatenate([xr[:], xi[:]], axis=1)            # (R, 2p, q)
@@ -342,10 +347,10 @@ def _k2g_body(x1r, x1i, x2r, x2i, frs2, alpha, beta, cph3, dr3, usq3,
     sgn = _half_sign((1, 1, 2 * b), b)
 
     def swap_dot(s, ch, cl):
+        # sublane-split + lane-roll recombination (see _k2_body's
+        # swap_dot docstring; bit-identical to the quadrant-concat form)
         dc = _dot3(s, ch, cl, 1, mode)                     # (R, 2d, 2m)
-        return jnp.concatenate(
-            [dc[:, :b, :b] - dc[:, b:, b:],                # re*Wr - im*Wi
-             dc[:, b:, :b] + dc[:, :b, b:]], axis=2)       # im*Wr + re*Wi
+        return dc[:, :b, :] + _roll_half(dc[:, b:, :]) * sgn
 
     fv = frs2[:][None]
     ph2 = (alpha[:] * fv + beta[:]) * fv                   # (R, b, 2b)

@@ -331,6 +331,106 @@ def _k3g_call(x1r, x1i, x2r, x2i, cal, a: int, h_out: int, h_in: int,
     )(x1r, x1i, x2r, x2i, cal, wh, wl, tr_m, ti_m)
 
 
+def _lane_shift_up(x, k: int):
+    """result[..., i] = x[..., i+k]; vacated tail lanes are zero."""
+    if k == 0:
+        return x
+    z = jnp.zeros(x.shape[:-1] + (k,), x.dtype)
+    return jnp.concatenate([x[..., k:], z], axis=-1)
+
+
+def _lane_box(x, half: int):
+    """Centered (2*half+1)-tap box sum along the LAST axis with zero
+    padding — the lane-axis twin of :func:`_col_box` (doubling forward
+    sums over a head-padded copy)."""
+    w = 2 * half + 1
+    pad = -(-half // _LANE) * _LANE          # lane-aligned zero head
+    n = x.shape[-1]
+    xp = jnp.concatenate([jnp.zeros(x.shape[:-1] + (pad,), x.dtype), x],
+                         axis=-1)
+    sums = {1: xp}
+    k = 1
+    while 2 * k <= w:
+        sums[2 * k] = sums[k] + _lane_shift_up(sums[k], k)
+        k *= 2
+    acc = None
+    off = 0
+    rem = w
+    bit = k
+    while bit >= 1:
+        if rem >= bit:
+            term = _lane_shift_up(sums[bit], off)
+            acc = term if acc is None else acc + term
+            off += bit
+            rem -= bit
+        bit //= 2
+    return acc[..., pad - half:pad - half + n]
+
+
+def _k4_body(cso, csi, pw, ph, mag, thr, ch_o, ch_i, cw_o, cw_i,
+             osnr, oph, odm, onoise, *, h_out: int, h_in: int):
+    """Single-pass GMTI epilogue: the range (lane-axis) halves of the
+    separable CFAR box sums + analytic training counts + noise/SNR, the
+    peak-referenced phase mask, and dmag = sqrt(power) — one HBM read of
+    each K3g product plane and one write of each output, replacing the
+    ~12 XLA plane passes (reduce_windows + elementwise chain) the
+    composed epilogue cost (round-5; scripts/probe_gmti_epilogue.py)."""
+    outer = _lane_box(cso[:], h_out)
+    inner = _lane_box(csi[:], h_in)
+    n_train = jnp.maximum(ch_o[:] * cw_o[:] - ch_i[:] * cw_i[:],
+                          jnp.float32(1.0))
+    noise = (outer - inner) / n_train
+    onoise[:] = noise
+    osnr[:] = pw[:] / jnp.maximum(noise, jnp.float32(1e-30))
+    oph[:] = jnp.where(mag[:] > thr[0, 0], ph[:], jnp.float32(0.0))
+    odm[:] = jnp.sqrt(pw[:])
+
+
+def k4_epilogue_planes(cso, csi, power, ph_raw, mag, thr_scalar, *,
+                       h_out: int, h_in: int, interpret: bool = False,
+                       rows: int = 128):
+    """(snr, phase_masked, dmag, noise) from K3g's product planes in one
+    pallas pass over full range rows (no cross-block halo: each grid step
+    holds complete rows, so the lane-axis box sums close locally).
+
+    The azimuth (sublane) halves of the box sums were already applied in
+    K3g (:func:`_col_box`); training-cell counts use the exact rank-1
+    form (cfar._box_count's 1-D factors, passed as vectors).
+    thr_scalar = mask_threshold^2 * peak2 (the XLA-reduced global peak).
+    Matches the composed epilogue to f32 rounding (the lane box sum
+    associates differently than reduce_window)."""
+    from nis_sar_amtigmti_video_tpu.gmti.cfar import _count_1d
+
+    n_az, n_rg = cso.shape
+    while n_az % rows:
+        rows //= 2
+    grid = (n_az // rows,)
+    bs_dat = pl.BlockSpec((rows, n_rg), lambda i: (i, 0))
+    bs_thr = pl.BlockSpec((1, 1), lambda i: (0, 0))
+    bs_col = pl.BlockSpec((rows, 1), lambda i: (i, 0))
+    bs_row = pl.BlockSpec((1, n_rg), lambda i: (0, 0))
+    ch_o = _count_1d(n_az, h_out).reshape(n_az, 1)
+    ch_i = _count_1d(n_az, h_in).reshape(n_az, 1)
+    cw_o = _count_1d(n_rg, h_out).reshape(1, n_rg)
+    cw_i = _count_1d(n_rg, h_in).reshape(1, n_rg)
+    big = jax.ShapeDtypeStruct((n_az, n_rg), jnp.float32)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            partial(_k4_body, h_out=h_out, h_in=h_in),
+            grid=grid,
+            in_specs=[bs_dat] * 5 + [bs_thr, bs_col, bs_col, bs_row,
+                                     bs_row],
+            out_specs=[bs_dat] * 4,
+            out_shape=[big] * 4,
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=_VMEM,
+            interpret=interpret,
+        )(cso, csi, power, ph_raw, mag,
+          thr_scalar.reshape(1, 1).astype(jnp.float32),
+          ch_o.astype(jnp.float32), ch_i.astype(jnp.float32),
+          cw_o.astype(jnp.float32), cw_i.astype(jnp.float32))
+
+
 def k3_gmti_planes(x1r, x1i, x2r, x2i, cal_cos_sin, *, h_out: int,
                    h_in: int, interpret: bool = False, mode: str = "bf16x3",
                    lead_variant: str = "swap"):

@@ -488,9 +488,7 @@ def _placement_model(model: str):
     if model == "f35":
         return T.f35()
     if model == "airliner":
-        # no dedicated airliner point model in the reference's
-        # vehicle_targets.py — a 4x-RCS fighter_jet hull stands in
-        return T.fighter_jet(rcs_scale=4.0)
+        return T.airliner()
     if model == "car":
         return T.car()
     if model == "tank":

@@ -110,6 +110,38 @@ def f35(center=(0.0, 0.0, 0.0)) -> PointTargets:
     return fighter_jet(center, rcs_scale=0.01)
 
 
+def airliner(center=(0.0, 0.0, 0.0)) -> PointTargets:
+    """15-point wide-body airliner (Boeing 787-8 class: 57 m fuselage,
+    60 m span, 17 m tail).
+
+    The reference places a 787-8 FBX visually (sar_scene_data.py:82-90)
+    but has no airliner entry in vehicle_targets.py; this layout gives the
+    placement a dedicated scatterer model: a fuselage tube line, swept
+    wing line with engine nacelles, and the empennage. RCS is
+    airliner-class — 40 m^2 per airframe point with 120 m^2 engine
+    nacelles (inlet cavities dominate a civil airliner's return), ~760
+    m^2 total, sitting between the fighter (130 m^2) and the ships."""
+    pts = (
+        # fuselage tube: nose, cockpit, three barrel sections, tailcone
+        [(28.0, 0.0, 2.5), (24.0, 0.0, 3.5), (14.0, 0.0, 3.0),
+         (0.0, 0.0, 3.0), (-14.0, 0.0, 3.0), (-27.0, 0.0, 4.0)]
+        # empennage: vertical stabilizer top + horizontal stabilizer tips
+        + [(-26.0, 0.0, 16.0), (-26.0, 11.0, 5.0), (-26.0, -11.0, 5.0)]
+        # swept wing line: root, engine station, tip (both sides)
+        + [(2.0, 3.0, 2.5), (2.0, -3.0, 2.5),
+           (4.0, 9.0, 1.0), (4.0, -9.0, 1.0),
+           (-8.0, 30.0, 4.0), (-8.0, -30.0, 4.0)]
+    )
+    rcs = [40.0] * 11 + [120.0, 120.0] + [40.0, 40.0]
+    names = ([f"airliner_fus{i}" for i in range(6)]
+             + ["airliner_vstab", "airliner_hstab_r", "airliner_hstab_l"]
+             + ["airliner_wingroot_r", "airliner_wingroot_l",
+                "airliner_engine_r", "airliner_engine_l",
+                "airliner_wingtip_r", "airliner_wingtip_l"])
+    out = _make(pts, 1.0, names, center)
+    return out._replace(rcs=np.asarray(rcs, np.float64))
+
+
 def destroyer(center=(0.0, 0.0, 0.0)) -> PointTargets:
     """35-point Arleigh-Burke-class destroyer, ~50k m^2 total
     (vehicle_targets.py:102-141): 5x3 hull grid at two heights (1000 m^2 each)
@@ -148,5 +180,6 @@ VEHICLES = {
     "tank": tank,
     "fighter_jet": fighter_jet,
     "f35": f35,
+    "airliner": airliner,
     "destroyer": destroyer,
 }

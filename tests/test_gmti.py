@@ -346,6 +346,51 @@ class TestFusedKernel:
         pg, pc = np.asarray(phase), np.asarray(phase_c)
         assert np.abs((pg - pc)[clear]).max() < 2e-3
 
+    def test_k4_epilogue_matches_xla(self):
+        """epilogue='pallas' (the round-5 single-pass K4 kernel: range box
+        sums + counts + noise/SNR + phase mask + dmag) vs the composed
+        XLA epilogue chain — everything except SNR/noise must be exact
+        (the mask/dmag read the same planes); SNR/noise differ only in
+        the lane box sum's f32 association."""
+        import jax.numpy as jnp
+        from nis_sar_amtigmti_video_tpu import config as cfg2
+        from nis_sar_amtigmti_video_tpu.gmti import cfar
+        from nis_sar_amtigmti_video_tpu.gmti.fused import gmti_cpi_pallas
+        from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+        from nis_sar_amtigmti_video_tpu.ops.echo import window_start_time
+
+        size = 256
+        sc = cfg2.videosar()
+        g, r = sc.geometry, sc.radar
+        t0 = window_start_time(g.slant_range_m, None,
+                               sc.collect.window_length_s, "centered")
+        p = csa_ops.CsaParams(
+            wavelength_m=r.wavelength_m, chirp_rate=r.chirp_rate,
+            fs_hz=r.fs_hz, prf_hz=r.prf_hz,
+            velocity_mps=g.effective_velocity_mps,
+            range_ref_m=g.slant_range_m, t_start_fast=t0,
+            num_pulses=size, num_samples=size)
+        f = csa_ops.csa_factors(p)
+        cp = cfar.CfarParams(guard=2, train=8)
+        rng = np.random.default_rng(11)
+        x = [jnp.asarray(rng.standard_normal((size, size)
+                                             ).astype(np.float32))
+             for _ in range(4)]
+        o_pal = gmti_cpi_pallas(*x, f, cfar_params=cp, interpret=True,
+                                epilogue="pallas")
+        o_xla = gmti_cpi_pallas(*x, f, cfar_params=cp, interpret=True,
+                                epilogue="xla")
+        for a, b in zip(o_pal[:7], o_xla[:7]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for field in ("snr", "noise"):
+            a = np.asarray(getattr(o_pal[7], field))
+            b = np.asarray(getattr(o_xla[7], field))
+            np.testing.assert_allclose(a, b, rtol=1e-5,
+                                       atol=1e-6 * np.abs(b).max())
+        with pytest.raises(ValueError, match="unknown epilogue"):
+            gmti_cpi_pallas(*x, f, cfar_params=cp, interpret=True,
+                            epilogue="nope")
+
     def test_fused2ch_k1_matches_split(self):
         """k1_impl='fused2ch' (two-channel K1 + in-kernel balance) vs the
         split path: same kernel math, so every output matches to f32

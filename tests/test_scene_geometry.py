@@ -23,6 +23,23 @@ class TestTargets:
         # 30 hull/deck @1000 + bridge 5000 + mast/stack 3000x2 + bow/stern 1000x2
         assert d.total_rcs == pytest.approx(30 * 1000 + 5000 + 6000 + 2000)
 
+    def test_airliner_model(self):
+        """Dedicated 787-class point model (round-5: replaces the 4x-RCS
+        fighter stand-in in the scene placements)."""
+        a = T.airliner()
+        assert a.num == 15
+        assert a.total_rcs == pytest.approx(13 * 40.0 + 2 * 120.0)
+        # 787-8-class extents: ~57 m fuselage, ~60 m span, ~17 m tail
+        x, y, z = a.positions.T
+        assert x.max() - x.min() == pytest.approx(56.0, abs=3.0)
+        assert y.max() - y.min() == pytest.approx(60.0, abs=2.0)
+        assert z.max() == pytest.approx(16.0, abs=2.0)
+        # engines (inlet cavities) are the strongest scatterers
+        eng = [i for i, n in enumerate(a.names) if "engine" in n]
+        assert a.rcs[eng].min() == a.rcs.max()
+        # class ordering: fighter < airliner < ships
+        assert T.fighter_jet().total_rcs < a.total_rcs < T.destroyer().total_rcs
+
     def test_destroyer_extent(self):
         d = T.destroyer()
         x = d.positions[:, 0]

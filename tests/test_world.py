@@ -116,7 +116,7 @@ class TestPlacements:
         # six models concatenated; every scatterer near its placement
         start = 0
         for pl in SCENE_PLACEMENTS:
-            n = {"f35": len(T.f35().rcs), "airliner": len(T.fighter_jet().rcs),
+            n = {"f35": len(T.f35().rcs), "airliner": len(T.airliner().rcs),
                  "car": len(T.car().rcs), "tank": len(T.tank().rcs),
                  "boat": len(T.car().rcs),
                  "frigate": len(T.destroyer().rcs)}[pl.model]
