@@ -202,17 +202,22 @@ def main():
             # pallas), and the full-plane sums below consume the XLA
             # epilogue honestly.
             from nis_sar_amtigmti_video_tpu.gmti.fused import gmti_cpi_pallas
+            from nis_sar_amtigmti_video_tpu.ops.pallas import gmti_kernel
 
             # k2='dots' loses standalone (8.5 vs 8.1 ms) but wins the full
             # CPI (16.7 vs 17.3 ms measured) — adopted as the GMTI default
             k2_var = os.environ.get("BENCH_K2", "dots")
             lead_var = os.environ.get("BENCH_LEAD", "swap")
+            # Phi1 table: built ONCE per factor set (the streaming
+            # production pattern); saves K1g's in-kernel transcendentals
+            pcs0, psn0 = gmti_kernel.phi1_tables(f)
 
-            def gmti_one(x1r, x1i, x2r, x2i):
+            def gmti_one(x1r, x1i, x2r, x2i, pcs, psn):
                 s1r, s1i, s2r, s2i, cal, phase, dmag, det = gmti_cpi_pallas(
                     x1r, x1i, x2r, x2i, f, cfar_params=cfar_p,
                     k2_variant=k2_var, lead_variant=lead_var,
-                    balance_impl=os.environ.get("BENCH_BAL", "pallas"))
+                    balance_impl=os.environ.get("BENCH_BAL", "pallas"),
+                    phi1_table=(pcs, psn))
                 summary = (jnp.sum(phase) + jnp.sum(dmag) + jnp.sum(det.snr)
                            + cal)
                 return s1r, s1i, s2r, s2i, summary
@@ -221,12 +226,12 @@ def main():
             key0 = jax.random.PRNGKey(0)
             out = gmti_fn1(*(jax.random.normal(jax.random.fold_in(key0, i),
                                                (size, size), jnp.float32)
-                             for i in range(4)))
+                             for i in range(4)), pcs0, psn0)
             _ = float(out[4])                          # compile + first run
             iters_k = 2 * iters * max(1, ncpi // 2)    # match dispatch count
             t1 = time.perf_counter()
             for _i in range(iters_k):
-                out = gmti_fn1(out[0], out[1], out[2], out[3])
+                out = gmti_fn1(out[0], out[1], out[2], out[3], pcs0, psn0)
             _ = float(out[4])
             m["gmti_ms"] = 1000.0 * (time.perf_counter() - t1) / iters_k
         else:

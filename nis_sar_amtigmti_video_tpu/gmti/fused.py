@@ -76,7 +76,8 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
                     k2_impl: str = "pair",
                     k2_mode: str | None = None,
                     k2_rows: int = 32,
-                    epilogue: str = "pallas"):
+                    epilogue: str = "pallas",
+                    phi1_table=None):
     """Full 2-channel GMTI CPI — raw phase-history planes in, SLC planes +
     products out — with the product step fused into the CSA megakernel's
     K3 output pass (ops/pallas/gmti_kernel.py).
@@ -86,6 +87,11 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
     unitarity argument in the kernel module docstring).
 
     Returns (s1r, s1i, s2r, s2i, cal, phase, dmag, CfarResult).
+
+    ``phi1_table``: optional precomputed Phi1 (cos, sin) planes
+    (gmti_kernel.phi1_tables) — the streaming path builds them once per
+    factor set and saves K1g's ~0.8 ms in-kernel transcendental bill
+    (round-5 probe_k5_r5.py). None keeps the self-contained trig.
 
     ``k2_mode`` overrides the dot precision of the K2 pass alone (None =
     follow ``mode``): 'wf16' truncates only the K2 tables to bf16 (2 dots
@@ -109,7 +115,8 @@ def gmti_cpi_pallas(x1r, x1i, x2r, x2i, f, *, balance: bool = True,
         with jax.enable_x64(False):
             z1r, z1i, z2r, z2i, xs_re, xs_im = gmti_kernel.k1_gmti_planes(
                 x1r, x1i, x2r, x2i, f, interpret=interp, mode=mode,
-                lead_variant=lead_variant, balance=balance)
+                lead_variant=lead_variant, balance=balance,
+                phi1_table=phi1_table)
         cal = (jnp.arctan2(xs_im, xs_re) if balance
                else jnp.zeros((), jnp.float32))
         cal_cs = jnp.stack([jnp.cos(cal), jnp.sin(cal)]).reshape(1, 2)

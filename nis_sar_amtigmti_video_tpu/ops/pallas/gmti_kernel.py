@@ -171,9 +171,26 @@ def raw_balance_pallas(x1r, x1i, x2r, x2i, interpret: bool = False):
     return jnp.sum(out[:, :_LANE]), jnp.sum(out[:, _LANE:])
 
 
-def _k1g_body(x1r, x1i, x2r, x2i, u, c1, w, wh, wl, tr_m, ti_m,
-              o1r, o1i, o2r, o2i, obal,
-              *, a: int, mode: str, variant: str, balance: bool):
+def phi1_tables(f):
+    """Precomputed Phi1 cos/sin planes for :func:`k1_gmti_planes`.
+
+    Phi1 = exp(j c1(az) (u(rg) - w(az))^2) is data-independent, and the
+    round-5 K1g bill probe measured its in-kernel evaluation at ~1.0 ms
+    of the 4.7 ms pass (0.8 ms transcendentals) while reading the two
+    precomputed (n_az, n_rg) f32 planes costs ~0.3 ms of HBM
+    (scripts/probe_k5_r5.py: 4.46 -> 3.61 ms). Build ONCE per factor set
+    (outside the streaming jit) and pass via ``phi1_table=``; tables are
+    f32 (XLA cos/sin vs Mosaic's differ at the 1e-7 class — inside every
+    fidelity budget, gated by tests/test_gmti.py)."""
+    ph = (jnp.asarray(f.c1).reshape(-1, 1).astype(jnp.float32)
+          * (jnp.asarray(f.u).reshape(1, -1).astype(jnp.float32)
+             - jnp.asarray(f.w).reshape(-1, 1).astype(jnp.float32)) ** 2)
+    return jnp.cos(ph), jnp.sin(ph)
+
+
+def _k1g_body(x1r, x1i, x2r, x2i, *refs,
+              a: int, mode: str, variant: str, balance: bool,
+              table: bool = False):
     """Two-channel CSA K1 (azimuth four-step FFT + Phi1) with the raw
     balance reduction riding the same tile read.
 
@@ -184,7 +201,15 @@ def _k1g_body(x1r, x1i, x2r, x2i, u, c1, w, wh, wl, tr_m, ti_m,
     copies (the measured cost of the vmapped batching dead end,
     docs/ROUND3_NOTES.md §3), and the balance partials accumulate into a
     revisited block exactly as in :func:`raw_balance_pallas` while the raw
-    tiles are already in VMEM."""
+    tiles are already in VMEM.
+
+    ``table=True`` replaces the (u, c1, w) Phi1 refs with precomputed
+    (cos, sin) plane refs (see :func:`phi1_tables`)."""
+    if table:
+        pcs, psn, wh, wl, tr_m, ti_m, o1r, o1i, o2r, o2i, obal = refs
+        u = c1 = w = None
+    else:
+        u, c1, w, wh, wl, tr_m, ti_m, o1r, o1i, o2r, o2i, obal = refs
     lane = x1r.shape[-1]
     if balance:
         pr = x1r[:] * x2r[:] + x1i[:] * x2i[:]
@@ -206,9 +231,12 @@ def _k1g_body(x1r, x1i, x2r, x2i, u, c1, w, wh, wl, tr_m, ti_m,
         def _zero():
             obal[:] = jnp.zeros((8, 2 * _LANE), jnp.float32)
 
-    du = u[:] - w[:]
-    ph = c1[:] * du * du
-    pr1, pi1 = jnp.cos(ph), jnp.sin(ph)
+    if table:
+        pr1, pi1 = pcs[:], psn[:]    # precomputed Phi1 cos/sin planes
+    else:
+        du = u[:] - w[:]
+        ph = c1[:] * du * du
+        pr1, pi1 = jnp.cos(ph), jnp.sin(ph)
     for xr, xi, our, oui in ((x1r, x1i, o1r, o1i), (x2r, x2i, o2r, o2i)):
         sr, si = _fft_lead(xr[:], xi[:], wh[:], wl[:], tr_m[:], ti_m[:],
                            jnp.float32(1.0), a, lane, mode, variant=variant)
@@ -217,12 +245,17 @@ def _k1g_body(x1r, x1i, x2r, x2i, u, c1, w, wh, wl, tr_m, ti_m,
 
 def k1_gmti_planes(x1r, x1i, x2r, x2i, f, *, interpret: bool = False,
                    mode: str = "bf16x3", lead_variant: str = "swap",
-                   balance: bool = True):
+                   balance: bool = True, phi1_table=None):
     """Two-channel K1 + raw balance in one pallas pass.
 
     Returns (z1r, z1i, z2r, z2i, xs_re, xs_im) — the K1 outputs of both
     channels plus the re/im of sum(x1 conj x2) over the raw pair (zeros
-    when balance=False)."""
+    when balance=False).
+
+    ``phi1_table``: optional (cos, sin) planes from :func:`phi1_tables` —
+    the streaming production path's table-read Phi1 (saves the ~0.8 ms
+    in-kernel transcendental bill; see phi1_tables docstring). None keeps
+    the self-contained in-kernel trig."""
     n_az, n_rg = x1r.shape
     a = int(math.isqrt(n_az))
     f_m, t_m = _dft_consts(a, n_az)
@@ -237,21 +270,30 @@ def k1_gmti_planes(x1r, x1i, x2r, x2i, f, *, interpret: bool = False,
     bs_blk = pl.BlockSpec((2 * a, 2 * a), lambda j: (0, 0))
     bs_bal = pl.BlockSpec((8, 2 * _LANE), lambda j: (0, 0))
     big = jax.ShapeDtypeStruct((n_az, n_rg), jnp.float32)
+    if phi1_table is None:
+        phi_specs = [bs_u, bs_az, bs_az]
+        phi_args = (f.u.reshape(1, -1), f.c1.reshape(-1, 1),
+                    f.w.reshape(-1, 1))
+        table = False
+    else:
+        # the (u, w) ref slots carry the cos/sin planes; c1 is dropped
+        phi_specs = [bs_dat, bs_dat]
+        phi_args = (phi1_table[0], phi1_table[1])
+        table = True
     with jax.enable_x64(False):
         o = pl.pallas_call(
             partial(_k1g_body, a=a, mode=mode, variant=lead_variant,
-                    balance=balance),
+                    balance=balance, table=table),
             grid=grid,
-            in_specs=[bs_dat] * 4 + [bs_u, bs_az, bs_az, bs_blk, bs_blk,
-                                     bs_c, bs_c],
+            in_specs=[bs_dat] * 4 + phi_specs + [bs_blk, bs_blk,
+                                                 bs_c, bs_c],
             out_specs=[bs_dat] * 4 + [bs_bal],
             out_shape=[big] * 4
             + [jax.ShapeDtypeStruct((8, 2 * _LANE), jnp.float32)],
             input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
             compiler_params=_VMEM,
             interpret=interpret,
-        )(x1r, x1i, x2r, x2i, f.u.reshape(1, -1), f.c1.reshape(-1, 1),
-          f.w.reshape(-1, 1), wh, wl, tr_m, ti_m)
+        )(x1r, x1i, x2r, x2i, *phi_args, wh, wl, tr_m, ti_m)
     bal = o[4]
     return o[0], o[1], o[2], o[3], jnp.sum(bal[:, :_LANE]), \
         jnp.sum(bal[:, _LANE:])

@@ -26,6 +26,8 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_fullscale_two_channel_acceptance():
+    import dataclasses
+
     import nis_sar_amtigmti_video_tpu as nst  # noqa: F401  (x64 on)
     import oracle
     from nis_sar_amtigmti_video_tpu import config as cfg
@@ -36,12 +38,29 @@ def test_fullscale_two_channel_acceptance():
     from nis_sar_amtigmti_video_tpu.utils import cplx
 
     sc = cfg.ati_dpca()
+    # NIS_SAR_FULLSCALE_BACKEND selects the echo engine under test:
+    # 'jnp' (the preset default — direct engine) or 'freq' (the bench's
+    # production NUFFT path; round-5 recertifies it at the shipped
+    # echo_oversample=2 default). The freq backend needs a uniform grid.
+    backend = os.environ.get("NIS_SAR_FULLSCALE_BACKEND", "jnp")
+    if backend == "freq":
+        # the NUFFT path needs the uniform fast-time grid, which
+        # echo_opts_for derives from the 'centered' window mode; the
+        # oracle below builds its grid from the same opts, so both sides
+        # stay consistent
+        sc = dataclasses.replace(
+            sc, collect=dataclasses.replace(
+                sc.collect, echo_backend="freq",
+                window_start_mode="centered"))
     ship = T.destroyer().rotate_z(90.0)
     vel = np.array([0.0, 4.0, 0.0])     # along-track y: radial-ish mover
 
     # ---- framework (f32 device path; same code the bench exercises) ----
     raw2, traj, t0 = gmti_model.simulate_two_channel(sc, ship, vel)
-    assert raw2.shape == (2, 7200, 13200)    # the reference's exact shape
+    if isinstance(raw2, tuple):          # 'freq': per-channel arrays
+        assert raw2[0].shape == (7200, 13200)
+    else:
+        assert raw2.shape == (2, 7200, 13200)  # the reference's exact shape
     prod = gmti_model.focus_and_products(raw2, sc, t0, balance=False)
     s1f = cplx.to_host(prod.slc1)
     s2f = cplx.to_host(prod.slc2)

@@ -391,6 +391,47 @@ class TestFusedKernel:
             gmti_cpi_pallas(*x, f, cfar_params=cp, interpret=True,
                             epilogue="nope")
 
+    def test_phi1_table_matches_trig(self):
+        """phi1_table= (the round-5 precomputed Phi1 planes) vs the
+        in-kernel trig — same products to the trig-implementation
+        rounding class (~1e-7 phase: XLA vs Mosaic cos/sin)."""
+        import jax.numpy as jnp
+        from nis_sar_amtigmti_video_tpu import config as cfg2
+        from nis_sar_amtigmti_video_tpu.gmti import cfar
+        from nis_sar_amtigmti_video_tpu.gmti.fused import gmti_cpi_pallas
+        from nis_sar_amtigmti_video_tpu.ops import csa as csa_ops
+        from nis_sar_amtigmti_video_tpu.ops.echo import window_start_time
+        from nis_sar_amtigmti_video_tpu.ops.pallas import gmti_kernel
+
+        size = 256
+        sc = cfg2.videosar()
+        g, r = sc.geometry, sc.radar
+        t0 = window_start_time(g.slant_range_m, None,
+                               sc.collect.window_length_s, "centered")
+        p = csa_ops.CsaParams(
+            wavelength_m=r.wavelength_m, chirp_rate=r.chirp_rate,
+            fs_hz=r.fs_hz, prf_hz=r.prf_hz,
+            velocity_mps=g.effective_velocity_mps,
+            range_ref_m=g.slant_range_m, t_start_fast=t0,
+            num_pulses=size, num_samples=size)
+        f = csa_ops.csa_factors(p)
+        cp = cfar.CfarParams(guard=2, train=8)
+        rng = np.random.default_rng(13)
+        x = [jnp.asarray(rng.standard_normal((size, size)
+                                             ).astype(np.float32))
+             for _ in range(4)]
+        tab = gmti_kernel.phi1_tables(f)
+        o_t = gmti_cpi_pallas(*x, f, cfar_params=cp, interpret=True,
+                              phi1_table=tab)
+        o_r = gmti_cpi_pallas(*x, f, cfar_params=cp, interpret=True)
+        scale = float(np.abs(np.asarray(o_r[0])).max())
+        for a, b in zip(o_t[:4], o_r[:4]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=3e-5 * scale)
+        dscale = float(np.abs(np.asarray(o_r[6])).max())
+        np.testing.assert_allclose(np.asarray(o_t[6]), np.asarray(o_r[6]),
+                                   rtol=0, atol=1e-4 * dscale)
+
     def test_fused2ch_k1_matches_split(self):
         """k1_impl='fused2ch' (two-channel K1 + in-kernel balance) vs the
         split path: same kernel math, so every output matches to f32
