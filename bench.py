@@ -393,7 +393,7 @@ def main():
                 img = bp_fast.focus_bp_fast(
                     x, trajb.positions, trajb.velocities, trajb.times,
                     np.zeros(3), float(t0b), p_bp, presum=d_ps,
-                    plan=plan_bp, accumulate=bp_acc, fit_stride=8,
+                    plan=plan_bp, accumulate=bp_acc, fit_stride=16,
                     math_mode=os.environ.get("BENCH_BP_MATH", "exact"))
                 x = x + (jnp.sum(img[:1, :1]) * 0).astype(x.dtype)
             return x, img
@@ -456,7 +456,7 @@ def main():
                     None, trajb.positions, trajb.velocities,
                     trajb.times, np.zeros(3), float(t0b), p_bp,
                     presum=d_ps, plan=plan_bp, accumulate=bp_acc,
-                    fit_stride=8, math_mode=bp_math,
+                    fit_stride=16, math_mode=bp_math,
                     raw_spectra=spec_buf, ring_offset=wp)
                 new_raw = new_raw + (jnp.sum(img[:1, :1])
                                      * 0).astype(new_raw.dtype)

@@ -124,7 +124,7 @@ def form_frames_bp(raw_frames, pos_frames, vel_frames, t_frames, vel_focus,
             img = bp_fast.backproject_fast(
                 r_, po, ve, ts, vel_focus, p, plan, presum=presum,
                 compress=True, accumulate=acc,
-                fit_stride=8 if acc.startswith("factor") else 0,
+                fit_stride=16 if acc.startswith("factor") else 0,
                 raw_spectra=sp)
             if presum > 1:
                 corr = bp_ops.presum_droop_correction(po, ve, ts, vel_focus,
@@ -398,7 +398,7 @@ def run(sc: ScenarioConfig, targets: PointTargets, *, heading_deg: float = 0.0,
                "fast_factor_pallas": "factor_pallas",
                "fast_factor2": "factor2",
                "fast_factor2_pallas": "factor2_pallas"}[bp_backend]
-        fs = 8 if acc.startswith("factor") else 0
+        fs = 16 if acc.startswith("factor") else 0
         vfj = jnp.asarray(vel_focus)
 
         @jax.jit
