@@ -85,6 +85,12 @@ class EchoOpts:
     # windows cut it linearly while each group's delay span fits win
     freq_spread_win: Optional[int] = None
     freq_spread_grp: Optional[int] = None
+    # independent exact-edge-pass window override (None = half the main
+    # window rule): the edge pass is ~40% of the production channel pass
+    # and its one-hot bill scales with this window
+    # (scripts/probe_echo_edge2_r5.py) — callers with a bounded scene
+    # delay span (equality-gated) can shrink it
+    freq_spread_win_edge: Optional[int] = None
     # slow-time stride of the exact f64 geometry pass for backend='freq'
     # (quadratic anchor interpolation between; 0/1 = exact at every pulse)
     freq_geom_stride: int = 8
@@ -364,7 +370,8 @@ def _phase_history(t_slow, sat_pos, sat_vel, tgt_pos, tgt_rcs, tgt_vel,
                               spreader=opts.freq_spreader,
                               spread_win=opts.freq_spread_win,
                               spread_grp=opts.freq_spread_grp,
-                              conv=opts.freq_conv)
+                              conv=opts.freq_conv,
+                              spread_win_edge=opts.freq_spread_win_edge)
         from nis_sar_amtigmti_video_tpu.ops.pallas.echo_kernel import (
             echo_accumulate)
         return echo_accumulate(

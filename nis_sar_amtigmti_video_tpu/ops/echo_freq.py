@@ -284,7 +284,9 @@ def _spread_dense(i0, val_sets, l_out: int, win: int, grp: int,
 def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
                pulse_chunk: int | None = None, edge_taper: float = 4.0,
                spreader: str = "auto", spread_win: int | None = None,
-               spread_grp: int | None = None, conv: str = "auto"):
+               spread_grp: int | None = None, conv: str = "auto",
+               spread_win_edge: int | None = None,
+               spread_grp_edge: int | None = None):
     """(P, B) per-(pulse,target) scalars -> (P, Ns) complex64 raw data.
 
     tau_rel: delay of each echo relative to the window start [s]
@@ -345,9 +347,13 @@ def synthesize(tau_rel, carrier, amp, opts, oversample: int = 2,
     d_win, d_grp = spread_win or 4096, spread_grp or 16
     # the edge pass works at the NATIVE rate (spans half the oversampled
     # grid's), so its window scales as spread_win/2 — capping it would
-    # silently drop gate-flank corrections for widely-spread scenes
-    d_win_e, d_grp_e = (spread_win // 2 if spread_win else 2048,
-                        spread_grp or 16)
+    # silently drop gate-flank corrections for widely-spread scenes.
+    # ``spread_win_edge`` overrides it independently (the edge pass is
+    # ~40% of the production channel pass — probe_echo_edge_r5.py — and
+    # its one-hot bill scales with this window).
+    d_win_e, d_grp_e = (spread_win_edge
+                        or (spread_win // 2 if spread_win else 2048),
+                        spread_grp_edge or spread_grp or 16)
     if d_win % 128 or d_win_e % 128 or d_win_e < 256:
         raise ValueError(
             f"spread_win must be a 256-multiple (got {spread_win}): the "

@@ -516,8 +516,9 @@ def _k2_call(xr, xi, f, b: int, interpret: bool, mode: str, rows: int = 128,
 
 def apply_csa_pallas_planes(xr, xi, f, interpret: bool = False,
                             mode: str = "bf16x3",
-                            k2_variant: str = "restack",
-                            lead_variant: str = "swap"):
+                            k2_variant: str = "dots",
+                            lead_variant: str = "swap",
+                            k2_rows: int = 32):
     """Planes-native fused CSA: re/im f32 (..., n_az, n_rg) -> re/im SLC.
 
     This is the production entry: complex64<->plane conversions around the
@@ -530,6 +531,11 @@ def apply_csa_pallas_planes(xr, xi, f, interpret: bool = False,
     mode='bf16x3' (default) runs every MXU contraction as a hi/lo bf16
     split (f32-grade, ~5e-6); mode='bf16' single-pass (~2.6e-3, what a raw
     Mosaic f32 dot would silently give anyway).
+
+    Round-5 defaults: k2_variant='dots' + k2_rows=32 — with the cheap
+    swap_dot recombination the dots digit swap now wins standalone too
+    (6.94 vs the former restack/128's 8.03 ms/plane at 4096^2,
+    scripts/probe_form_rows_r5.py); 'restack' remains the equality twin.
     """
     n_az, n_rg = xr.shape[-2], xr.shape[-1]
     if not supported(n_az, n_rg):
@@ -547,7 +553,7 @@ def apply_csa_pallas_planes(xr, xi, f, interpret: bool = False,
                               f.c1.reshape(-1, 1), f.w.reshape(-1, 1),
                               a, interpret, mode, variant=lead_variant)
             zr, zi = _k2_call(zr, zi, f, b, interpret, mode,
-                              variant=k2_variant)
+                              rows=k2_rows, variant=k2_variant)
             return _k3_call(zr, zi, a, interpret, mode,
                             variant=lead_variant)
 
