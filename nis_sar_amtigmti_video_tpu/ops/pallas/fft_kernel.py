@@ -142,7 +142,8 @@ def _dot_m(z, wh, wl_, mode: str):
 
 def _kernel(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
             w2ih, w2il, tw_r, tw_i, a_ref, b_ref, out_r, out_i,
-            *, d: int, groups: int, nfft: int, mode: str, pb: int = 0):
+            *, d: int, groups: int, nfft: int, mode: str, pb: int = 0,
+            unroll: bool = False):
     b1 = nfft // _LANE
     b2 = _LANE
     pb = pb or b1                   # inverse output rows (band-limited)
@@ -202,10 +203,20 @@ def _kernel(xr, xi, si, sf, car, wl, w1h, w1l, w1ih, w1il, w2h, w2l,
     for g in range(groups):
         # presum in the FREQUENCY domain (linear), so the inverse four-step
         # runs once per group instead of once per pulse
-        def body(j, acc):
-            return acc + forward_spec(g * d + j)
-        s = jax.lax.fori_loop(0, d, body,
-                              jnp.zeros((b1, 2 * b2), jnp.float32))
+        if unroll:
+            # unrolled: the per-pulse forward chains are INDEPENDENT until
+            # this sum, but the fori_loop's carry serializes them — the
+            # kernel is op-latency-bound (docs/ROUND3_NOTES the 'wide'
+            # study), so letting Mosaic interleave the d chains is a
+            # scheduling lever. Bit-identical sum order (0 + x == x).
+            s = forward_spec(g * d)
+            for j in range(1, d):
+                s = s + forward_spec(g * d + j)
+        else:
+            def body(j, acc):
+                return acc + forward_spec(g * d + j)
+            s = jax.lax.fori_loop(0, d, body,
+                                  jnp.zeros((b1, 2 * b2), jnp.float32))
 
         # ---- inverse four-step: iDFT_B2 over m, conj twiddle, iDFT_B1
         s = dot_m(s, w2ih[:], w2il[:])                     # (k, [q|q])
@@ -307,7 +318,8 @@ def recenter_presum_pallas(rc, sat_pos, sat_vel, t_slow, vel_focus, p, d: int,
                            mode: str = "bf16x3", groups: int = 2,
                            interpret: bool = False, t_mean=None,
                            impl: str = "narrow",
-                           out_rows: tuple[int, int] | None = None):
+                           out_rows: tuple[int, int] | None = None,
+                           unroll: bool = False):
     """Drop-in for ops/bp_fast.py::recenter_presum (optionally with the
     matched filter fused, the ``ref_conj`` path) running as one pallas
     kernel. Returns the same (rc2[P2, nfft] complex64, pos2, vel2, t2).
@@ -405,7 +417,7 @@ def recenter_presum_pallas(rc, sat_pos, sat_vel, t_slow, vel_focus, p, d: int,
             bs_tw = pl.BlockSpec((b1, _LANE), lambda i: (0, 0))
             our, oui = pl.pallas_call(
                 partial(_kernel, d=d, groups=groups, nfft=nfft, mode=mode,
-                        pb=pb),
+                        pb=pb, unroll=unroll),
                 grid=grid,
                 in_specs=[bs_in, bs_in, bs_sc, bs_sc, bs_sc, bs_sc,
                           bs_w1, bs_w1, bs_w1i, bs_w1i, bs_w2, bs_w2, bs_w2,
