@@ -258,7 +258,7 @@ def main():
             m["gmti_ms"] = (1000.0 * (time.perf_counter() - t1)
                             / (iters * ncpi))
 
-    section("gmti", 420, sec_gmti)
+    section("gmti", 420, sec_gmti, skip_env="BENCH_SKIP_GMTI")
 
     # ---- 2. full-scale END-TO-END GMTI + the per-channel sim pass ----
     # scene -> batched two-channel echo -> DPCA coregister -> dual CSA ->
@@ -494,7 +494,8 @@ def main():
         _ = float(s)
         m["form_fps"] = (2 * ncpi * iters) / (time.perf_counter() - t1)
 
-    section("csa_formation", 150, sec_form)
+    section("csa_formation", 150, sec_form,
+            skip_env="BENCH_SKIP_FORM")
 
     # ---- 6. HRWS multichannel reconstruction (K=4, production 4096^2:
     # (4, 1024, 4096) sub-Nyquist channels -> (4096, 4096) unfolded
@@ -536,14 +537,28 @@ def main():
         chans = jnp.broadcast_to(_cplx.to_device(ch_np),
                                  (k_ch, p_az, n_rg))
 
-        recon_j = jax.jit(lambda c: hrws.reconstruct(c, ph))
-        rec = recon_j(chans)
+        # chained protocol like every other section (one sync per timed
+        # dispatch of `chain` recons): the former per-recon host fetch made
+        # this metric track the tunnel RTT (~33 ms) more than the chip —
+        # r04's 38.5 vs r05's 48 ms was RTT drift, not code (hrws.py is
+        # untouched since round 2)
+        chain = 4
+
+        @jax.jit
+        def hrws_chain(c):
+            rec = None
+            for _c in range(chain):
+                rec = hrws.reconstruct(c, ph)
+                c = c + (jnp.sum(jnp.abs(rec[:1, :1])) * 0).astype(c.dtype)
+            return c, rec
+
+        chans, rec = hrws_chain(chans)
         _ = float(jnp.sum(jnp.abs(rec[:1, :1])))   # compile + first
         t1 = time.perf_counter()
-        for _i in range(4):
-            rec = recon_j(chans)
+        for _i in range(3):
+            chans, rec = hrws_chain(chans)
             _ = float(jnp.sum(jnp.abs(rec[:1, :1])))
-        m["hrws_recon_ms"] = (time.perf_counter() - t1) / 4 * 1e3
+        m["hrws_recon_ms"] = (time.perf_counter() - t1) / (3 * chain) * 1e3
 
         # ghost suppression: the ~1.31*PRF tone aliases to ~0.31*PRF in any
         # single channel; after unfolding it sits at its true bin and the
@@ -587,7 +602,8 @@ def main():
         _ = float(s)
         m["form_bf16_fps"] = (2 * ncpi * iters) / (time.perf_counter() - t1)
 
-    section("csa_formation_bf16", 130, sec_form_bf16)
+    section("csa_formation_bf16", 130, sec_form_bf16,
+            skip_env="BENCH_SKIP_BF16")
 
     # ---- 8. NumPy reference baseline: the same 2-channel GMTI step ----
     def sec_numpy():
