@@ -112,6 +112,13 @@ def baseline_table(benches):
         "³ round-2 bench consumed only `[:1,:1]` product slices (partial "
         "dead-code elimination); fixed in round 3 — and the honest protocol "
         "is still faster.",
+        "⁴ two round-5 protocol changes, flagged for cross-round reading: "
+        "the echo pass is measured from the production BATCHED two-channel "
+        "program (`sim_pass_protocol: batched2ch/2`; earlier rounds timed a "
+        "standalone single-channel pass), and the HRWS loop now chains four "
+        "recons per sync like every other section (the former per-recon "
+        "host fetch made that row ~60% axon-tunnel RTT — 48 vs 17.9 ms "
+        "same-day, same code).",
         "",
         f"*(generated by `scripts/sync_scorecards.py` from "
         f"`BENCH_r{cur:02d}.json`; RDA 4096² full chain: 72.8 ms, "
