@@ -162,13 +162,15 @@ def readme_headline(b, cur):
 
 
 def parity_echo(b, cur):
+    sim = b.get("sim_pass_s")
+    ratio = f"~{14.6 / sim:.0f}x" if sim else "~12x"
     return (
         "ops/echo_freq.py — golden-grade: passes the acceptance budgets vs "
         "the f64 oracle; the scatter-free dense one-hot MXU spreader runs "
-        f"the full ATI scene in {fmt(b.get('sim_pass_s'), 2)} s/channel pass "
-        f"on one v5e (`BENCH_r{cur:02d}.json`) — ~12x the direct engine; "
-        "VMEM one-hot spread kernel (M-stacked dot) + fused conv kernel, "
-        "spread bit-identical to the XLA dense path)."
+        f"the full ATI scene in {fmt(sim, 2)} s/channel pass "
+        f"on one v5e (`BENCH_r{cur:02d}.json`) — {ratio} the direct "
+        "engine's 14.6 s; VMEM one-hot spread kernel (M-stacked dot) + "
+        "fused conv kernel, spread bit-identical to the XLA dense path."
     )
 
 
